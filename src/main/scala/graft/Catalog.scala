@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over a directory of parquet files (one file/dir per table).
+  *
+  * Mirrors the reference's schema reflection (`rdbms_subsetter.py ::
+  * Db.__init__` — SQLAlchemy `MetaData.reflect` + `Inspector`): where the
+  * reference round-trips the live DB catalog, we read self-describing
+  * parquet footers. Schemas stay dynamic (`DataFrame` / runtime
+  * `StructType`), matching the reference's reflection-not-declaration
+  * model (SURVEY.md §1). PK/FK metadata does not exist in parquet, so it
+  * is declared in [[FkGraph]] — the analogue of the reference's
+  * `--config` pseudo-constraints.
+  *
+  * Scale: `spark.read.parquet` is metadata-only; the vectorized reader +
+  * Catalyst handle column pruning / predicate pushdown per query. Nothing
+  * here collects to the driver, and a 100 TB table is just more files
+  * behind the same path.
+  */
+object Catalog {
+
+  /** Tables the driver generates (TESTDATA.md / FIXTURES.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Load every table; lazy plans only — no IO beyond footers. */
+  def load(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    tableNames.map(n => n -> table(spark, dir, n)).toMap
+
+  /** Register all tables as temp views so `spark.sql` works against the
+    * same data the DataFrame API sees. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

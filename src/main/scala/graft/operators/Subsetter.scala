@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.{Fk, FkGraph}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native re-architecture of the reference's subsetting engine.
+  *
+  * The reference (`rdbms_subsetter.py :: create_subset_in` /
+  * `create_row_in`) is row-at-a-time: sample one random row, recursively
+  * SELECT+INSERT every FK ancestor, opportunistically pull a bounded
+  * number of child rows — thousands of per-row round-trips (SURVEY.md
+  * §3b). Here the same semantics are set-at-a-time:
+  *
+  *   1. sample every table to its target size (deterministic hash
+  *      threshold — no global sort, scales to any size);
+  *   2. union in forced seed rows (`--force`);
+  *   3. expand FK *parent* keys along every edge to a fixpoint
+  *      (semi-joins; ≤ graph-diameter passes on a DAG, loop-until-stable
+  *      on cycles — the set-based analogue of `create_row_in`'s
+  *      exists-guarded recursion);
+  *   4. pull at most `children` child rows per inserted parent row
+  *      (windowed top-k — `create_row_in` step 4);
+  *   5. close parents once more (children may reference new parents);
+  *   6. materialize each table by semi-join against its key set.
+  *
+  * The output satisfies the reference's postcondition: zero orphaned
+  * foreign keys ([[validateRI]]).
+  *
+  * Scale: key sets are `DataFrame`s end-to-end — nothing collects to the
+  * driver; the only driver-side state is per-table row *counts*. Each
+  * fixpoint pass is a handful of semi-joins whose small side (the key
+  * set) AQE broadcast-joins when it fits; `localCheckpoint` truncates
+  * lineage so cyclic graphs cannot blow up the plan.
+  */
+object Subsetter {
+
+  /** Subset configuration — mirrors the reference CLI
+    * (`rdbms_subsetter.py :: generate()` argparse): fraction,
+    * `--logarithmic`, `--full-tables`, `--exclude-tables`, `--force`,
+    * `--children`. */
+  final case class Config(
+      fraction: Double,
+      logarithmic: Boolean = false,
+      fullTables: Seq[String] = Nil,     // fnmatch-style globs
+      excludeTables: Seq[String] = Nil,  // fnmatch-style globs
+      force: Map[String, Seq[Long]] = Map.empty, // table -> pk values
+      children: Int = 3,
+      childRounds: Int = 1)
+
+  // ---------------------------------------------------------------------
+  // Target sizing — rdbms_subsetter.py :: Db.assign_target (SURVEY §2 row 4)
+  // ---------------------------------------------------------------------
+
+  /** Desired row count for a table of `n` rows. Linear: ceil(n*f);
+    * logarithmic: ceil(10^(log10(n)*f)); full copy: n. Minimum 1 row
+    * whenever the source is non-empty (the reference always keeps at
+    * least one row per non-empty table). */
+  def targetSize(n: Long, fraction: Double, logarithmic: Boolean = false,
+                 full: Boolean = false): Long = {
+    if (n <= 0L) 0L
+    else if (full || fraction >= 1.0) n
+    else {
+      val raw =
+        if (logarithmic) math.ceil(math.pow(10.0, math.log10(n.toDouble) * fraction))
+        else math.ceil(n.toDouble * fraction)
+      math.max(1L, math.min(n, raw.toLong))
+    }
+  }
+
+  /** fnmatch-style glob (`*`, `?`) — the reference's
+    * `_table_matches_any_pattern` (SURVEY §2 row 14). */
+  def globMatch(patterns: Seq[String], name: String): Boolean = {
+    def rx(p: String): String =
+      p.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+        case c => c.toString
+      }
+    patterns.exists(p => name.matches(rx(p)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Sampling — rdbms_subsetter.py :: _random_rows (SURVEY §2 row 5)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic modulus sample on an integer key: `key % m = 0`.
+    * Replaces the reference's `ORDER BY random() LIMIT k` with something
+    * an oracle can reproduce (SURVEY §7 determinism contract). */
+  def modSample(df: DataFrame, keyCol: String, m: Long): DataFrame =
+    df.filter(col(keyCol) % m === 0)
+
+  /** Deterministic pseudo-random sample of ~`target` rows out of `n`:
+    * keep rows whose 64-bit key hash falls under the target fraction.
+    * No global sort and no limit — O(scan) at any scale. Engine-internal
+    * (`xxhash64` never reaches an oracle query). */
+  def hashSample(df: DataFrame, pkCols: Seq[String], target: Long, n: Long): DataFrame = {
+    if (n <= 0L || target >= n) df
+    else {
+      // Unsigned comparison via threshold on the positive half plus the
+      // wrap: map hash to [0,1) by abs — deterministic across runs.
+      val frac = target.toDouble / n.toDouble
+      val h = abs(xxhash64(pkCols.map(col): _*))
+      df.filter(h % 1000000L < lit(math.ceil(frac * 1000000L).toLong))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Parent closure — rdbms_subsetter.py :: create_row_in step 2 recursion
+  // (SURVEY §2 row 10, §3b)
+  // ---------------------------------------------------------------------
+
+  /** Expand per-table PK key sets along all FK edges until no set grows.
+    *
+    * `seeds` maps table -> DataFrame of (at least) that table's PK
+    * columns. Returns table -> distinct PK-column DataFrame for every
+    * table reachable via parent edges. Edges are walked in child-first
+    * topological intent (the declared `fks` order) and updates applied
+    * immediately, so a depth-d DAG converges in one pass + one
+    * confirmation pass; cycles (self-FKs) iterate until stable, exactly
+    * like the reference's exists-guard terminates its recursion.
+    */
+  def parentClosure(
+      tables: Map[String, DataFrame],
+      graph: FkGraph,
+      seeds: Map[String, DataFrame],
+      maxIters: Int = 50): Map[String, DataFrame] = {
+
+    var keys: Map[String, DataFrame] = seeds.map { case (t, rows) =>
+      t -> rows.select(graph.pks(t).map(col): _*).distinct()
+    }
+    var counts: Map[String, Long] = keys.map { case (t, k) => t -> k.count() }
+
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      iter += 1
+      changed = false
+      for (fk <- graph.fks; childKeys <- keys.get(fk.childTable)) {
+        // Rows of the child table currently in the subset …
+        val childRows =
+          tables(fk.childTable).join(childKeys, graph.pks(fk.childTable), "left_semi")
+        // … demand these parent keys (NULL FK needs no parent — the
+        // reference skips null FK values).
+        val needed = childRows
+          .select(fk.childCols.zip(fk.parentCols).map { case (c, p) =>
+            col(c).cast(tables(fk.parentTable).schema(p).dataType).as(p)
+          }: _*)
+          .na.drop()
+          .distinct()
+        val merged = keys.get(fk.parentTable) match {
+          case Some(existing) => existing.union(needed).distinct()
+          case None           => needed
+        }
+        // Truncate lineage every few passes so cyclic graphs stay cheap.
+        val stored = if (iter % 3 == 0) merged.localCheckpoint(true) else merged
+        val c = stored.count()
+        if (c != counts.getOrElse(fk.parentTable, -1L)) changed = true
+        keys += fk.parentTable -> stored
+        counts += fk.parentTable -> c
+      }
+    }
+    keys
+  }
+
+  // ---------------------------------------------------------------------
+  // Bounded child pull — rdbms_subsetter.py :: create_row_in step 4
+  // (SURVEY §2 row 11)
+  // ---------------------------------------------------------------------
+
+  /** At most `k` child rows per parent key, deterministically the first
+    * `k` by child PK (the reference takes an arbitrary LIMIT k; we pin
+    * the order — SURVEY §7). Returns child PK key sets to merge. */
+  def childTopK(
+      child: DataFrame,
+      childPk: Seq[String],
+      fk: Fk,
+      parentKeys: DataFrame,
+      k: Int): DataFrame = {
+    val pk = parentKeys.select(fk.parentCols.map(c => col(c).as(s"__p_$c")): _*).distinct()
+    val cond = fk.childCols.zip(fk.parentCols)
+      .map { case (c, p) => child(c) === pk(s"__p_$p") }
+      .reduce(_ && _)
+    val w = Window.partitionBy(fk.childCols.map(col): _*)
+      .orderBy(childPk.map(col): _*)
+    child.join(pk, cond, "inner")
+      .select(child.columns.map(child(_)): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+      .select(childPk.map(col): _*)
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------------
+  // Full pipeline — rdbms_subsetter.py :: create_subset_in (SURVEY §3b)
+  // ---------------------------------------------------------------------
+
+  /** Run the whole subsetting pipeline; returns table -> subset rows.
+    * Guarantees the reference's referential-integrity postcondition. */
+  def subset(
+      tables: Map[String, DataFrame],
+      graph: FkGraph,
+      cfg: Config): Map[String, DataFrame] = {
+
+    val included = tables.keys.toSeq.sorted
+      .filterNot(t => globMatch(cfg.excludeTables, t))
+
+    // 1–2. seed: per-table deterministic sample at target size + forced rows
+    var seeds: Map[String, DataFrame] = included.map { t =>
+      val df = tables(t)
+      val n = df.count()
+      val full = globMatch(cfg.fullTables, t)
+      val tgt = targetSize(n, cfg.fraction, cfg.logarithmic, full)
+      val pkCols = graph.pks(t)
+      val sampled =
+        if (tgt >= n) df
+        else {
+          val s = hashSample(df, pkCols, tgt, n)
+          cfg.force.get(t) match {
+            case Some(vals) if pkCols.size == 1 =>
+              s.union(df.filter(col(pkCols.head).isin(vals: _*)))
+            case _ => s
+          }
+        }
+      t -> sampled
+    }.toMap
+
+    // 3. parent closure to fixpoint
+    var keys = parentClosure(tables, graph, seeds)
+
+    // 4–5. bounded child pull, then re-close parents (children may
+    // demand parents not yet in the subset) — `childRounds` controls how
+    // deep the child-of-child expansion goes (the reference recurses but
+    // its exists-guard + targets bound it in practice).
+    for (_ <- 1 to cfg.childRounds) {
+      val childAdds = for {
+        fk <- graph.fks
+        if keys.contains(fk.parentTable) && included.contains(fk.childTable)
+      } yield fk.childTable -> childTopK(
+        tables(fk.childTable), graph.pks(fk.childTable), fk, keys(fk.parentTable), cfg.children)
+      val merged = childAdds.groupBy(_._1).map { case (t, adds) =>
+        val all = adds.map(_._2).reduce(_ union _)
+        t -> keys.get(t).map(_.union(all)).getOrElse(all).distinct()
+      }
+      keys = keys ++ merged
+      keys = parentClosure(tables, graph, keys)
+    }
+
+    // 6. materialize rows
+    keys.collect { case (t, k) if tables.contains(t) =>
+      t -> tables(t).join(k, graph.pks(t), "left_semi")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // RI validation — the reference's tested postcondition (SURVEY §2 row 16)
+  // ---------------------------------------------------------------------
+
+  /** Per-FK-edge orphan counts: child rows with a non-null FK value that
+    * resolves to no parent row. All-zero on a valid subset (and on the
+    * full source tables). */
+  def validateRI(tables: Map[String, DataFrame], graph: FkGraph): DataFrame = {
+    val perEdge = graph.fks
+      .filter(fk => tables.contains(fk.childTable) && tables.contains(fk.parentTable))
+      .map { fk =>
+        val child = tables(fk.childTable)
+        val parent = tables(fk.parentTable)
+          .select(fk.parentCols.map(c => col(c).as(s"__p_$c")): _*).distinct()
+        val cond = fk.childCols.zip(fk.parentCols)
+          .map { case (c, p) => child(c).cast("long") === parent(s"__p_$p").cast("long") }
+          .reduce(_ && _)
+        child
+          .filter(fk.childCols.map(col(_).isNotNull).reduce(_ && _))
+          .join(parent, cond, "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+          .select(lit(fk.name).as("edge"), col("orphans"))
+      }
+    perEdge.reduce(_ union _).orderBy("edge")
+  }
+}

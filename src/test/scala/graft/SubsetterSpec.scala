@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.Subsetter
+import org.apache.spark.sql.DataFrame
+
+/** Mirrors the reference's own test shapes (test_subsetter.py —
+  * SURVEY.md §5): FK chains, a self-referential table, NULL FKs, target
+  * fraction edge cases, and the golden RI postcondition. */
+class SubsetterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- target sizing: Db.assign_target semantics ----------------------
+  test("targetSize: linear / logarithmic / full / edge cases") {
+    assert(Subsetter.targetSize(0, 0.5) == 0)                    // empty source
+    assert(Subsetter.targetSize(1, 0.001) == 1)                  // min 1 when non-empty
+    assert(Subsetter.targetSize(1000, 0.25) == 250)
+    assert(Subsetter.targetSize(1001, 0.25) == 251)              // ceil
+    assert(Subsetter.targetSize(1000, 1.0) == 1000)              // fraction=1 → full
+    assert(Subsetter.targetSize(1000, 0.25, full = true) == 1000)
+    // logarithmic: ceil(10^(log10(1000)*0.5)) = ceil(10^1.5) = 32
+    assert(Subsetter.targetSize(1000, 0.5, logarithmic = true) == 32)
+    assert(Subsetter.targetSize(10, 2.0) == 10)                  // capped at n
+  }
+
+  test("globMatch: fnmatch semantics") {
+    assert(Subsetter.globMatch(Seq("line*"), "lineitem"))
+    assert(Subsetter.globMatch(Seq("*item"), "lineitem"))
+    assert(Subsetter.globMatch(Seq("l?neitem"), "lineitem"))
+    assert(!Subsetter.globMatch(Seq("order*"), "lineitem"))
+    assert(!Subsetter.globMatch(Nil, "lineitem"))
+  }
+
+  // --- tiny 3-level graph: grand(gid) <- mid(mid,gid) <- leaf(lid,mid)
+  private def tinyGraph: (Map[String, DataFrame], FkGraph) = {
+    val grand = Seq((1L, "g1"), (2L, "g2"), (3L, "g3")).toDF("gid", "gname")
+    val mid = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("mid", "gid")
+    val leaf = Seq((100L, 10L), (101L, 10L), (102L, 11L)).toDF("lid", "mid")
+    val graph = FkGraph(
+      pks = Map("grand" -> Seq("gid"), "mid" -> Seq("mid"), "leaf" -> Seq("lid")),
+      fks = Seq(
+        Fk("leaf", Seq("mid"), "mid", Seq("mid")),
+        Fk("mid", Seq("gid"), "grand", Seq("gid"))))
+    (Map("grand" -> grand, "mid" -> mid, "leaf" -> leaf), graph)
+  }
+
+  test("parentClosure: multi-hop chain pulls exactly the needed ancestors") {
+    val (tables, graph) = tinyGraph
+    val seeds = Map("leaf" -> tables("leaf").filter($"lid" === 100L))
+    val keys = Subsetter.parentClosure(tables, graph, seeds)
+    assert(keys("leaf").as[Long].collect().toSet == Set(100L))
+    assert(keys("mid").as[Long].collect().toSet == Set(10L))
+    assert(keys("grand").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("parentClosure: self-referential FK terminates and closes the chain") {
+    // emp(id, mgr) with 1 <- 2 <- 3 and a cycle 5 <-> 6
+    val emp = Seq(
+      (1L, Option.empty[Long]), (2L, Some(1L)), (3L, Some(2L)),
+      (5L, Some(6L)), (6L, Some(5L))).toDF("id", "mgr")
+    val graph = FkGraph(
+      pks = Map("emp" -> Seq("id")),
+      fks = Seq(Fk("emp", Seq("mgr"), "emp", Seq("id"))))
+    val keys = Subsetter.parentClosure(
+      Map("emp" -> emp), graph, Map("emp" -> emp.filter($"id" === 3L)))
+    assert(keys("emp").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val keys2 = Subsetter.parentClosure(
+      Map("emp" -> emp), graph, Map("emp" -> emp.filter($"id" === 5L)))
+    assert(keys2("emp").as[Long].collect().toSet == Set(5L, 6L))
+  }
+
+  test("parentClosure: NULL FK values require no parent") {
+    val child = Seq((1L, Option.empty[Long]), (2L, Some(20L)))
+      .toDF("cid", "pid")
+    val parent = Seq((20L, "p"), (21L, "q")).toDF("pid", "pname")
+    val graph = FkGraph(
+      pks = Map("child" -> Seq("cid"), "parent" -> Seq("pid")),
+      fks = Seq(Fk("child", Seq("pid"), "parent", Seq("pid"))))
+    val keys = Subsetter.parentClosure(
+      Map("child" -> child, "parent" -> parent), graph,
+      Map("child" -> child))
+    assert(keys("parent").as[Long].collect().toSet == Set(20L))
+  }
+
+  test("childTopK: bounded deterministic child pull") {
+    val lines = Seq(
+      (1L, 1, "a"), (1L, 2, "b"), (1L, 3, "c"), (1L, 4, "d"),
+      (2L, 1, "e")).toDF("okey", "lnum", "v")
+    val fk = Fk("lines", Seq("okey"), "orders", Seq("okey"))
+    val parents = Seq(Tuple1(1L)).toDF("okey")
+    val picked = Subsetter.childTopK(lines, Seq("okey", "lnum"), fk, parents, 3)
+      .as[(Long, Int)].collect().toSet
+    assert(picked == Set((1L, 1), (1L, 2), (1L, 3))) // first 3 by PK, order 2 absent
+  }
+
+  test("subset: output satisfies the RI postcondition (zero orphans)") {
+    val (tables, graph) = tinyGraph
+    val out = Subsetter.subset(tables, graph, Subsetter.Config(fraction = 0.5))
+    val orphans = Subsetter.validateRI(out, graph)
+      .select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L))
+    // every included table kept at least one row (min-1 rule)
+    assert(out("leaf").count() >= 1 && out("mid").count() >= 1 && out("grand").count() >= 1)
+  }
+
+  test("validateRI: detects orphans on broken data") {
+    val child = Seq((1L, 99L)).toDF("cid", "pid") // 99 has no parent
+    val parent = Seq((20L, "p")).toDF("pid", "pname")
+    val graph = FkGraph(
+      pks = Map("child" -> Seq("cid"), "parent" -> Seq("pid")),
+      fks = Seq(Fk("child", Seq("pid"), "parent", Seq("pid"))))
+    val r = Subsetter.validateRI(Map("child" -> child, "parent" -> parent), graph)
+      .select("orphans").as[Long].head()
+    assert(r == 1L)
+  }
+
+  test("subset: forced rows are present with their parent closure") {
+    val (tables, graph) = tinyGraph
+    val out = Subsetter.subset(tables, graph,
+      Subsetter.Config(fraction = 0.34, force = Map("leaf" -> Seq(102L))))
+    assert(out("leaf").filter($"lid" === 102L).count() == 1)
+    assert(out("mid").filter($"mid" === 11L).count() == 1)   // 102's parent
+    assert(out("grand").filter($"gid" === 2L).count() == 1)  // grandparent
+  }
+
+  test("subset: exclude and full-table globs") {
+    val (tables, graph) = tinyGraph
+    val out = Subsetter.subset(tables, graph,
+      Subsetter.Config(fraction = 0.34, fullTables = Seq("gra*"), excludeTables = Seq("leaf")))
+    assert(!out.contains("leaf"))
+    assert(out("grand").count() == 3) // full copy
+  }
+}
