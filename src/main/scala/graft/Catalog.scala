@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Table catalog over a directory of parquet files (one file/dir per table).
   *
@@ -25,8 +27,24 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // events.ts is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4
+      // rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
+      // nanosecond long via the legacy flag and normalize to a µs
+      // TimestampType with exact integer division (`div`, not `/` —
+      // double division would round the 19-digit nanos). Sub-µs digits
+      // are dropped; all engine comparisons/outputs on event time use
+      // whole seconds (queries.Det.epochS), and floor(ns->µs->s) ==
+      // floor(ns->s), so oracle semantics are unaffected.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    case _ =>
+      spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Load every table; lazy plans only — no IO beyond footers. */
   def load(spark: SparkSession, dir: String): Map[String, DataFrame] =

@@ -171,11 +171,14 @@ object Subsetter {
   // ---------------------------------------------------------------------
 
   /** At most `k` child rows per parent key, deterministically the first
-    * `k` by child PK (the reference takes an arbitrary LIMIT k; we pin
-    * the order — SURVEY §7). Returns child PK key sets to merge. */
+    * `k` in `orderCols` order (the reference takes an arbitrary LIMIT k;
+    * we pin the order — SURVEY §7). Returns the bounded child ROWS —
+    * note the testdata's declared lineitem PK is not actually unique, so
+    * key-set round-trips would lose the bound; callers needing keys
+    * project afterwards. */
   def childTopK(
       child: DataFrame,
-      childPk: Seq[String],
+      orderCols: Seq[String],
       fk: Fk,
       parentKeys: DataFrame,
       k: Int): DataFrame = {
@@ -184,14 +187,12 @@ object Subsetter {
       .map { case (c, p) => child(c) === pk(s"__p_$p") }
       .reduce(_ && _)
     val w = Window.partitionBy(fk.childCols.map(col): _*)
-      .orderBy(childPk.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
     child.join(pk, cond, "inner")
       .select(child.columns.map(child(_)): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
-      .select(childPk.map(col): _*)
-      .distinct()
   }
 
   // ---------------------------------------------------------------------
@@ -241,6 +242,8 @@ object Subsetter {
         if keys.contains(fk.parentTable) && included.contains(fk.childTable)
       } yield fk.childTable -> childTopK(
         tables(fk.childTable), graph.pks(fk.childTable), fk, keys(fk.parentTable), cfg.children)
+        .select(graph.pks(fk.childTable).map(col): _*)
+        .distinct()
       val merged = childAdds.groupBy(_._1).map { case (t, adds) =>
         val all = adds.map(_._2).reduce(_ union _)
         t -> keys.get(t).map(_.union(all)).getOrElse(all).distinct()

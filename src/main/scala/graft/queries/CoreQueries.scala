@@ -5,14 +5,279 @@ import graft.operators.Subsetter
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Subsetter-derived queries — SURVEY.md §2a, the reference's own
-  * operator surface re-expressed set-at-a-time. */
+/** Subsetter-derived queries — SURVEY.md §2a: the reference's own
+  * operator surface re-expressed set-at-a-time on Spark. Each query key
+  * maps 1:1 to a §2a row. */
 object CoreQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Catalog.table(s, dir, name)
 
-  def defs: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  // --- §2a row 2: exact row counts ------------------------------------
+  def countExact(s: SparkSession, dir: String): DataFrame =
+    Catalog.tableNames.map { n =>
+      t(s, dir, n).agg(count(lit(1)).as("cnt")).select(lit(n).as("table_name"), col("cnt"))
+    }.reduce(_ union _).orderBy("table_name")
 
-  def oracle: Map[String, String] = Map.empty
+  val countExactSql: String =
+    Catalog.tableNames.map(n => s"SELECT '$n' AS table_name, count(*) AS cnt FROM $n")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
+  // --- §2a row 4: target-size computation (Db.assign_target) ----------
+  // linear ceil(n*f), logarithmic ceil(10^(log10 n * f)), both min-1.
+  def targetSizes(s: SparkSession, dir: String): DataFrame = {
+    val f = 0.1
+    countExact(s, dir)
+      .withColumn("t_linear",
+        greatest(lit(1L), ceil(col("cnt").cast("double") * lit(f))))
+      .withColumn("t_log",
+        greatest(lit(1L), ceil(pow(lit(10.0), log10(col("cnt").cast("double")) * lit(f)))))
+      .withColumn("t_full", col("cnt"))
+      .orderBy("table_name")
+  }
+
+  val targetSizesSql: String =
+    s"""SELECT table_name, cnt,
+       |  GREATEST(1, CAST(CEIL(CAST(cnt AS DOUBLE) * 0.1) AS BIGINT)) AS t_linear,
+       |  GREATEST(1, CAST(CEIL(POW(10.0, LOG10(CAST(cnt AS DOUBLE)) * 0.1)) AS BIGINT)) AS t_log,
+       |  cnt AS t_full
+       |FROM ($countExactSql)
+       |ORDER BY table_name""".stripMargin
+
+  // --- §2a row 5: deterministic sampling (oracle-safe modulus) --------
+  def sampleOrders(s: SparkSession, dir: String): DataFrame =
+    Subsetter.modSample(t(s, dir, "orders"), "o_orderkey", 20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  val sampleOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin
+
+  // --- §2a row 6: conjunctive filters, pushed to the scan -------------
+  def filterPushdown(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_returnflag") === "A")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_shipdate").cast("date").as("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val filterPushdownSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'A'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- §2a row 7: point lookup by PK ----------------------------------
+  // The key is discovered declaratively (broadcast single-row min join)
+  // — no driver-side collect.
+  def pointLookup(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val mk = o.agg(min(col("o_orderkey")).as("__mk"))
+    o.join(broadcast(mk), col("o_orderkey") === col("__mk")).drop("__mk")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  val pointLookupSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- §2a rows 8–9: existence / insert-dedup as semi & anti joins ----
+  def semijoinExists(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+
+  val semijoinExistsSql: String =
+    """SELECT c.* FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 4 = 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def antijoinMissing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+
+  val antijoinMissingSql: String =
+    """SELECT c.* FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % 4 = 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- §2a row 10: FK parent closure (the heart) ----------------------
+  // Runs the generic fixpoint engine from a lineitem seed and reports
+  // the per-ancestor-table key counts; the oracle reproduces the same
+  // closure as explicit joins over the star schema.
+  def fkClosureParents(s: SparkSession, dir: String): DataFrame = {
+    val tables = Catalog.load(s, dir)
+    val seed = Subsetter.modSample(tables("lineitem"), "l_orderkey", 100)
+    val keys = Subsetter.parentClosure(tables, FkGraph.default, Map("lineitem" -> seed))
+    val ancestors = Seq("customer", "nation", "orders", "part", "region", "supplier")
+    ancestors.map { tn =>
+      keys(tn).agg(count(lit(1)).as("key_count"))
+        .select(lit(tn).as("table_name"), col("key_count"))
+    }.reduce(_ union _).orderBy("table_name")
+  }
+
+  val fkClosureParentsSql: String =
+    """WITH seed AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0),
+      |ok AS (SELECT DISTINCT l_orderkey AS k FROM seed),
+      |pk AS (SELECT DISTINCT l_partkey AS k FROM seed),
+      |sk AS (SELECT DISTINCT l_suppkey AS k FROM seed),
+      |ck AS (SELECT DISTINCT o_custkey AS k FROM orders JOIN ok ON o_orderkey = ok.k),
+      |nk AS (SELECT DISTINCT c_nationkey AS k FROM customer JOIN ck ON c_custkey = ck.k
+      |       UNION
+      |       SELECT DISTINCT s_nationkey AS k FROM supplier JOIN sk ON s_suppkey = sk.k),
+      |rk AS (SELECT DISTINCT n_regionkey AS k FROM nation JOIN nk ON n_nationkey = nk.k)
+      |SELECT 'customer' AS table_name, count(*) AS key_count FROM ck
+      |UNION ALL SELECT 'nation', count(*) FROM nk
+      |UNION ALL SELECT 'orders', count(*) FROM ok
+      |UNION ALL SELECT 'part', count(*) FROM pk
+      |UNION ALL SELECT 'region', count(*) FROM rk
+      |UNION ALL SELECT 'supplier', count(*) FROM sk
+      |ORDER BY table_name""".stripMargin
+
+  // --- §2a row 11: bounded child pull ---------------------------------
+  // The window tiebreaker chain covers every projected column: the
+  // testdata's (l_orderkey, l_linenumber) is NOT unique, so any shorter
+  // ordering would let the two engines pick different tied rows.
+  def childrenPerParentTopk(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val parents = Subsetter.modSample(t(s, dir, "orders"), "o_orderkey", 100)
+      .select("o_orderkey")
+    val fk = FkGraph.default.fks.find(f =>
+      f.childTable == "lineitem" && f.parentTable == "orders").get
+    Subsetter.childTopK(li,
+        Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"),
+        fk, parents, 3)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+  }
+
+  val childrenPerParentTopkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      |FROM (SELECT l.*, row_number() OVER (PARTITION BY l_orderkey
+      |        ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+      |      FROM lineitem l WHERE l_orderkey % 100 = 0)
+      |WHERE rn <= 3
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""".stripMargin
+
+  // --- §2a row 13: forced seed rows (--force) -------------------------
+  def forcedRows(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.filter(col("c_custkey").isin(1L, 42L, 99L))
+      .union(Subsetter.modSample(c, "c_custkey", 200))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  val forcedRowsSql: String =
+    """SELECT DISTINCT * FROM customer
+      |WHERE c_custkey IN (1, 42, 99) OR c_custkey % 200 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- §2a row 16: referential-integrity guarantee --------------------
+  def riValidate(s: SparkSession, dir: String): DataFrame =
+    Subsetter.validateRI(Catalog.load(s, dir), FkGraph.default)
+
+  val riValidateSql: String = FkGraph.default.fks.map { fk =>
+    val conds = fk.childCols.zip(fk.parentCols)
+      .map { case (c, p) => s"p.$p = c.$c" }.mkString(" AND ")
+    val notNull = fk.childCols.map(c => s"c.$c IS NOT NULL").mkString(" AND ")
+    s"""SELECT '${fk.name}' AS edge, count(*) AS orphans
+       |FROM ${fk.childTable} c
+       |WHERE $notNull AND NOT EXISTS (SELECT 1 FROM ${fk.parentTable} p WHERE $conds)""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
+  // --- §2a row 17: config-declared pseudo-FK --------------------------
+  // Closure/joins across an edge only the config knows about:
+  // events.user_id -> customer -> nation.
+  def configPseudoFk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .join(t(s, dir, "customer"), col("user_id") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("events_cnt"), Det.moneySum(col("value")).as("sum_value"))
+      .orderBy("n_name")
+
+  val configPseudoFkSql: String = {
+    import Det.sql._
+    s"""SELECT n_name, count(*) AS events_cnt, ${moneySum("value")} AS sum_value
+       |FROM events
+       |JOIN customer ON user_id = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  // --- §2a row 18: multi-schema union ---------------------------------
+  def multiSchemaUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    c.select(lit("a").as("schema_name"), col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .union(c.select(lit("b"), col("c_custkey"), col("c_name"), col("c_nationkey")))
+      .orderBy("schema_name", "c_custkey")
+  }
+
+  val multiSchemaUnionSql: String =
+    """SELECT 'a' AS schema_name, c_custkey, c_name, c_nationkey FROM customer
+      |UNION ALL
+      |SELECT 'b', c_custkey, c_name, c_nationkey FROM customer
+      |ORDER BY schema_name, c_custkey""".stripMargin
+
+  // --- §3b: the whole pipeline (non-oracle; rows-only check) ----------
+  // Full subset at fraction 0.1 with forced rows and child pull; the
+  // RI property is scalatest-verified, the oracle-expressible pieces
+  // are covered by the queries above.
+  def subsetStar(s: SparkSession, dir: String): DataFrame = {
+    val out = Subsetter.subset(Catalog.load(s, dir), FkGraph.default,
+      Subsetter.Config(fraction = 0.1, force = Map("customer" -> Seq(1L, 42L))))
+    out.toSeq.sortBy(_._1).map { case (tn, df) =>
+      df.agg(count(lit(1)).as("rows")).select(lit(tn).as("table_name"), col("rows"))
+    }.reduce(_ union _).orderBy("table_name")
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "count_exact" -> (countExact _),
+    "target_sizes" -> (targetSizes _),
+    "sample_orders" -> (sampleOrders _),
+    "filter_pushdown" -> (filterPushdown _),
+    "point_lookup" -> (pointLookup _),
+    "semijoin_exists" -> (semijoinExists _),
+    "antijoin_missing" -> (antijoinMissing _),
+    "fk_closure_parents" -> (fkClosureParents _),
+    "children_per_parent_topk" -> (childrenPerParentTopk _),
+    "forced_rows" -> (forcedRows _),
+    "ri_validate" -> (riValidate _),
+    "config_pseudo_fk" -> (configPseudoFk _),
+    "multi_schema_union" -> (multiSchemaUnion _),
+    "subset_star" -> (subsetStar _))
+
+  def oracle: Map[String, String] = Map(
+    "count_exact" -> countExactSql,
+    "target_sizes" -> targetSizesSql,
+    "sample_orders" -> sampleOrdersSql,
+    "filter_pushdown" -> filterPushdownSql,
+    "point_lookup" -> pointLookupSql,
+    "semijoin_exists" -> semijoinExistsSql,
+    "antijoin_missing" -> antijoinMissingSql,
+    "fk_closure_parents" -> fkClosureParentsSql,
+    "children_per_parent_topk" -> childrenPerParentTopkSql,
+    "forced_rows" -> forcedRowsSql,
+    "ri_validate" -> riValidateSql,
+    "config_pseudo_fk" -> configPseudoFkSql,
+    "multi_schema_union" -> multiSchemaUnionSql)
+    // subset_star: non-SQL-expressible pipeline -> rows-only check
 }

@@ -57,4 +57,10 @@ object Det {
     def epochS(e: String): String =
       s"CAST(epoch(date_trunc('second', $e)) AS BIGINT)"
   }
+
+  /** Left-associated `((0.0 + t1) + t2) + …` chain — the SQL mirror of
+    * Spark's `aggregate(…, lit(0.0), _ + _)` sequential fold, so double
+    * summation order (and hence every bit) matches across engines. */
+  def sqlFoldChain(term: Int => String, n: Int): String =
+    (1 to n).map(term).foldLeft("0.0")((acc, t) => s"($acc + $t)")
 }

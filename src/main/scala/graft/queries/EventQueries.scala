@@ -2,16 +2,159 @@ package graft.queries
 
 import graft.Catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Event-stream queries (batch equivalents of the streaming surface) —
-  * range/as-of joins, tumbling windows, sessionization. */
+/** Event-stream queries — theta/range joins, as-of joins, tumbling
+  * windows, sessionization. Batch implementations are the oracle-checked
+  * ones; `graft.streaming.EventStreams` reuses the same logic under
+  * Structured Streaming (SURVEY.md §2b "Streaming").
+  *
+  * All event-time comparisons and outputs go through whole-second epoch
+  * values (`Det.epochS`) — events.ts is µs in parquet and engines read
+  * it at different precisions (Det scaladoc).
+  */
 object EventQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Catalog.table(s, dir, name)
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "events")
 
-  def defs: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  // --- range (theta) join ----------------------------------------------
+  // error -> purchases by the same user within the next 60 seconds.
+  // The equi key (user_id) makes this a hash join with the range as a
+  // residual predicate — NOT a nested-loop join; at 100 TB both sides
+  // shuffle once on user_id.
+  def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        Det.epochS(col("ts")).as("err_s"))
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        Det.epochS(col("ts")).as("pur_s"))
+    err.join(pur,
+        col("user_id") === col("p_user_id") &&
+          col("pur_s") >= col("err_s") && col("pur_s") <= col("err_s") + 60)
+      .select("error_id", "purchase_id", "user_id", "err_s", "pur_s")
+      .orderBy("error_id", "purchase_id")
+  }
 
-  def oracle: Map[String, String] = Map.empty
+  val rangeJoinEventsSql: String = {
+    import Det.sql._
+    s"""SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id,
+       |  ${epochS("e.ts")} AS err_s, ${epochS("p.ts")} AS pur_s
+       |FROM events e JOIN events p
+       |  ON e.user_id = p.user_id
+       | AND ${epochS("p.ts")} >= ${epochS("e.ts")}
+       | AND ${epochS("p.ts")} <= ${epochS("e.ts")} + 60
+       |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+       |ORDER BY error_id, purchase_id""".stripMargin
+  }
+
+  // --- as-of join --------------------------------------------------------
+  // For every purchase: the most recent click at-or-before it by the
+  // same user. Implemented as the scalable union-merge: tag both
+  // streams, one window pass per user ordered by (time, tag, id) —
+  // clicks sort before purchases at equal seconds, so `max(click time
+  // so far)` at a purchase row IS the as-of value. One shuffle on
+  // user_id; no self-join blowup, no per-row subquery.
+  def asofJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        Det.epochS(col("ts")).as("s"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_s", max(when(col("tag") === 0, col("s"))).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("last_click_s"), lit(-1L)).as("last_click_s"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinEventsSql: String = {
+    import Det.sql._
+    s"""SELECT p.event_id, p.user_id,
+       |  COALESCE((SELECT max(${epochS("c.ts")}) FROM events c
+       |            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+       |              AND ${epochS("c.ts")} <= ${epochS("p.ts")}), -1) AS last_click_s
+       |FROM events p WHERE p.event_type = 'purchase'
+       |ORDER BY p.event_id""".stripMargin
+  }
+
+  // --- tumbling window ---------------------------------------------------
+  // Hourly counts per event type. Same groupBy(window(...)) shape runs
+  // under readStream + withWatermark in graft.streaming.EventStreams.
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        Det.epochS(date_trunc("hour", col("ts"))).as("hour_start_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Det.moneySum(col("value")).as("sum_value"))
+      .orderBy("hour_start_s", "event_type")
+
+  val tumblingCountsSql: String = {
+    import Det.sql._
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start_s,
+       |  event_type, count(*) AS cnt, ${moneySum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour_start_s, event_type""".stripMargin
+  }
+
+  // --- sessionization ----------------------------------------------------
+  // 30-minute-gap sessions per user: lag -> new-session flag ->
+  // running sum = session id -> per-session aggregate. Two window
+  // passes over one user_id shuffle; the streaming analogue
+  // (flatMapGroupsWithState) lives in graft.streaming.EventStreams.
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), Det.epochS(col("ts")).as("s"),
+        col("value"))
+      .withColumn("new_sess",
+        when(lag(col("s"), 1).over(wOrd).isNull ||
+          col("s") - lag(col("s"), 1).over(wOrd) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("s")).as("session_start_s"),
+        max(col("s")).as("session_end_s"),
+        count(lit(1)).as("n_events"),
+        Det.moneySum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String = {
+    import Det.sql._
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, ${epochS("ts")} AS s, value FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+       |), sessed AS (
+       |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_id, min(s) AS session_start_s, max(s) AS session_end_s,
+       |  count(*) AS n_events, ${moneySum("value")} AS sum_value
+       |FROM sessed GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join_events" -> (rangeJoinEvents _),
+    "asof_join_events" -> (asofJoinEvents _),
+    "stream_tumbling_counts" -> (tumblingCounts _),
+    "stream_sessionize" -> (sessionize _))
+
+  def oracle: Map[String, String] = Map(
+    "range_join_events" -> rangeJoinEventsSql,
+    "asof_join_events" -> asofJoinEventsSql,
+    "stream_tumbling_counts" -> tumblingCountsSql,
+    "stream_sessionize" -> sessionizeSql)
 }

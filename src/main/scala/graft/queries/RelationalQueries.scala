@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Catalog
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational surface (SURVEY.md §2b): scans, joins of every flavor,
@@ -10,6 +11,11 @@ import org.apache.spark.sql.functions._
   * they are first-class declarative DataFrame plans so Catalyst gets to
   * push filters/projections into the parquet scan, pick broadcast vs
   * sort-merge, and keep everything in whole-stage codegen.
+  *
+  * Scale notes are attached per query; the common themes: dims
+  * (region/nation/customer/supplier/part at TPC-H ratios) broadcast,
+  * facts (lineitem/orders/events) shuffle on their join/group keys at
+  * most once, every filter/projection reaches the parquet scan.
   */
 object RelationalQueries {
 
@@ -17,9 +23,8 @@ object RelationalQueries {
     Catalog.table(s, dir, name)
 
   // --- agg_pricing_summary: TPC-H Q1-style pricing summary ------------
-  // filter -> groupBy -> decimal-exact sums -> sort. Partial (map-side)
-  // aggregation + final merge is Spark's default hash aggregate; at
-  // 100 TB this is one scan + one shuffle of ~|groups| rows.
+  // One scan + partial hash agg + 6-group shuffle; at 100 TB this is
+  // bandwidth-bound on the scan, which is the optimum for this shape.
   def aggPricingSummary(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
     val one = lit(1).cast("decimal(4,2)")
@@ -56,9 +61,387 @@ object RelationalQueries {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   }
 
+  // --- proj_prune: projection + filter pushdown ------------------------
+  // .explain shows ReadSchema with exactly 3 of lineitem's 11 columns
+  // and PushedFilters for the modulus-free predicates.
+  def projPrune(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val projPruneSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |WHERE l_orderkey % 500 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // --- joins -----------------------------------------------------------
+
+  /** Plain equi hash join fact->dim; AQE broadcasts customer when it
+    * fits, else shuffle-hash on the key. */
+  def joinOrdersCustomer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val joinOrdersCustomerSql: String =
+    """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey""".stripMargin
+
+  /** Explicit broadcast hint — region is 5 rows at any scale factor;
+    * a shuffle here would be malpractice at 100 TB. */
+  def joinNationRegionBcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+
+  val joinNationRegionBcastSql: String =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** Sort-merge join forced via merge hint — the right physical choice
+    * when both sides are large and neither fits in memory; identical
+    * results to the hash strategies (oracle-checked). */
+  def joinLineitemOrdersSmj(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").hint("merge")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), Det.moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  val joinLineitemOrdersSmjSql: String = {
+    import Det.sql._
+    s"""SELECT o_orderpriority, count(*) AS cnt, ${moneySum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
+  /** Left outer join — customers with zero orders surface as cnt=0;
+    * aggregate output avoids NULL-ordering divergence across engines. */
+  def joinLeftOuterOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderkey") % 4 === 0),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("order_cnt"),
+        coalesce(sum(Det.dec2(col("o_totalprice"))).cast("double"), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+
+  val joinLeftOuterOrdersSql: String = {
+    import Det.sql._
+    s"""SELECT c_custkey, count(o_orderkey) AS order_cnt,
+       |  COALESCE(CAST(SUM(${dec2("o_totalprice")}) AS DOUBLE), 0.0) AS total_spend
+       |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 4 = 0) o
+       |  ON c_custkey = o_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+  }
+
+  // --- aggregation variants -------------------------------------------
+
+  def aggDistinctCustkeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      countDistinct(col("o_custkey")).as("distinct_custs"),
+      countDistinct(col("o_orderpriority")).as("distinct_prios"),
+      count(lit(1)).as("total_orders"))
+
+  val aggDistinctCustkeysSql: String =
+    """SELECT count(DISTINCT o_custkey) AS distinct_custs,
+      |  count(DISTINCT o_orderpriority) AS distinct_prios,
+      |  count(*) AS total_orders
+      |FROM orders""".stripMargin
+
+  /** ROLLUP over the region->nation hierarchy; grouping-null slots are
+    * coalesced to 'ALL' so the output carries no NULLs (engines order
+    * NULLs differently). */
+  def aggRollupNationRegion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cust_cnt"), Det.moneySum(col("c_acctbal")).as("sum_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("cust_cnt"), col("sum_acctbal"))
+      .orderBy("region_name", "nation_name")
+
+  val aggRollupNationRegionSql: String = {
+    import Det.sql._
+    s"""SELECT COALESCE(r_name, 'ALL') AS region_name,
+       |  COALESCE(n_name, 'ALL') AS nation_name,
+       |  count(*) AS cust_cnt, ${moneySum("c_acctbal")} AS sum_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP(r_name, n_name)
+       |ORDER BY region_name, nation_name""".stripMargin
+  }
+
+  // --- window functions ------------------------------------------------
+
+  /** Ranking window; the window ORDER BY carries a unique tiebreaker
+    * (o_orderkey) per the determinism contract. */
+  def winRankOrdersByCust(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        row_number().over(w).as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val winRankOrdersByCustSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(rank()       OVER w AS INTEGER) AS rk,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drk,
+      |  CAST(row_number() OVER w AS INTEGER) AS rn
+      |FROM orders WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running total with an explicit ROWS frame; decimal window sums are
+    * exact so the exported doubles match bitwise. */
+  def winRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(Det.dec2(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val winRunningTotalSql: String = {
+    import Det.sql._
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(SUM(${dec2("o_totalprice")}) OVER (
+       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+       |FROM orders WHERE o_custkey % 100 = 0
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+  }
+
+  /** Moving average over the trailing 3-row frame: decimal frame sum /
+    * frame count, divided in double. */
+  def winMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(Det.dec2(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("moving_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val winMovingAvgSql: String = {
+    import Det.sql._
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(SUM(${dec2("o_totalprice")}) OVER w AS DOUBLE) /
+       |    CAST(count(*) OVER w AS DOUBLE) AS moving_avg
+       |FROM orders WHERE o_custkey % 100 = 0
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+  }
+
+  // --- sort / top-k ----------------------------------------------------
+
+  /** orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    * heaps + driver merge of 100 rows, no global sort at any scale. */
+  def topkExpensiveOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(100)
+
+  val topkExpensiveOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // --- set operations --------------------------------------------------
+
+  def setopUnionExcept(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_custkey") % 2 === 0).select("c_custkey")
+    val b = c.filter(col("c_custkey") % 3 === 0).select("c_custkey")
+    val buyers = t(s, dir, "orders").filter(col("o_custkey") % 5 === 0)
+      .select(col("o_custkey").as("c_custkey"))
+    a.union(b).distinct().except(buyers).orderBy("c_custkey")
+  }
+
+  val setopUnionExceptSql: String =
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+      |  EXCEPT
+      |  SELECT o_custkey AS c_custkey FROM orders WHERE o_custkey % 5 = 0
+      |) ORDER BY c_custkey""".stripMargin
+
+  def setopIntersect(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey")
+    val evens = c.filter(col("c_custkey") % 2 === 0)
+    val third = c.filter(col("c_custkey") % 3 === 0)
+    evens.intersect(third).orderBy("c_custkey")
+  }
+
+  val setopIntersectSql: String =
+    """SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+      |INTERSECT
+      |SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- scalar function families ---------------------------------------
+
+  /** String functions over documents.text. */
+  def strFuncsDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("len_chars"),
+        upper(substring(col("text"), 1, 10)).as("head10"),
+        regexp_extract(col("text"), "^([a-z0-9]+)", 1).as("first_word"),
+        size(split(col("text"), " ")).as("token_cnt"),
+        concat(col("lang"), lit(":"), col("source")).as("lang_source"))
+      .orderBy("doc_id")
+
+  val strFuncsDocsSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS len_chars,
+      |  upper(substr(text, 1, 10)) AS head10,
+      |  regexp_extract(text, '^([a-z0-9]+)', 1) AS first_word,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS token_cnt,
+      |  lang || ':' || source AS lang_source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Date/time functions over orders — outputs are DATE/INT only. */
+  def dateFuncsOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("order_month"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("o_orderdate").cast("date")).as("first_day"),
+        max(col("o_orderdate").cast("date")).as("last_day"),
+        datediff(max(col("o_orderdate").cast("date")), min(col("o_orderdate").cast("date")))
+          .as("span_days"))
+      .withColumn("order_year", year(col("order_month")))
+      .withColumn("order_moy", month(col("order_month")))
+      .orderBy("order_month")
+
+  val dateFuncsOrdersSql: String =
+    """WITH g AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+      |    count(*) AS cnt,
+      |    min(CAST(o_orderdate AS DATE)) AS first_day,
+      |    max(CAST(o_orderdate AS DATE)) AS last_day,
+      |    CAST(datediff('day', min(CAST(o_orderdate AS DATE)),
+      |                         max(CAST(o_orderdate AS DATE))) AS INTEGER) AS span_days
+      |  FROM orders GROUP BY 1)
+      |SELECT order_month, cnt, first_day, last_day, span_days,
+      |  CAST(EXTRACT(year FROM order_month) AS INTEGER) AS order_year,
+      |  CAST(EXTRACT(month FROM order_month) AS INTEGER) AS order_moy
+      |FROM g ORDER BY order_month""".stripMargin
+
+  /** Array higher-order functions over embeddings (multimodal vector
+    * column). Sums are sequential left-folds in both engines (explicit
+    * +-chain in SQL == aggregate() fold in Spark) — bitwise identical. */
+  def arrayFuncsEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), _.cast("double"))
+    val sumSq = aggregate(e, lit(0.0), (acc, x) => acc + x * x)
+    val head3 = aggregate(transform(slice(col("embedding"), 1, 3), _.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        sumSq.as("sum_sq"),
+        sqrt(sumSq).as("l2_norm"),
+        head3.as("head3_sum"),
+        col("label"))
+      .orderBy("vec_id")
+  }
+
+  val arrayFuncsEmbeddingsSql: String = {
+    val sumSq = Det.sqlFoldChain(i => s"(e[$i] * e[$i])", 64)
+    val head3 = Det.sqlFoldChain(i => s"e[$i]", 3)
+    s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings)
+       |SELECT vec_id,
+       |  CAST(len(e) AS INTEGER) AS dim,
+       |  e[1] AS first_val,
+       |  $sumSq AS sum_sq,
+       |  sqrt($sumSq) AS l2_norm,
+       |  $head3 AS head3_sum,
+       |  label
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
+
+  /** JSON extraction over events.props (semi-structured column). */
+  def jsonPropsEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val jsonPropsEventsSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_pricing_summary" -> (aggPricingSummary _))
+    "agg_pricing_summary" -> (aggPricingSummary _),
+    "proj_prune" -> (projPrune _),
+    "join_orders_customer" -> (joinOrdersCustomer _),
+    "join_nation_region_bcast" -> (joinNationRegionBcast _),
+    "join_lineitem_orders_smj" -> (joinLineitemOrdersSmj _),
+    "join_left_outer_orders" -> (joinLeftOuterOrders _),
+    "agg_distinct_custkeys" -> (aggDistinctCustkeys _),
+    "agg_rollup_nation_region" -> (aggRollupNationRegion _),
+    "win_rank_orders_by_cust" -> (winRankOrdersByCust _),
+    "win_running_total" -> (winRunningTotal _),
+    "win_moving_avg" -> (winMovingAvg _),
+    "topk_expensive_orders" -> (topkExpensiveOrders _),
+    "setop_union_except" -> (setopUnionExcept _),
+    "setop_intersect" -> (setopIntersect _),
+    "str_funcs_docs" -> (strFuncsDocs _),
+    "date_funcs_orders" -> (dateFuncsOrders _),
+    "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
+    "json_props_events" -> (jsonPropsEvents _))
 
   def oracle: Map[String, String] = Map(
-    "agg_pricing_summary" -> aggPricingSummarySql)
+    "agg_pricing_summary" -> aggPricingSummarySql,
+    "proj_prune" -> projPruneSql,
+    "join_orders_customer" -> joinOrdersCustomerSql,
+    "join_nation_region_bcast" -> joinNationRegionBcastSql,
+    "join_lineitem_orders_smj" -> joinLineitemOrdersSmjSql,
+    "join_left_outer_orders" -> joinLeftOuterOrdersSql,
+    "agg_distinct_custkeys" -> aggDistinctCustkeysSql,
+    "agg_rollup_nation_region" -> aggRollupNationRegionSql,
+    "win_rank_orders_by_cust" -> winRankOrdersByCustSql,
+    "win_running_total" -> winRunningTotalSql,
+    "win_moving_avg" -> winMovingAvgSql,
+    "topk_expensive_orders" -> topkExpensiveOrdersSql,
+    "setop_union_except" -> setopUnionExceptSql,
+    "setop_intersect" -> setopIntersectSql,
+    "str_funcs_docs" -> strFuncsDocsSql,
+    "date_funcs_orders" -> dateFuncsOrdersSql,
+    "array_funcs_embeddings" -> arrayFuncsEmbeddingsSql,
+    "json_props_events" -> jsonPropsEventsSql)
 }

@@ -88,7 +88,7 @@ class SubsetterSpec extends SparkSpecBase {
     val fk = Fk("lines", Seq("okey"), "orders", Seq("okey"))
     val parents = Seq(Tuple1(1L)).toDF("okey")
     val picked = Subsetter.childTopK(lines, Seq("okey", "lnum"), fk, parents, 3)
-      .as[(Long, Int)].collect().toSet
+      .select("okey", "lnum").as[(Long, Int)].collect().toSet
     assert(picked == Set((1L, 1), (1L, 2), (1L, 3))) // first 3 by PK, order 2 absent
   }
 
