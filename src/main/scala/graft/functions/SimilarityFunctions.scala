@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search and near-duplicate operators — north_star
+  * extensions: exact/LSH dedup families and embedding ANN.
+  *
+  * Two tiers everywhere:
+  *   - an EXACT variant whose math is oracle-reproducible (sequential
+  *     folds, integer set arithmetic);
+  *   - a SCALE variant (MinHash/LSH, SimHash, hyperplane-bucketed ANN)
+  *     that avoids the quadratic pair space; engine-internal hashes
+  *     (xxhash64) are fine here because these are scalatest-verified
+  *     against the exact tier, not hash-compared to DuckDB.
+  */
+object SimilarityFunctions {
+
+  /** float[] -> double[] elementwise (exact in both engines). */
+  def toDoubleArr(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Sequential left-fold dot product — bitwise equal to the oracle's
+    * explicit +-chain (queries.Det.sqlFoldChain). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k: every query vector against every
+    * candidate. The query side is broadcast (it is the small side by
+    * construction); candidates stream through — at 100 TB this is one
+    * scan of the candidate table per batch of queries, no shuffle. */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), toDoubleArr(col("embedding")).as("qe"))
+    val c = candidates.select(col("vec_id").as("cid"), toDoubleArr(col("embedding")).as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("score", dot(col("qe"), col("ce")) /
+        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+  }
+
+  // --- exact n-gram/token Jaccard (oracle tier) ------------------------
+
+  /** Exact pairwise token-set Jaccard via inverted index: explode
+    * distinct tokens, self-join on token, count intersections. Scales as
+    * sum over tokens of df(token)^2 — the standard candidate-generation
+    * shape; pair the modFilter down at large SF or switch to the LSH
+    * tier. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.as("a")
+      .join(tok.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ida", "idb", "jaccard")
+  }
+
+  // --- MinHash + LSH (scale tier) --------------------------------------
+
+  /** k-shingles (token n-grams) as strings. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    transform(sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** MinHash signature: numHashes permutations approximated by
+    * `(a_i * h + b_i) mod p` over xxhash64 token hashes (engine-internal;
+    * verified against exact Jaccard in tests). Returns (doc_id, sig array). */
+  def minhashSignatures(docs: DataFrame, textCol: String, numHashes: Int): DataFrame = {
+    val p = 2147483647L // 2^31 - 1
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("h", pmod(xxhash64(col("tok")), lit(p)))
+    val mins = (0 until numHashes).map { i =>
+      val a = 1L + 2L * i // odd multipliers
+      val b = 7919L * (i + 1)
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    tok.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Split a signature into `bands` equal chunks, each rendered as a
+    * joinable string key. */
+  private def bandKeys(sig: Column, bands: Int): Column = {
+    val rows = floor(size(sig).cast("double") / lit(bands.toDouble)).cast("int")
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(sig, b * rows + lit(1), rows)))
+  }
+
+  /** Banded LSH over minhash signatures: docs sharing any band bucket
+    * become candidate pairs; estimate Jaccard as the matching-signature
+    * fraction. One shuffle on (band, band-key) — never quadratic in the
+    * corpus, which is the whole point at 100 TB. */
+  def minhashLshPairs(sigs: DataFrame, bands: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "band_key")))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .distinct()
+    pairs.withColumn("est_jaccard",
+        size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), x => x))
+          .cast("double") / size(col("siga")).cast("double"))
+      .select("ida", "idb", "est_jaccard")
+  }
+
+  // --- SimHash (scale tier) --------------------------------------------
+
+  /** 64-bit SimHash per document: per-bit weighted votes over token
+    * hashes, computed set-at-a-time via explode + groupBy (one shuffle
+    * per corpus, any scale). */
+  def simhash(docs: DataFrame, textCol: String): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$j")
+    }
+    tok.groupBy("doc_id")
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"v$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --- hyperplane-LSH ANN (scale tier) ---------------------------------
+
+  /** Deterministic pseudo-random hyperplane component for plane j,
+    * dim i — derived from a Weyl-style integer sequence (no RNG state,
+    * reproducible on any cluster). */
+  private def planeComponent(j: Int, i: Int): Double = {
+    val x = (2654435761L * (j * 64L + i + 1L)) % 1000003L
+    x.toDouble / 1000003.0 - 0.5
+  }
+
+  /** Sign-bit bucket of an embedding under `nPlanes` hyperplanes. */
+  def lshBucket(embedding: Column, nPlanes: Int, dim: Int): Column = {
+    val e = toDoubleArr(embedding)
+    (0 until nPlanes).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeComponent(j, i))): _*)
+      when(dot(e, plane) > 0.0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: queries probe only their own bucket. Trades recall
+    * for a |bucket|/|corpus| reduction in compared pairs; recall is
+    * measured against cosineTopK in tests. */
+  def annLshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                 nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"),
+      toDoubleArr(col("embedding")).as("qe"),
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    val c = candidates.select(col("vec_id").as("cid"),
+      toDoubleArr(col("embedding")).as("ce"),
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", dot(col("qe"), col("ce")) /
+        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+  }
+}

@@ -1,17 +1,157 @@
 package graft.queries
 
 import graft.Catalog
+import graft.functions.SimilarityFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity / dedup queries over `documents` and `embeddings` —
-  * north_star extensions. */
+/** Dedup + similarity-search queries over `documents` and `embeddings`
+  * — north_star extensions. Exact tiers are oracle-checked; LSH/sketch
+  * tiers (minhash, simhash, hyperplane ANN, HLL) are rows-only here and
+  * accuracy-verified against the exact tiers in scalatest. */
 object SimilarityQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Catalog.table(s, dir, name)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "embeddings")
 
-  def defs: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  // --- exact dedup -----------------------------------------------------
 
-  def oracle: Map[String, String] = Map.empty
+  /** Duplicate groups by exact text: group key count + deterministic
+    * keeper (min doc_id). Hash-groupBy — one shuffle on text at scale
+    * (or on a text digest; same plan shape). */
+  def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .filter(col("dup_cnt") > 1)
+      .select("keep_id", "dup_cnt")
+      .orderBy("keep_id")
+
+  val dedupExactDocsSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM documents GROUP BY text HAVING count(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
+  /** Survivor set after exact dedup: first doc_id per distinct text. */
+  def dedupExactSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val dedupExactSurvivorsSql: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // --- exact token-set Jaccard near-dup (oracle tier) ------------------
+  def dedupJaccardDocs(s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.jaccardPairs(
+        docs(s, dir).filter(col("doc_id") % 25 === 0), 0.5)
+      .orderBy("ida", "idb")
+
+  val dedupJaccardDocsSql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      |tok AS (SELECT DISTINCT doc_id, tok FROM
+      |        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT ida, idb,
+      |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON ida = sa.doc_id
+      |JOIN sizes sb ON idb = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+      |ORDER BY ida, idb""".stripMargin
+
+  // --- brute-force cosine top-k (oracle tier) --------------------------
+  def simTopkEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilarityFunctions.cosineTopK(e.filter(col("vec_id") % 100 === 0), e, 10)
+      .orderBy("qid", "rnk")
+  }
+
+  val simTopkEmbeddingsSql: String = {
+    val dot = Det.sqlFoldChain(i => s"(qe[$i] * ce[$i])", 64)
+    val nq = Det.sqlFoldChain(i => s"(qe[$i] * qe[$i])", 64)
+    val nc = Det.sqlFoldChain(i => s"(ce[$i] * ce[$i])", 64)
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id % 100 = 0),
+       |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+       |s AS (SELECT qid, cid,
+       |        $dot / (sqrt($nq) * sqrt($nc)) AS score
+       |      FROM q CROSS JOIN c WHERE qid <> cid)
+       |SELECT qid, cid, score, CAST(rn AS INTEGER) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM s)
+       |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
+  // --- scale tiers (rows-only checks; accuracy verified in scalatest) --
+
+  /** MinHash+LSH near-dup candidates: shingle -> minhash -> band ->
+    * bucket-join. */
+  def dedupMinhashDocs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = SimilarityFunctions.minhashSignatures(docs(s, dir), "text", 32)
+    SimilarityFunctions.minhashLshPairs(sigs, bands = 8)
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("ida", "idb")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints, candidate pairs within
+    * hamming distance 3 over a modulus-sampled subset. */
+  def dedupSimhashDocs(s: SparkSession, dir: String): DataFrame = {
+    val h = SimilarityFunctions.simhash(docs(s, dir).filter(col("doc_id") % 25 === 0), "text")
+    val a = h.select(col("doc_id").as("ida"), col("simhash").as("ha"))
+    val b = h.select(col("doc_id").as("idb"), col("simhash").as("hb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("dist", SimilarityFunctions.hamming(col("ha"), col("hb")))
+      .filter(col("dist") <= 3)
+      .select("ida", "idb", "dist")
+      .orderBy("ida", "idb")
+  }
+
+  /** Hyperplane-LSH bucketed ANN — the scale path for similarity
+    * search; compares only within sign-bit buckets. */
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilarityFunctions.annLshTopK(e.filter(col("vec_id") % 100 === 0), e, 10)
+      .orderBy("qid", "rnk")
+  }
+
+  /** HLL / exact distinct side-by-side (approx_count_distinct is
+    * engine-specific → rows-only). */
+  def hllDistinctTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(
+        countDistinct(col("tok")).as("exact_distinct"),
+        approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_docs" -> (dedupExactDocs _),
+    "dedup_exact_survivors" -> (dedupExactSurvivors _),
+    "dedup_jaccard_docs" -> (dedupJaccardDocs _),
+    "sim_topk_embeddings" -> (simTopkEmbeddings _),
+    "dedup_minhash_docs" -> (dedupMinhashDocs _),
+    "dedup_simhash_docs" -> (dedupSimhashDocs _),
+    "ann_lsh_topk" -> (annLshTopk _),
+    "hll_distinct_tokens" -> (hllDistinctTokens _))
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact_docs" -> dedupExactDocsSql,
+    "dedup_exact_survivors" -> dedupExactSurvivorsSql,
+    "dedup_jaccard_docs" -> dedupJaccardDocsSql,
+    "sim_topk_embeddings" -> simTopkEmbeddingsSql)
+    // minhash/simhash/ann/hll: engine-specific hashes or sketches ->
+    // rows-only here, accuracy asserted in SimilaritySpec
 }

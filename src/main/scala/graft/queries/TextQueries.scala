@@ -1,16 +1,145 @@
 package graft.queries
 
 import graft.Catalog
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Text-analysis queries over `documents` — north_star extensions. */
+/** Text-analysis queries over `documents` — north_star extensions:
+  * token analytics, quality features, language-ID heuristic, document
+  * fingerprinting. All scalar work is codegen'd HOFs over the scan; the
+  * only shuffles are the final aggregations. */
 object TextQueries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Catalog.table(s, dir, name)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Catalog.table(s, dir, "documents")
 
-  def defs: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  private val stop = Seq("a", "the", "of", "and", "to", "in")
+  private val stopSqlList = stop.map(w => s"'$w'").mkString(", ")
 
-  def oracle: Map[String, String] = Map.empty
+  // --- text_tokens_top: corpus word counts ----------------------------
+  def tokensTop(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(50)
+
+  val tokensTopSql: String =
+    """SELECT tok, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin
+
+  // --- text_lang_stats: per-language aggregates -----------------------
+  def langStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextFunctions.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        (sum(TextFunctions.tokenCount(col("text")).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_tokens"))
+      .orderBy("lang")
+
+  val langStatsSql: String =
+    """SELECT lang, count(*) AS docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- text_quality: per-document quality features --------------------
+  def quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.distinctTokenCount(col("text")).as("n_uniq"),
+        TextFunctions.uniqRatio(col("text")).as("uniq_ratio"),
+        TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+        TextFunctions.wordSetCount(col("text"), stop).as("stop_cnt"),
+        TextFunctions.stopwordRatio(col("text"), stop).as("stop_ratio"),
+        TextFunctions.subwordEstimate(col("text")).as("subword_est"))
+      .orderBy("doc_id")
+
+  val qualitySql: String = {
+    val t = "string_split(text, ' ')"
+    s"""SELECT doc_id,
+       |  CAST(len($t) AS INTEGER) AS n_tokens,
+       |  CAST(len(list_distinct($t)) AS INTEGER) AS n_uniq,
+       |  CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE) AS uniq_ratio,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($t) AS DOUBLE) AS avg_token_len,
+       |  CAST(len(list_filter($t, w -> w IN ($stopSqlList))) AS INTEGER) AS stop_cnt,
+       |  CAST(len(list_filter($t, w -> w IN ($stopSqlList))) AS DOUBLE)
+       |    / CAST(len($t) AS DOUBLE) AS stop_ratio,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($t, w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))),
+       |    (acc, x) -> acc + x) AS subword_est
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // --- text_langid: stopword-vote language ID -------------------------
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val order = Seq("en", "de", "es", "fr", "zh")
+    val scoreCols = order.map(l =>
+      TextFunctions.wordSetCount(col("text"), TextFunctions.langStopwords(l)).as(s"s_$l"))
+    docs(s, dir)
+      .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+      .withColumn("pred", {
+        val m = greatest(order.map(l => col(s"s_$l")): _*)
+        order.foldRight(lit("und")) { (l, els) =>
+          when(col(s"s_$l") === m, lit(l)).otherwise(els)
+        }
+      })
+      .withColumn("hit", (col("pred") === col("lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val langidSql: String = {
+    val order = Seq("en", "de", "es", "fr", "zh")
+    val scoreExprs = order.map { l =>
+      val words = TextFunctions.langStopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($words))) AS INTEGER) AS s_$l"
+    }.mkString(",\n  ")
+    val m = order.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val caseChain = order.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |  $scoreExprs
+       |  FROM documents
+       |), withm AS (SELECT *, $m AS m FROM scored)
+       |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+       |  CASE $caseChain ELSE 'und' END AS pred,
+       |  CAST((CASE $caseChain ELSE 'und' END) = lang AS INTEGER) AS hit
+       |FROM withm ORDER BY doc_id""".stripMargin
+  }
+
+  // --- text_fingerprint: rolling-hash document fingerprint ------------
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens_top" -> (tokensTop _),
+    "text_lang_stats" -> (langStats _),
+    "text_quality" -> (quality _),
+    "text_langid" -> (langid _),
+    "text_fingerprint" -> (fingerprint _))
+
+  def oracle: Map[String, String] = Map(
+    "text_tokens_top" -> tokensTopSql,
+    "text_lang_stats" -> langStatsSql,
+    "text_quality" -> qualitySql,
+    "text_langid" -> langidSql,
+    "text_fingerprint" -> fingerprintSql)
 }
