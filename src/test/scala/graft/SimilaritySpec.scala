@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.SimilarityFunctions._
+import org.apache.spark.sql.functions._
+
+/** Accuracy checks for the scale tiers (minhash/simhash/ANN) against
+  * their exact counterparts — these are the queries the DuckDB oracle
+  * cannot cover (engine-internal hashes / sketches). */
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val vA = Array(1.0f, 0.0f, 0.0f)
+  private val vB = Array(0.9f, 0.1f, 0.0f)
+  private val vC = Array(0.0f, 1.0f, 0.0f)
+
+  test("cosine: fold matches manual computation") {
+    val df = Seq((vA, vB)).toDF("a", "b")
+      .select(cosine(toDoubleArr($"a"), toDoubleArr($"b")).as("c"))
+    val got = df.as[Double].head()
+    val exp = {
+      val dot = 1.0 * 0.9f + 0.0 + 0.0
+      dot / (1.0 * math.sqrt(0.9f.toDouble * 0.9f.toDouble + 0.1f.toDouble * 0.1f.toDouble))
+    }
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("cosineTopK: nearest neighbor ranking is correct") {
+    val e = Seq((0L, vA), (1L, vB), (2L, vC)).toDF("vec_id", "embedding")
+    val top = cosineTopK(e.filter($"vec_id" === 0L), e, 2)
+      .select("cid", "rnk").as[(Long, Int)].collect().toMap
+    assert(top(1L) == 1) // vB closest to vA
+    assert(top(2L) == 2)
+  }
+
+  test("jaccardPairs: exact set jaccard") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),   // |∩|=3 |∪|=5 -> 0.6
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = jaccardPairs(docs, 0.1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0.6)))
+  }
+
+  test("minhash LSH: near-dups are candidates with high estimate; disjoint docs are not") {
+    val near = ("w1 " * 30).trim + " extra"
+    val docs = Seq(
+      (1L, ("w1 " * 30).trim + " only1 a b c d e f g h"),
+      (2L, ("w1 " * 30).trim + " only2 a b c d e f g h"), // high overlap with 1
+      (3L, "q r s t u v zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val sigs = minhashSignatures(docs, "text", 32)
+    assert(sigs.select(size($"sig")).as[Int].head() == 32)
+    val pairs = minhashLshPairs(sigs, bands = 8)
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.contains((1L, 2L)), s"near-dup pair missing: ${pairs.mkString(",")}")
+    assert(m((1L, 2L)) > 0.5)
+    assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)))
+  }
+
+  test("minhash estimate tracks exact jaccard") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val overlap = (1 to 30).map(i => s"tok$i").mkString(" ") + " " +
+      (100 to 109).map(i => s"tok$i").mkString(" ") // jaccard = 30/50 = 0.6
+    val docs = Seq((1L, base), (2L, overlap)).toDF("doc_id", "text")
+    val exact = jaccardPairs(docs, 0.0).as[(Long, Long, Double)].head()._3
+    val sigs = minhashSignatures(docs, "text", 64)
+    val est = sigs.as[(Long, Array[Long])].collect().sortBy(_._1) match {
+      case Array((_, s1), (_, s2)) =>
+        s1.zip(s2).count { case (x, y) => x == y }.toDouble / s1.length
+    }
+    assert(math.abs(exact - 0.6) < 1e-9)
+    assert(math.abs(est - exact) < 0.25) // 64 hashes -> σ≈0.06; generous bound
+  }
+
+  test("simhash: identical docs collide, unrelated docs are far") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val h = simhash(docs, "text").as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    val d13 = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(d13 > 10, s"unrelated docs too close: $d13")
+  }
+
+  test("ANN LSH: identical vector is always found; recall vs brute force is sane") {
+    // 40 random-ish deterministic vectors + exact duplicate of query
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat))) :+
+      (99L, null.asInstanceOf[Array[Float]])
+    val base = vecs.dropRight(1) :+ (99L, vecs.head._2.clone())
+    val e = base.toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 0L)
+    val ann = annLshTopK(q, e, 5, nPlanes = 8, dim = 8)
+      .select("cid").as[Long].collect().toSet
+    assert(ann.contains(99L)) // exact dup lands in same bucket, rank 1
+    val exact = cosineTopK(q, e, 5).select("cid").as[Long].collect().toSet
+    assert(ann.subsetOf(exact ++ ann)) // ann returns only real vectors
+    assert((ann intersect exact).nonEmpty)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.queries.EventQueries
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming parity: the streaming pipelines must agree with
+  * their batch (oracle-checked) counterparts over the same files. */
+class StreamingSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val q = EventStreams.startTumblingToMemory(spark, dir, "t_tumbling")
+    q.awaitTermination()
+    val streamRows = spark.sql(
+      "SELECT hour_start_s, event_type, cnt FROM t_tumbling").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batchRows = EventQueries.tumblingCounts(spark, dir)
+      .select("hour_start_s", "event_type", "cnt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamRows == batchRows)
+    assert(streamRows.nonEmpty)
+  }
+
+  test("streaming sessionize (flatMapGroupsWithState) == batch sessionize") {
+    val q = EventStreams.startSessionizeToMemory(spark, dir, "t_sessions")
+    q.awaitTermination()
+    val streamSessions = spark.sql(
+      "SELECT user_id, session_start_s, session_end_s, n_events FROM t_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchSessions = EventQueries.sessionize(spark, dir)
+      .select("user_id", "session_start_s", "session_end_s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamSessions == batchSessions)
+    assert(streamSessions.nonEmpty)
+  }
+}

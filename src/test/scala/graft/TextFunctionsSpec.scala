@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("token counting and ratios") {
+    val df = Seq("a b b c").toDF("text")
+    assert(df.select(tokenCount($"text")).as[Int].head() == 4)
+    assert(df.select(distinctTokenCount($"text")).as[Int].head() == 3)
+    assert(df.select(uniqRatio($"text")).as[Double].head() == 0.75)
+    assert(df.select(avgTokenLen($"text")).as[Double].head() == 1.0)
+  }
+
+  test("subword estimate: ceil(len/4) per token") {
+    // lengths 1,4,5,9 -> 1 + 1 + 2 + 3 = 7
+    val df = Seq("a abcd abcde abcdefghi").toDF("text")
+    assert(df.select(subwordEstimate($"text")).as[Long].head() == 7L)
+  }
+
+  test("fingerprint: deterministic, order-sensitive") {
+    val df = Seq("alpha beta", "beta alpha", "alpha beta").toDF("text")
+    val fps = df.select(fingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1)) // rolling hash is order-sensitive
+  }
+
+  test("langId: stopword votes pick the obvious language") {
+    val df = Seq(
+      ("the cat and the dog in a house", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("el perro y la casa de un gato es", "es"),
+      ("le chat et les chiens dans un jardin est", "fr")).toDF("text", "expected")
+    val got = df.select(langId($"text"), $"expected").as[(String, String)].collect()
+    got.foreach { case (pred, exp) => assert(pred == exp, s"$pred != $exp") }
+  }
+
+  test("langId: deterministic tie-break falls to fixed order") {
+    // no stopwords at all -> all scores 0 -> first in order wins ('en')
+    val df = Seq("zzz qqq www").toDF("text")
+    assert(df.select(langId($"text")).as[String].head() == "en")
+  }
+}
