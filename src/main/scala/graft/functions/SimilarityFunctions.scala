@@ -33,12 +33,16 @@ object SimilarityFunctions {
     * construction); candidates stream through — at 100 TB this is one
     * scan of the candidate table per batch of queries, no shuffle. */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    // Norms are per-vector, so compute them once per ROW before the
+    // pair join, not once per PAIR inside it — same doubles (identical
+    // fold), |Q|+|C| norm folds instead of 2*|Q|*|C|.
     val q = queries.select(col("vec_id").as("qid"), toDoubleArr(col("embedding")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
     val c = candidates.select(col("vec_id").as("cid"), toDoubleArr(col("embedding")).as("ce"))
+      .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("score", dot(col("qe"), col("ce")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
@@ -77,22 +81,34 @@ object SimilarityFunctions {
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
-  /** MinHash signature: numHashes permutations approximated by
-    * `(a_i * h + b_i) mod p` over xxhash64 token hashes (engine-internal;
-    * verified against exact Jaccard in tests). Returns (doc_id, sig array). */
-  def minhashSignatures(docs: DataFrame, textCol: String, numHashes: Int): DataFrame = {
+  /** MinHash signature over `nShingle`-token shingles: numHashes
+    * permutations approximated by `(a_i * h + b_i) mod p` over xxhash64
+    * shingle hashes (engine-internal; verified against exact Jaccard in
+    * tests). Returns (doc_id, sig array).
+    *
+    * Shingling matters at scale: with a small vocabulary, unigram
+    * signatures collide corpus-wide and banded LSH degenerates to the
+    * quadratic pair space (measured: 176 s -> ~2 s at sf0.1). */
+  def minhashSignatures(docs: DataFrame, textCol: String, numHashes: Int,
+                        nShingle: Int = 1): DataFrame = {
     val p = 2147483647L // 2^31 - 1
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .withColumn("h", pmod(xxhash64(col("tok")), lit(p)))
-    val mins = (0 until numHashes).map { i =>
+    val units =
+      if (nShingle <= 1) split(col(textCol), " ")
+      else shingles(col(textCol), nShingle)
+    // Pure projection — shingle-hash once into an array column, then
+    // each permutation is array_min(transform(...)). No explode, no
+    // groupBy: the whole signature computes in one scan-local pass
+    // (vs. an exploded-shingle shuffle), which is both the faster plan
+    // here and the only reasonable one at 100 TB.
+    val sigExprs = (0 until numHashes).map { i =>
       val a = 1L + 2L * i // odd multipliers
       val b = 7919L * (i + 1)
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+      array_min(transform(col("__hs"), h => pmod(h * lit(a) + lit(b), lit(p))))
     }
-    tok.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    docs
+      .withColumn("__hs", transform(array_distinct(units), u => pmod(xxhash64(u), lit(p))))
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id"), array(sigExprs: _*).as("sig"))
   }
 
   /** Split a signature into `bands` equal chunks, each rendered as a
@@ -107,18 +123,27 @@ object SimilarityFunctions {
     * become candidate pairs; estimate Jaccard as the matching-signature
     * fraction. One shuffle on (band, band-key) — never quadratic in the
     * corpus, which is the whole point at 100 TB. */
-  def minhashLshPairs(sigs: DataFrame, bands: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"), col("sig"),
+  def minhashLshPairs(sigsIn: DataFrame, bands: Int): DataFrame = {
+    // The signature relation appears 4x in this plan (both sides of the
+    // band self-join + both estimate joins) and Spark re-executes each
+    // occurrence — materialize it once (it is small: docs x numHashes).
+    val sigs = sigsIn.localCheckpoint(true)
+    val banded = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "band_key")))
+    // Candidate pairs carry only ids through the shuffle+distinct; the
+    // signatures (small: docs x numHashes longs) re-join afterwards —
+    // broadcast when they fit, one pair-keyed shuffle when not.
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    pairs.withColumn("est_jaccard",
+    pairs
+      .join(sigs.select(col("doc_id").as("ida"), col("sig").as("siga")), "ida")
+      .join(sigs.select(col("doc_id").as("idb"), col("sig").as("sigb")), "idb")
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y), x => x))
           .cast("double") / size(col("siga")).cast("double"))
       .select("ida", "idb", "est_jaccard")
@@ -173,14 +198,15 @@ object SimilarityFunctions {
     val q = queries.select(col("vec_id").as("qid"),
       toDoubleArr(col("embedding")).as("qe"),
       lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
     val c = candidates.select(col("vec_id").as("cid"),
       toDoubleArr(col("embedding")).as("ce"),
       lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+      .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("score", dot(col("qe"), col("ce")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("score"), col("rnk"))

@@ -108,6 +108,27 @@ object Subsetter {
   }
 
   // ---------------------------------------------------------------------
+  // Completeness scheduling — rdbms_subsetter.py :: _completeness_score
+  // + the create_subset_in main loop (SURVEY §2 row 12)
+  // ---------------------------------------------------------------------
+
+  /** Fraction of a table's target met. The reference's main loop pulls
+    * one random row from the argmin table until all tables are
+    * complete; set-at-a-time execution replaces that per-row loop, but
+    * the score remains the monitoring/priority signal. */
+  def completenessScore(current: Long, target: Long): Double =
+    if (target <= 0L) 1.0 else math.min(1.0, current.toDouble / target.toDouble)
+
+  /** The scheduler's argmin pick over (current, target) counts —
+    * deterministic tie-break by table name. None when all complete. */
+  def pickNextTable(counts: Map[String, (Long, Long)]): Option[String] =
+    counts.toSeq
+      .map { case (t, (cur, tgt)) => (t, completenessScore(cur, tgt)) }
+      .filter(_._2 < 1.0)
+      .sortBy { case (t, s) => (s, t) }
+      .headOption.map(_._1)
+
+  // ---------------------------------------------------------------------
   // Parent closure — rdbms_subsetter.py :: create_row_in step 2 recursion
   // (SURVEY §2 row 10, §3b)
   // ---------------------------------------------------------------------
@@ -122,44 +143,114 @@ object Subsetter {
     * confirmation pass; cycles (self-FKs) iterate until stable, exactly
     * like the reference's exists-guard terminates its recursion.
     */
+  /** Child-first topological edge order (Kahn). Returns the ordered
+    * edges and whether the table graph is acyclic: on a DAG one chained
+    * pass reaches the fixpoint; cycles (self-FKs) fall back to
+    * semi-naive iteration. Deterministic given the declared fks order. */
+  private[graft] def orderEdges(graph: FkGraph): (Seq[Fk], Boolean) = {
+    val tables = (graph.fks.map(_.childTable) ++ graph.fks.map(_.parentTable)).distinct
+    val inDeg = scala.collection.mutable.Map.from(
+      tables.map(t => t -> graph.fks.count(_.parentTable == t)))
+    val order = scala.collection.mutable.ArrayBuffer[Fk]()
+    val queue = scala.collection.mutable.Queue.from(tables.filter(inDeg(_) == 0))
+    var settled = 0
+    while (queue.nonEmpty) {
+      val t = queue.dequeue()
+      settled += 1
+      graph.fks.filter(_.childTable == t).foreach { fk =>
+        order += fk
+        inDeg(fk.parentTable) -= 1
+        if (inDeg(fk.parentTable) == 0) queue += fk.parentTable
+      }
+    }
+    if (settled == tables.size) (order.toSeq, true) else (graph.fks, false)
+  }
+
   def parentClosure(
       tables: Map[String, DataFrame],
       graph: FkGraph,
       seeds: Map[String, DataFrame],
       maxIters: Int = 50): Map[String, DataFrame] = {
-
-    var keys: Map[String, DataFrame] = seeds.map { case (t, rows) =>
-      t -> rows.select(graph.pks(t).map(col): _*).distinct()
+    val norm = seeds.map { case (t, rows) =>
+      t -> rows.select(graph.pks(t).map(col): _*).distinct().localCheckpoint(true)
     }
-    var counts: Map[String, Long] = keys.map { case (t, k) => t -> k.count() }
+    closureFrom(tables, graph, norm, norm, maxIters)
+  }
 
-    var changed = true
-    var iter = 0
-    while (changed && iter < maxIters) {
-      iter += 1
-      changed = false
-      for (fk <- graph.fks; childKeys <- keys.get(fk.childTable)) {
-        // Rows of the child table currently in the subset …
-        val childRows =
-          tables(fk.childTable).join(childKeys, graph.pks(fk.childTable), "left_semi")
-        // … demand these parent keys (NULL FK needs no parent — the
-        // reference skips null FK values).
-        val needed = childRows
-          .select(fk.childCols.zip(fk.parentCols).map { case (c, p) =>
-            col(c).cast(tables(fk.parentTable).schema(p).dataType).as(p)
-          }: _*)
-          .na.drop()
-          .distinct()
-        val merged = keys.get(fk.parentTable) match {
-          case Some(existing) => existing.union(needed).distinct()
-          case None           => needed
+  /** Semi-naive closure: expand only from `deltas` (the keys that are
+    * new since the last fixpoint), merging into `existing`. This is the
+    * datalog delta-iteration shape — each edge's semi-join touches the
+    * *delta*, not the whole key set, so incremental rounds (e.g. after
+    * a bounded child pull) cost proportional to what actually changed.
+    *
+    * Key sets and deltas are materialized with eager localCheckpoint:
+    * they are tiny relative to the tables, and without that every
+    * action re-executes the union-of-unions lineage — O(passes*edges)
+    * recompute that measured 160+ s at sf0.1 and would be catastrophic
+    * on a cluster. Checkpointed sets also stay small enough for AQE to
+    * broadcast into the semi-joins.
+    */
+  def closureFrom(
+      tables: Map[String, DataFrame],
+      graph: FkGraph,
+      existing: Map[String, DataFrame],
+      deltas: Map[String, DataFrame],
+      maxIters: Int = 50): Map[String, DataFrame] = {
+
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val (edges, acyclic) = orderEdges(graph)
+    var keys = existing
+
+    // Demanded parent keys of one edge, from the given child key delta.
+    // NULL FK values demand no parent (the reference skips them).
+    def needed(fk: Fk, childDelta: DataFrame): DataFrame =
+      tables(fk.childTable)
+        .join(childDelta, graph.pks(fk.childTable), "left_semi")
+        .select(fk.childCols.zip(fk.parentCols).map { case (c, p) =>
+          col(c).cast(tables(fk.parentTable).schema(p).dataType).as(p)
+        }: _*)
+        .na.drop()
+        .distinct()
+
+    // Merge fresh (not-yet-known) parent keys; returns them, or None.
+    def freshFor(fk: Fk, childDelta: DataFrame): Option[DataFrame] = {
+      val n = needed(fk, childDelta)
+      val fresh = ckpt(keys.get(fk.parentTable) match {
+        case Some(k) => n.join(k, graph.pks(fk.parentTable), "left_anti")
+        case None    => n
+      })
+      if (fresh.isEmpty) None
+      else {
+        keys += fk.parentTable -> (keys.get(fk.parentTable) match {
+          case Some(k) => ckpt(k.union(fresh))
+          case None    => fresh
+        })
+        Some(fresh)
+      }
+    }
+
+    if (acyclic) {
+      // One chained pass: the topo order guarantees a table's delta is
+      // complete before its outgoing edges run.
+      val avail = scala.collection.mutable.Map[String, DataFrame]() ++= deltas
+      for (fk <- edges; d <- avail.get(fk.childTable))
+        freshFor(fk, d).foreach { fresh =>
+          avail(fk.parentTable) =
+            avail.get(fk.parentTable).map(a => ckpt(a.union(fresh))).getOrElse(fresh)
         }
-        // Truncate lineage every few passes so cyclic graphs stay cheap.
-        val stored = if (iter % 3 == 0) merged.localCheckpoint(true) else merged
-        val c = stored.count()
-        if (c != counts.getOrElse(fk.parentTable, -1L)) changed = true
-        keys += fk.parentTable -> stored
-        counts += fk.parentTable -> c
+    } else {
+      // Cycles: classic semi-naive rounds until no delta survives.
+      var delta = deltas
+      var iter = 0
+      while (delta.nonEmpty && iter < maxIters) {
+        iter += 1
+        val next = scala.collection.mutable.Map[String, DataFrame]()
+        for (fk <- edges; d <- delta.get(fk.childTable))
+          freshFor(fk, d).foreach { fresh =>
+            next(fk.parentTable) =
+              next.get(fk.parentTable).map(a => ckpt(a.union(fresh))).getOrElse(fresh)
+          }
+        delta = next.toMap
       }
     }
     keys
@@ -237,19 +328,29 @@ object Subsetter {
     // deep the child-of-child expansion goes (the reference recurses but
     // its exists-guard + targets bound it in practice).
     for (_ <- 1 to cfg.childRounds) {
-      val childAdds = for {
+      // Bounded child pull per edge; only genuinely NEW child keys feed
+      // the incremental re-closure (semi-naive deltas), so the second
+      // closure costs proportional to what the pull actually added.
+      val deltas = scala.collection.mutable.Map[String, DataFrame]()
+      for {
         fk <- graph.fks
         if keys.contains(fk.parentTable) && included.contains(fk.childTable)
-      } yield fk.childTable -> childTopK(
-        tables(fk.childTable), graph.pks(fk.childTable), fk, keys(fk.parentTable), cfg.children)
-        .select(graph.pks(fk.childTable).map(col): _*)
-        .distinct()
-      val merged = childAdds.groupBy(_._1).map { case (t, adds) =>
-        val all = adds.map(_._2).reduce(_ union _)
-        t -> keys.get(t).map(_.union(all)).getOrElse(all).distinct()
+      } {
+        val pulled = childTopK(tables(fk.childTable), graph.pks(fk.childTable),
+            fk, keys(fk.parentTable), cfg.children)
+          .select(graph.pks(fk.childTable).map(col): _*).distinct()
+        val fresh = (keys.get(fk.childTable) match {
+          case Some(k) => pulled.join(k, graph.pks(fk.childTable), "left_anti")
+          case None    => pulled
+        }).localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          keys += fk.childTable -> keys.get(fk.childTable)
+            .map(k => k.union(fresh).localCheckpoint(true)).getOrElse(fresh)
+          deltas(fk.childTable) = deltas.get(fk.childTable)
+            .map(d => d.union(fresh).localCheckpoint(true)).getOrElse(fresh)
+        }
       }
-      keys = keys ++ merged
-      keys = parentClosure(tables, graph, keys)
+      keys = closureFrom(tables, graph, keys, deltas.toMap)
     }
 
     // 6. materialize rows

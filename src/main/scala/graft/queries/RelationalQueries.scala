@@ -181,6 +181,29 @@ object RelationalQueries {
        |ORDER BY region_name, nation_name""".stripMargin
   }
 
+  /** CUBE over two independent dimensions — all four grouping
+    * combinations in one pass. */
+  def aggCubeSegmentNation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cust_cnt"), Det.moneySum(col("c_acctbal")).as("sum_acctbal"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("cust_cnt"), col("sum_acctbal"))
+      .orderBy("nation_name", "segment")
+
+  val aggCubeSegmentNationSql: String = {
+    import Det.sql._
+    s"""SELECT COALESCE(n_name, 'ALL') AS nation_name,
+       |  COALESCE(c_mktsegment, 'ALL') AS segment,
+       |  count(*) AS cust_cnt, ${moneySum("c_acctbal")} AS sum_acctbal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY CUBE(n_name, c_mktsegment)
+       |ORDER BY nation_name, segment""".stripMargin
+  }
+
   // --- window functions ------------------------------------------------
 
   /** Ranking window; the window ORDER BY carries a unique tiebreaker
@@ -403,6 +426,18 @@ object RelationalQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Typed-Aggregator UDAF over grouped data (rows-only: double
+    * accumulation order varies with partitioning, so no bitwise oracle;
+    * correctness is asserted in UdfSpec). */
+  def udafAcctbalMoments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(graft.functions.Udfs.moments(col("c_acctbal")).as("m"))
+      .select(col("n_name"), col("m._1").as("n"), col("m._2").as("mean"),
+        col("m._3").as("variance"))
+      .orderBy("n_name")
+
   // ---------------------------------------------------------------------
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -414,6 +449,7 @@ object RelationalQueries {
     "join_left_outer_orders" -> (joinLeftOuterOrders _),
     "agg_distinct_custkeys" -> (aggDistinctCustkeys _),
     "agg_rollup_nation_region" -> (aggRollupNationRegion _),
+    "agg_cube_segment_nation" -> (aggCubeSegmentNation _),
     "win_rank_orders_by_cust" -> (winRankOrdersByCust _),
     "win_running_total" -> (winRunningTotal _),
     "win_moving_avg" -> (winMovingAvg _),
@@ -423,7 +459,8 @@ object RelationalQueries {
     "str_funcs_docs" -> (strFuncsDocs _),
     "date_funcs_orders" -> (dateFuncsOrders _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
-    "json_props_events" -> (jsonPropsEvents _))
+    "json_props_events" -> (jsonPropsEvents _),
+    "udaf_acctbal_moments" -> (udafAcctbalMoments _))
 
   def oracle: Map[String, String] = Map(
     "agg_pricing_summary" -> aggPricingSummarySql,
@@ -434,6 +471,7 @@ object RelationalQueries {
     "join_left_outer_orders" -> joinLeftOuterOrdersSql,
     "agg_distinct_custkeys" -> aggDistinctCustkeysSql,
     "agg_rollup_nation_region" -> aggRollupNationRegionSql,
+    "agg_cube_segment_nation" -> aggCubeSegmentNationSql,
     "win_rank_orders_by_cust" -> winRankOrdersByCustSql,
     "win_running_total" -> winRunningTotalSql,
     "win_moving_avg" -> winMovingAvgSql,

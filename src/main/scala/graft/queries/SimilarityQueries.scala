@@ -96,12 +96,44 @@ object SimilarityQueries {
        |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  // --- embedding-cosine near-dup pairs (oracle tier) -------------------
+  /** Vector near-duplicates: sampled probe set against the full corpus,
+    * pairs above a cosine threshold. Probe side broadcasts; candidates
+    * stream — same scan-bound shape as cosineTopK. */
+  def dedupCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val a = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("ida"), SimilarityFunctions.toDoubleArr(col("embedding")).as("ea"))
+      .withColumn("an", sqrt(SimilarityFunctions.dot(col("ea"), col("ea"))))
+    val b = e.select(col("vec_id").as("idb"), SimilarityFunctions.toDoubleArr(col("embedding")).as("eb"))
+      .withColumn("bn", sqrt(SimilarityFunctions.dot(col("eb"), col("eb"))))
+    b.join(broadcast(a), col("ida") < col("idb"))
+      .withColumn("score",
+        SimilarityFunctions.dot(col("ea"), col("eb")) / (col("an") * col("bn")))
+      .filter(col("score") >= 0.9)
+      .select("ida", "idb", "score")
+      .orderBy("ida", "idb")
+  }
+
+  val dedupCosinePairsSql: String = {
+    val dot = Det.sqlFoldChain(i => s"(ea[$i] * eb[$i])", 64)
+    val na = Det.sqlFoldChain(i => s"(ea[$i] * ea[$i])", 64)
+    val nb = Det.sqlFoldChain(i => s"(eb[$i] * eb[$i])", 64)
+    s"""WITH a AS (SELECT vec_id AS ida, CAST(embedding AS DOUBLE[]) AS ea
+       |           FROM embeddings WHERE vec_id % 20 = 0),
+       |b AS (SELECT vec_id AS idb, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings),
+       |s AS (SELECT ida, idb, $dot / (sqrt($na) * sqrt($nb)) AS score
+       |      FROM a JOIN b ON ida < idb)
+       |SELECT ida, idb, score FROM s WHERE score >= 0.9
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   // --- scale tiers (rows-only checks; accuracy verified in scalatest) --
 
-  /** MinHash+LSH near-dup candidates: shingle -> minhash -> band ->
-    * bucket-join. */
+  /** MinHash+LSH near-dup candidates: 3-token shingle -> minhash ->
+    * band -> bucket-join. */
   def dedupMinhashDocs(s: SparkSession, dir: String): DataFrame = {
-    val sigs = SimilarityFunctions.minhashSignatures(docs(s, dir), "text", 32)
+    val sigs = SimilarityFunctions.minhashSignatures(docs(s, dir), "text", 32, nShingle = 3)
     SimilarityFunctions.minhashLshPairs(sigs, bands = 8)
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("ida", "idb")
@@ -141,6 +173,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_jaccard_docs" -> (dedupJaccardDocs _),
+    "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "sim_topk_embeddings" -> (simTopkEmbeddings _),
     "dedup_minhash_docs" -> (dedupMinhashDocs _),
     "dedup_simhash_docs" -> (dedupSimhashDocs _),
@@ -151,6 +184,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> dedupExactDocsSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,
     "dedup_jaccard_docs" -> dedupJaccardDocsSql,
+    "dedup_cosine_pairs" -> dedupCosinePairsSql,
     "sim_topk_embeddings" -> simTopkEmbeddingsSql)
     // minhash/simhash/ann/hll: engine-specific hashes or sketches ->
     // rows-only here, accuracy asserted in SimilaritySpec

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the parquet catalog — SURVEY.md §2b
+  * "Scans / sources" + "Sinks". The reference reads/writes any
+  * SQLAlchemy-reachable DBMS; here every format is a declarative
+  * DataFrame reader/writer, so pushdown/pruning and parallel IO come
+  * from the planner. `jdbc` is exposed for real-DB parity (untestable in
+  * this container — no database — but the call shape is the public
+  * Spark API and needs no custom code).
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with explicit schema (never infer at scale — inference is an
+    * extra full scan). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** JSON-lines with explicit schema (same no-inference rule). */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JDBC passthrough — partitioned reads via (column, bounds,
+    * numPartitions) keep a real-DB scan parallel. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Row count from parquet footers only — the analogue of the
+    * reference's catalog-stats estimate (`_find_n_rows(estimate=True)`),
+    * except parquet footers are exact. No data pages are read. */
+  def footerRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      else Array(p)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.Sources
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("csv and json roundtrip preserve data under explicit schemas") {
+    val dir = Files.createTempDirectory("graft-sources").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "gamma", 0.0))
+      .toDF("id", "name", "score")
+    Sources.writeCsv(df, s"$dir/csv")
+    Sources.writeJson(df, s"$dir/json")
+    val backCsv = Sources.readCsv(spark, s"$dir/csv", df.schema)
+    val backJson = Sources.readJson(spark, s"$dir/json", df.schema)
+    assert(backCsv.collect().toSet == df.collect().toSet)
+    assert(backJson.collect().toSet == df.collect().toSet)
+    // nullability flags legitimately widen on file read; names+types hold
+    assert(backCsv.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("footerRowCount: exact counts from parquet metadata, no scan") {
+    val expected = Map("region" -> 5L, "nation" -> 25L, "customer" -> 150L)
+    expected.foreach { case (t, n) =>
+      assert(Sources.footerRowCount(spark, s"/root/testdata/sf0.001/$t.parquet") == n)
+    }
+  }
+
+  test("completeness scheduling: argmin pick with deterministic ties") {
+    import graft.operators.Subsetter
+    assert(Subsetter.completenessScore(0, 10) == 0.0)
+    assert(Subsetter.completenessScore(5, 10) == 0.5)
+    assert(Subsetter.completenessScore(20, 10) == 1.0)
+    assert(Subsetter.completenessScore(0, 0) == 1.0)
+    val pick = Subsetter.pickNextTable(Map(
+      "a" -> ((5L, 10L)), "b" -> ((1L, 10L)), "c" -> ((10L, 10L))))
+    assert(pick.contains("b"))
+    // tie: same score -> lexicographic
+    val tie = Subsetter.pickNextTable(Map("z" -> ((1L, 2L)), "a" -> ((2L, 4L))))
+    assert(tie.contains("a"))
+    assert(Subsetter.pickNextTable(Map("a" -> ((3L, 3L)))).isEmpty)
+  }
+}
