@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: fused cosine similarity over two
+  * `array<double>` columns — dot product and both norms in ONE loop over
+  * the vectors, with full whole-stage-codegen support (`doGenCode`).
+  *
+  * This is the preferred extension path when composition of built-ins
+  * isn't tight enough (builder prompt: native `Expression` > UDF): vs
+  * the HOF formulation (three `aggregate(zip_with(...))` passes) it does
+  * a third of the array traversals, and vs a Scala UDF it avoids ser/de
+  * and stays inside codegen. Accumulation order matches the HOF/oracle
+  * fold exactly, so results are bitwise identical (PlansSpec asserts
+  * equality; `sim_topk_native` hash-matches the same DuckDB oracle as
+  * `sim_topk_embeddings`).
+  *
+  * Defined over the common prefix when lengths differ; NULL in, NULL out.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // inferred Seq[AbstractDataType] — the type itself is private[sql]
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for the native functions — both as a
+  * `SparkSessionExtensions` (config
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) and as a direct
+  * idempotent per-session registration for embedded use. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
+}
+
+object GraftExtensions {
+  private[plans] val cosineDescriptor = (
+    FunctionIdentifier("graft_cosine"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression)
+
+  /** Idempotent in-session registration (for sessions built without the
+    * extensions config — Verify/Bench/tests). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
+}

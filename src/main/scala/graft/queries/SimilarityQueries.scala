@@ -128,6 +128,26 @@ object SimilarityQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  /** Same top-k as sim_topk_embeddings but through the native Catalyst
+    * `graft_cosine` expression (fused single-loop codegen — see
+    * graft.plans.CosineSimilarity). Bitwise-identical accumulation
+    * order, so it hash-matches the same oracle SQL. */
+  def simTopkNative(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), SimilarityFunctions.toDoubleArr(col("embedding")).as("qe"))
+    val c = e.select(col("vec_id").as("cid"), SimilarityFunctions.toDoubleArr(col("embedding")).as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("score", call_function("graft_cosine", col("qe"), col("ce")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   // --- scale tiers (rows-only checks; accuracy verified in scalatest) --
 
   /** MinHash+LSH near-dup candidates: 3-token shingle -> minhash ->
@@ -175,6 +195,7 @@ object SimilarityQueries {
     "dedup_jaccard_docs" -> (dedupJaccardDocs _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "sim_topk_embeddings" -> (simTopkEmbeddings _),
+    "sim_topk_native" -> (simTopkNative _),
     "dedup_minhash_docs" -> (dedupMinhashDocs _),
     "dedup_simhash_docs" -> (dedupSimhashDocs _),
     "ann_lsh_topk" -> (annLshTopk _),
@@ -185,7 +206,8 @@ object SimilarityQueries {
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,
     "dedup_jaccard_docs" -> dedupJaccardDocsSql,
     "dedup_cosine_pairs" -> dedupCosinePairsSql,
-    "sim_topk_embeddings" -> simTopkEmbeddingsSql)
+    "sim_topk_embeddings" -> simTopkEmbeddingsSql,
+    "sim_topk_native" -> simTopkEmbeddingsSql) // same oracle: bitwise-equal path
     // minhash/simhash/ann/hll: engine-specific hashes or sketches ->
     // rows-only here, accuracy asserted in SimilaritySpec
 }

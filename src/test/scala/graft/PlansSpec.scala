@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.SimilarityFunctions
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** Native Catalyst expression (graft_cosine) — codegen path, SQL
+  * registration, and bitwise agreement with the HOF formulation. */
+class PlansSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  test("graft_cosine == HOF cosine, bitwise, on float arrays") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 200).map { _ =>
+      (Array.fill(64)(rnd.nextGaussian().toFloat), Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_cosine",
+        SimilarityFunctions.toDoubleArr($"a"), SimilarityFunctions.toDoubleArr($"b")).as("n"),
+      SimilarityFunctions.cosine(
+        SimilarityFunctions.toDoubleArr($"a"), SimilarityFunctions.toDoubleArr($"b")).as("h"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") } // exact
+  }
+
+  test("graft_cosine is callable from SQL") {
+    val v = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))").as[Double].head()
+    assert(v == 1.0)
+  }
+
+  test("graft_cosine: NULL propagation and interpreted (non-codegen) path") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0))),
+      (None, Some(Array(1.0, 2.0)))).toDF("a", "b")
+    val got = df.select(call_function("graft_cosine", $"a", $"b")).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(got(1).isNullAt(0))
+    // interpreted path agrees
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr = Literal.create(Array(3.0, 4.0), ArrayType(DoubleType))
+    val e = graft.plans.CosineSimilarity(arr, arr)
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+}
