@@ -295,15 +295,18 @@ object Subsetter {
   def subset(
       tables: Map[String, DataFrame],
       graph: FkGraph,
-      cfg: Config): Map[String, DataFrame] = {
+      cfg: Config,
+      rowCounts: Map[String, Long] = Map.empty): Map[String, DataFrame] = {
 
     val included = tables.keys.toSeq.sorted
       .filterNot(t => globMatch(cfg.excludeTables, t))
 
     // 1–2. seed: per-table deterministic sample at target size + forced rows
+    // Row counts come from parquet footers when the caller has them
+    // (metadata-only — no job); df.count() is the fallback.
     var seeds: Map[String, DataFrame] = included.map { t =>
       val df = tables(t)
-      val n = df.count()
+      val n = rowCounts.getOrElse(t, df.count())
       val full = globMatch(cfg.fullTables, t)
       val tgt = targetSize(n, cfg.fraction, cfg.logarithmic, full)
       val pkCols = graph.pks(t)

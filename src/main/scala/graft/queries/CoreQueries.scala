@@ -242,8 +242,11 @@ object CoreQueries {
   // RI property is scalatest-verified, the oracle-expressible pieces
   // are covered by the queries above.
   def subsetStar(s: SparkSession, dir: String): DataFrame = {
+    val counts = Catalog.tableNames.map(t =>
+      t -> graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")).toMap
     val out = Subsetter.subset(Catalog.load(s, dir), FkGraph.default,
-      Subsetter.Config(fraction = 0.1, force = Map("customer" -> Seq(1L, 42L))))
+      Subsetter.Config(fraction = 0.1, force = Map("customer" -> Seq(1L, 42L))),
+      rowCounts = counts)
     out.toSeq.sortBy(_._1).map { case (tn, df) =>
       df.agg(count(lit(1)).as("rows")).select(lit(tn).as("table_name"), col("rows"))
     }.reduce(_ union _).orderBy("table_name")
