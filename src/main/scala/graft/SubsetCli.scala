@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Subsetter
+import graft.sources.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CLI parity with the reference's console entry point
+  * (`rdbms-subsetter <source> <dest> <fraction> [flags]` —
+  * `rdbms_subsetter.py :: generate()`): subset a directory of parquet
+  * tables into a destination directory, preserving referential
+  * integrity, then print the per-table summary the reference prints
+  * around its run.
+  *
+  *   runMain graft.SubsetCli <srcDir> <destDir> <fraction> \
+  *     [--logarithmic] [--children N] [--full-tables glob,glob] \
+  *     [--exclude-tables glob,glob] [--force table:pk[,table:pk...]]
+  */
+object SubsetCli {
+
+  final case class CliArgs(
+      src: String,
+      dest: String,
+      cfg: Subsetter.Config)
+
+  def parse(argv: Seq[String]): CliArgs = {
+    require(argv.length >= 3, "usage: SubsetCli <srcDir> <destDir> <fraction> [flags]")
+    val Seq(src, dest, fractionS) = argv.take(3)
+    var cfg = Subsetter.Config(fraction = fractionS.toDouble)
+    var rest = argv.drop(3).toList
+    while (rest.nonEmpty) rest = rest match {
+      case "--logarithmic" :: tl => cfg = cfg.copy(logarithmic = true); tl
+      case "--children" :: n :: tl => cfg = cfg.copy(children = n.toInt); tl
+      case "--full-tables" :: globs :: tl =>
+        cfg = cfg.copy(fullTables = globs.split(',').toSeq); tl
+      case "--exclude-tables" :: globs :: tl =>
+        cfg = cfg.copy(excludeTables = globs.split(',').toSeq); tl
+      case "--force" :: specs :: tl =>
+        val forced = specs.split(',').toSeq
+          .map(_.split(':')).map(a => a(0) -> a(1).toLong)
+          .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2) }
+        cfg = cfg.copy(force = forced); tl
+      case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
+    }
+    CliArgs(src, dest, cfg)
+  }
+
+  /** Run the subset and write each table to `<dest>/<table>.parquet`.
+    * Returns per-table written row counts. */
+  def run(spark: SparkSession, args: CliArgs): Map[String, Long] = {
+    val tables = Catalog.load(spark, args.src)
+    val counts = Catalog.tableNames.map(t =>
+      t -> Sources.footerRowCount(spark, s"${args.src}/$t.parquet")).toMap
+    val out = Subsetter.subset(tables, FkGraph.default, args.cfg, rowCounts = counts)
+    out.toSeq.sortBy(_._1).map { case (t, df) =>
+      Sources.writeParquet(df, s"${args.dest}/$t.parquet")
+      t -> Sources.footerRowCount(spark, s"${args.dest}/$t.parquet")
+    }.toMap
+  }
+
+  /** Reload the written destination and verify the RI postcondition —
+    * the check the reference's own tests perform on its output. */
+  def validateDest(spark: SparkSession, dest: String,
+                   writtenTables: Set[String]): DataFrame = {
+    val reloaded = writtenTables.map(t =>
+      t -> spark.read.parquet(s"$dest/$t.parquet")).toMap
+    Subsetter.validateRI(reloaded, FkGraph.default)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.toSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val written = run(spark, args)
+      written.toSeq.sortBy(_._1).foreach { case (t, n) =>
+        println(f"$t%-12s $n%10d rows")
+      }
+      val orphanTotal = validateDest(spark, args.dest, written.keySet)
+        .agg(org.apache.spark.sql.functions.sum("orphans")).head().getLong(0)
+      println(s"referential integrity: $orphanTotal orphans")
+      if (orphanTotal != 0L) sys.exit(2)
+    } finally spark.stop()
+  }
+}

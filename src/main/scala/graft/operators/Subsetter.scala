@@ -331,26 +331,38 @@ object Subsetter {
     // deep the child-of-child expansion goes (the reference recurses but
     // its exists-guard + targets bound it in practice).
     for (_ <- 1 to cfg.childRounds) {
-      // Bounded child pull per edge; only genuinely NEW child keys feed
-      // the incremental re-closure (semi-naive deltas), so the second
+      // Bounded child pull per edge. The per-edge pulls are independent,
+      // so their (eager) materializations run as CONCURRENT Spark jobs —
+      // on a cluster this keeps executors busy instead of serializing
+      // 8 window jobs. Only genuinely NEW child keys feed the
+      // incremental re-closure (semi-naive deltas), so the second
       // closure costs proportional to what the pull actually added.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val snapshot = keys
+      val pullEdges = graph.fks.filter(fk =>
+        snapshot.contains(fk.parentTable) && included.contains(fk.childTable))
+      val freshByEdge = Await.result(
+        Future.sequence(pullEdges.map { fk => Future {
+          val pulled = childTopK(tables(fk.childTable), graph.pks(fk.childTable),
+              fk, snapshot(fk.parentTable), cfg.children)
+            .select(graph.pks(fk.childTable).map(col): _*).distinct()
+          val fresh = (snapshot.get(fk.childTable) match {
+            case Some(k) => pulled.join(k, graph.pks(fk.childTable), "left_anti")
+            case None    => pulled
+          }).localCheckpoint(true)
+          fk.childTable -> fresh
+        }}), Duration.Inf)
       val deltas = scala.collection.mutable.Map[String, DataFrame]()
-      for {
-        fk <- graph.fks
-        if keys.contains(fk.parentTable) && included.contains(fk.childTable)
-      } {
-        val pulled = childTopK(tables(fk.childTable), graph.pks(fk.childTable),
-            fk, keys(fk.parentTable), cfg.children)
-          .select(graph.pks(fk.childTable).map(col): _*).distinct()
-        val fresh = (keys.get(fk.childTable) match {
-          case Some(k) => pulled.join(k, graph.pks(fk.childTable), "left_anti")
-          case None    => pulled
-        }).localCheckpoint(true)
+      freshByEdge.foreach { case (t, fresh) =>
         if (!fresh.isEmpty) {
-          keys += fk.childTable -> keys.get(fk.childTable)
-            .map(k => k.union(fresh).localCheckpoint(true)).getOrElse(fresh)
-          deltas(fk.childTable) = deltas.get(fk.childTable)
-            .map(d => d.union(fresh).localCheckpoint(true)).getOrElse(fresh)
+          // distinct: two edges into the same child table (computed
+          // against the same snapshot) can pull overlapping keys
+          keys += t -> keys.get(t)
+            .map(k => k.union(fresh).distinct().localCheckpoint(true)).getOrElse(fresh)
+          deltas(t) = deltas.get(t)
+            .map(d => d.union(fresh).distinct().localCheckpoint(true)).getOrElse(fresh)
         }
       }
       keys = closureFrom(tables, graph, keys, deltas.toMap)

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** End-to-end CLI parity: subset the sf0.001 star schema into a
+  * destination directory, reload it, and assert the reference's
+  * postconditions on the WRITTEN copy. */
+class SubsetCliSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("parse: flags map to Config") {
+    val a = SubsetCli.parse(Seq("/src", "/dst", "0.25",
+      "--logarithmic", "--children", "5",
+      "--full-tables", "region,nation", "--exclude-tables", "embeddings",
+      "--force", "customer:1,customer:42,orders:7"))
+    assert(a.src == "/src" && a.dest == "/dst")
+    assert(a.cfg.fraction == 0.25 && a.cfg.logarithmic && a.cfg.children == 5)
+    assert(a.cfg.fullTables == Seq("region", "nation"))
+    assert(a.cfg.excludeTables == Seq("embeddings"))
+    assert(a.cfg.force == Map("customer" -> Seq(1L, 42L), "orders" -> Seq(7L)))
+  }
+
+  test("subset sf0.001 -> destination parquet: RI holds on the written copy") {
+    val dest = Files.createTempDirectory("graft-subset-dest").toString
+    val args = SubsetCli.parse(Seq("/root/testdata/sf0.001", dest, "0.1",
+      "--full-tables", "region,nation", "--force", "customer:1"))
+    val written = SubsetCli.run(spark, args)
+    // every table written, with at least one row (min-1 rule)
+    assert(written.keySet == Catalog.tableNames.toSet)
+    assert(written.values.forall(_ >= 1L))
+    // full-table globs copied entirely
+    assert(written("region") == 5L && written("nation") == 25L)
+    // forced row present in the destination
+    val cust = spark.read.parquet(s"$dest/customer.parquet")
+    assert(cust.filter($"c_custkey" === 1L).count() == 1)
+    // the reference's golden postcondition on the RELOADED output
+    val orphans = SubsetCli.validateDest(spark, dest, written.keySet)
+      .select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L))
+    // subset is a real subset
+    assert(written("lineitem") < 6000L)
+  }
+}
