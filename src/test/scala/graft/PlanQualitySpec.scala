@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.{CoreQueries, RelationalQueries, SimilarityQueries}
+
+/** Plan-shape regression guard: the physical plans the 100 TB story
+  * depends on must not silently regress — filters/projections reaching
+  * the parquet scan, intended join strategies, heap-based top-k. */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed to the parquet scan") {
+    val p = plan(CoreQueries.filterPushdown(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("projection pruning reaches ReadSchema") {
+    val p = plan(RelationalQueries.projPrune(spark, dir))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"))
+    assert(!p.contains("l_shipdate")) // untouched columns never read
+  }
+
+  test("dimension join broadcasts; no shuffle of the fact side") {
+    val p = plan(RelationalQueries.joinNationRegionBcast(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("merge hint yields a sort-merge join") {
+    val p = plan(RelationalQueries.joinLineitemOrdersSmj(spark, dir))
+    assert(p.contains("SortMergeJoin"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(RelationalQueries.topkExpensiveOrders(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("semi/anti joins stay semi/anti (no materialized subquery)") {
+    assert(plan(CoreQueries.semijoinExists(spark, dir)).contains("LeftSemi"))
+    assert(plan(CoreQueries.antijoinMissing(spark, dir)).contains("LeftAnti"))
+  }
+
+  test("similarity probe side is broadcast, candidates stream") {
+    val p = plan(SimilarityQueries.simTopkEmbeddings(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the Q1 aggregate") {
+    val df = RelationalQueries.aggPricingSummary(spark, dir)
+    df.collect() // AQE only finalizes (and shows codegen spans) after execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate")) // partial+final hash agg, not sort agg
+    assert(p.contains("WholeStageCodegen") || p.contains("isFinalPlan=true"))
+  }
+}
