@@ -274,6 +274,37 @@ object RelationalQueries {
        |ORDER BY o_custkey, o_orderkey""".stripMargin
   }
 
+  /** Offset window functions: lead/lag/first_value/ntile over the
+    * per-customer order timeline. Epoch-day ints keep outputs
+    * engine-portable; COALESCE removes boundary NULLs. */
+  def winLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("day"))
+      .withColumn("prev_day", coalesce(lag(col("day"), 1).over(w), lit(-1)))
+      .withColumn("next_day", coalesce(lead(col("day"), 1).over(w), lit(-1)))
+      .withColumn("first_day", first(col("day")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  val winLeadLagSql: String =
+    """SELECT o_custkey, o_orderkey, day,
+      |  COALESCE(lag(day) OVER w, -1) AS prev_day,
+      |  COALESCE(lead(day) OVER w, -1) AS next_day,
+      |  first_value(day) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_day,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day
+      |  FROM orders WHERE o_custkey % 100 = 0)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   // --- sort / top-k ----------------------------------------------------
 
   /** orderBy+limit compiles to TakeOrderedAndProject — per-partition
@@ -453,6 +484,7 @@ object RelationalQueries {
     "win_rank_orders_by_cust" -> (winRankOrdersByCust _),
     "win_running_total" -> (winRunningTotal _),
     "win_moving_avg" -> (winMovingAvg _),
+    "win_lead_lag" -> (winLeadLag _),
     "topk_expensive_orders" -> (topkExpensiveOrders _),
     "setop_union_except" -> (setopUnionExcept _),
     "setop_intersect" -> (setopIntersect _),
@@ -475,6 +507,7 @@ object RelationalQueries {
     "win_rank_orders_by_cust" -> winRankOrdersByCustSql,
     "win_running_total" -> winRunningTotalSql,
     "win_moving_avg" -> winMovingAvgSql,
+    "win_lead_lag" -> winLeadLagSql,
     "topk_expensive_orders" -> topkExpensiveOrdersSql,
     "setop_union_except" -> setopUnionExceptSql,
     "setop_intersect" -> setopIntersectSql,
