@@ -204,6 +204,45 @@ object RelationalQueries {
        |ORDER BY nation_name, segment""".stripMargin
   }
 
+  /** GROUPING SETS through the SQL front-end (temp views +
+    * `spark.sql`) — the same engine surface a SQL-first user gets. */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS prio,
+         |  count(*) AS cnt,
+         |  ${Det.sql.moneySum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, prio""".stripMargin)
+  }
+
+  val aggGroupingSetsSql: String = {
+    import Det.sql._
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS prio,
+       |  count(*) AS cnt,
+       |  ${moneySum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY status, prio""".stripMargin
+  }
+
+  /** Approximate percentiles (t-digest-style sketch) next to exact
+    * min/max — engine-specific sketch, so rows-only; sanity-checked in
+    * scalatest range terms by the driver's row check. */
+  def aggPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).as("min_price"),
+        percentile_approx(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(10000)).as("approx_quartiles"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderstatus")
+
   // --- window functions ------------------------------------------------
 
   /** Ranking window; the window ORDER BY carries a unique tiebreaker
@@ -481,6 +520,8 @@ object RelationalQueries {
     "agg_distinct_custkeys" -> (aggDistinctCustkeys _),
     "agg_rollup_nation_region" -> (aggRollupNationRegion _),
     "agg_cube_segment_nation" -> (aggCubeSegmentNation _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_percentile_approx" -> (aggPercentileApprox _),
     "win_rank_orders_by_cust" -> (winRankOrdersByCust _),
     "win_running_total" -> (winRunningTotal _),
     "win_moving_avg" -> (winMovingAvg _),
@@ -504,6 +545,8 @@ object RelationalQueries {
     "agg_distinct_custkeys" -> aggDistinctCustkeysSql,
     "agg_rollup_nation_region" -> aggRollupNationRegionSql,
     "agg_cube_segment_nation" -> aggCubeSegmentNationSql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    // agg_percentile_approx: engine-specific sketch -> rows-only
     "win_rank_orders_by_cust" -> winRankOrdersByCustSql,
     "win_running_total" -> winRunningTotalSql,
     "win_moving_avg" -> winMovingAvgSql,
