@@ -344,6 +344,46 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  /** Pivot: order counts per priority, statuses as columns. The oracle
+    * mirror is portable conditional aggregation (identical semantics,
+    * no dialect-specific PIVOT syntax). */
+  def pivotOrdersStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val pivotOrdersStatusSql: String =
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Unpivot (melt): part attributes to long form. */
+  def unpivotPartAttrs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") % 100 === 0)
+      .select(col("p_partkey"),
+        Det.dec2(col("p_retailprice")).cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+
+  val unpivotPartAttrsSql: String = {
+    import Det.sql._
+    s"""SELECT p_partkey, 'retailprice' AS metric,
+       |  CAST(${dec2("p_retailprice")} AS DOUBLE) AS value
+       |FROM part WHERE p_partkey % 100 = 0
+       |UNION ALL
+       |SELECT p_partkey, 'size', CAST(p_size AS DOUBLE)
+       |FROM part WHERE p_partkey % 100 = 0
+       |ORDER BY p_partkey, metric""".stripMargin
+  }
+
   // --- sort / top-k ----------------------------------------------------
 
   /** orderBy+limit compiles to TakeOrderedAndProject — per-partition
@@ -526,6 +566,8 @@ object RelationalQueries {
     "win_running_total" -> (winRunningTotal _),
     "win_moving_avg" -> (winMovingAvg _),
     "win_lead_lag" -> (winLeadLag _),
+    "pivot_orders_status" -> (pivotOrdersStatus _),
+    "unpivot_part_attrs" -> (unpivotPartAttrs _),
     "topk_expensive_orders" -> (topkExpensiveOrders _),
     "setop_union_except" -> (setopUnionExcept _),
     "setop_intersect" -> (setopIntersect _),
@@ -551,6 +593,8 @@ object RelationalQueries {
     "win_running_total" -> winRunningTotalSql,
     "win_moving_avg" -> winMovingAvgSql,
     "win_lead_lag" -> winLeadLagSql,
+    "pivot_orders_status" -> pivotOrdersStatusSql,
+    "unpivot_part_attrs" -> unpivotPartAttrsSql,
     "topk_expensive_orders" -> topkExpensiveOrdersSql,
     "setop_union_except" -> setopUnionExceptSql,
     "setop_intersect" -> setopIntersectSql,
