@@ -1,24 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-query seconds over SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Methodology: by default each query runs once UNTIMED (amortizes
+  * one-off codegen compilation + JIT — at sf0.1 those constants dominate
+  * real work several-fold, see BASELINE.md) and once timed; `value` is
+  * the timed (steady-state) total and `cold_value` the warm-up pass
+  * total, so both numbers stay visible. Set SPARK_GRAFT_WARMUP=0 for
+  * single-pass cold timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val cold = SparkEntry.queries.map { case (name, fn) => name -> once(fn) }
+    val results =
+      if (warmup) SparkEntry.queries.map { case (name, fn) => name -> once(fn) }
+      else cold
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
