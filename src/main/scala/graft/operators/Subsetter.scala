@@ -201,23 +201,22 @@ object Subsetter {
     val (edges, acyclic) = orderEdges(graph)
     var keys = existing
 
-    // Demanded parent keys of one edge, from the given child key delta.
-    // NULL FK values demand no parent (the reference skips them).
-    def needed(fk: Fk, childDelta: DataFrame): DataFrame =
-      tables(fk.childTable)
-        .join(childDelta, graph.pks(fk.childTable), "left_semi")
+    // Project the demanded parent keys of one edge out of a (possibly
+    // shared) child FK projection. NULL FK values demand no parent (the
+    // reference skips them).
+    def neededFrom(fk: Fk, childFkRows: DataFrame): DataFrame =
+      childFkRows
         .select(fk.childCols.zip(fk.parentCols).map { case (c, p) =>
           col(c).cast(tables(fk.parentTable).schema(p).dataType).as(p)
         }: _*)
         .na.drop()
         .distinct()
 
-    // Merge fresh (not-yet-known) parent keys; returns them, or None.
-    def freshFor(fk: Fk, childDelta: DataFrame): Option[DataFrame] = {
-      val n = needed(fk, childDelta)
+    // Merge fresh (not-yet-known) parent keys into `keys`; None if none.
+    def freshMerge(fk: Fk, needed: DataFrame): Option[DataFrame] = {
       val fresh = ckpt(keys.get(fk.parentTable) match {
-        case Some(k) => n.join(k, graph.pks(fk.parentTable), "left_anti")
-        case None    => n
+        case Some(k) => needed.join(k, graph.pks(fk.parentTable), "left_anti")
+        case None    => needed
       })
       if (fresh.isEmpty) None
       else {
@@ -229,15 +228,39 @@ object Subsetter {
       }
     }
 
+    // All edges out of one child consume the same delta, so ONE
+    // semi-join scan of the child table (projected to the union of the
+    // edges' FK columns, deduped, materialized) serves every edge — at
+    // 100 TB that is one lineitem scan instead of three.
+    def fkProjection(child: String, fks: Seq[Fk], childDelta: DataFrame): DataFrame = {
+      val allCols = fks.flatMap(_.childCols).distinct
+      ckpt(tables(child)
+        .join(childDelta, graph.pks(child), "left_semi")
+        .select(allCols.map(col): _*)
+        .distinct())
+    }
+
+    // Group consecutive same-child edges (orderEdges emits a table's
+    // outgoing edges together).
+    val grouped: Seq[(String, Seq[Fk])] =
+      edges.foldLeft(Vector.empty[(String, Vector[Fk])]) {
+        case (acc, fk) if acc.nonEmpty && acc.last._1 == fk.childTable =>
+          acc.init :+ (fk.childTable, acc.last._2 :+ fk)
+        case (acc, fk) => acc :+ ((fk.childTable, Vector(fk)))
+      }
+
     if (acyclic) {
       // One chained pass: the topo order guarantees a table's delta is
       // complete before its outgoing edges run.
       val avail = scala.collection.mutable.Map[String, DataFrame]() ++= deltas
-      for (fk <- edges; d <- avail.get(fk.childTable))
-        freshFor(fk, d).foreach { fresh =>
-          avail(fk.parentTable) =
-            avail.get(fk.parentTable).map(a => ckpt(a.union(fresh))).getOrElse(fresh)
-        }
+      for ((child, fks) <- grouped; d <- avail.get(child)) {
+        val proj = fkProjection(child, fks, d)
+        for (fk <- fks)
+          freshMerge(fk, neededFrom(fk, proj)).foreach { fresh =>
+            avail(fk.parentTable) =
+              avail.get(fk.parentTable).map(a => ckpt(a.union(fresh))).getOrElse(fresh)
+          }
+      }
     } else {
       // Cycles: classic semi-naive rounds until no delta survives.
       var delta = deltas
@@ -245,11 +268,14 @@ object Subsetter {
       while (delta.nonEmpty && iter < maxIters) {
         iter += 1
         val next = scala.collection.mutable.Map[String, DataFrame]()
-        for (fk <- edges; d <- delta.get(fk.childTable))
-          freshFor(fk, d).foreach { fresh =>
-            next(fk.parentTable) =
-              next.get(fk.parentTable).map(a => ckpt(a.union(fresh))).getOrElse(fresh)
-          }
+        for ((child, fks) <- grouped; d <- delta.get(child)) {
+          val proj = fkProjection(child, fks, d)
+          for (fk <- fks)
+            freshMerge(fk, neededFrom(fk, proj)).foreach { fresh =>
+              next(fk.parentTable) =
+                next.get(fk.parentTable).map(a => ckpt(a.union(fresh))).getOrElse(fresh)
+            }
+        }
         delta = next.toMap
       }
     }
