@@ -24,7 +24,10 @@ object EventQueries {
   // The equi key (user_id) makes this a hash join with the range as a
   // residual predicate — NOT a nested-loop join; at 100 TB both sides
   // shuffle once on user_id.
-  def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+  def rangeJoinEvents(s: SparkSession, dir: String): DataFrame =
+    rangeJoinEvents(s, dir, windowSeconds = 60)
+
+  def rangeJoinEvents(s: SparkSession, dir: String, windowSeconds: Long): DataFrame = {
     val e = events(s, dir)
     val err = e.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id"),
@@ -34,7 +37,7 @@ object EventQueries {
         Det.epochS(col("ts")).as("pur_s"))
     err.join(pur,
         col("user_id") === col("p_user_id") &&
-          col("pur_s") >= col("err_s") && col("pur_s") <= col("err_s") + 60)
+          col("pur_s") >= col("err_s") && col("pur_s") <= col("err_s") + windowSeconds)
       .select("error_id", "purchase_id", "user_id", "err_s", "pur_s")
       .orderBy("error_id", "purchase_id")
   }

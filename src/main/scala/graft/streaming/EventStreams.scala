@@ -62,6 +62,42 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream range join under watermarks: errors joined to the
+    * same user's purchases within the next 60 seconds — the streaming
+    * twin of the oracle-checked batch `range_join_events`. Both sides
+    * carry watermarks and the time-range condition bounds join state,
+    * so state stays finite at any stream length. Times are truncated to
+    * whole seconds BEFORE the join so semantics match the batch/oracle
+    * epoch-second comparison exactly. */
+  def streamRangeJoin(spark: SparkSession, dir: String,
+                      windowSeconds: Long = 60): DataFrame = {
+    val base = readEvents(spark, dir).withColumn("ts_s", date_trunc("second", col("ts")))
+    val err = base.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts_s").as("err_ts"))
+      .withWatermark("err_ts", "10 minutes")
+    val pur = readEvents(spark, dir).withColumn("ts_s", date_trunc("second", col("ts")))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts_s").as("pur_ts"))
+      .withWatermark("pur_ts", "10 minutes")
+    err.join(pur, expr(
+      s"""user_id = p_user_id AND
+         |pur_ts >= err_ts AND pur_ts <= err_ts + interval $windowSeconds seconds""".stripMargin))
+      .select(col("error_id"), col("purchase_id"), col("user_id"),
+        unix_timestamp(col("err_ts")).as("err_s"),
+        unix_timestamp(col("pur_ts")).as("pur_s"))
+  }
+
+  def startRangeJoinToMemory(spark: SparkSession, dir: String, name: String,
+                             windowSeconds: Long = 60): StreamingQuery =
+    streamRangeJoin(spark, dir, windowSeconds)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // --- custom state: streaming sessionization --------------------------
 
   final case class Ev(event_id: Long, user_id: Long, s: Long)

@@ -23,6 +23,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamRows.nonEmpty)
   }
 
+  test("stream-stream range join under watermarks == batch range join (nonempty)") {
+    // widen the window so the tiny sf0.001 stream actually joins
+    val q = EventStreams.startRangeJoinToMemory(spark, dir, "t_rjoin",
+      windowSeconds = 86400)
+    q.awaitTermination()
+    val streamPairs = spark.sql("SELECT error_id, purchase_id FROM t_rjoin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = EventQueries.rangeJoinEvents(spark, dir, windowSeconds = 86400)
+      .select("error_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == batchPairs)
+    assert(streamPairs.nonEmpty)
+  }
+
   test("streaming sessionize (flatMapGroupsWithState) == batch sessionize") {
     val q = EventStreams.startSessionizeToMemory(spark, dir, "t_sessions")
     q.awaitTermination()
