@@ -190,6 +190,79 @@ object SimilarityFunctions {
     }.reduce(_ + _)
   }
 
+  // --- IVF ANN (scale tier) --------------------------------------------
+
+  /** IVF coarse quantizer: k-means over the corpus with DETERMINISTIC
+    * seeding (the k vectors with the lowest xxhash64(vec_id) — no RNG
+    * state) and a fixed number of Lloyd iterations, entirely as
+    * DataFrame ops. Returns (centroid_id, centroid array<double>).
+    * Each iteration is one assign (scan + broadcast centroids) + one
+    * averaging aggregation — the standard distributed k-means shape. */
+  def ivfCentroids(candidates: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val vecs = candidates
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .localCheckpoint(true)
+    var centroids = vecs
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy("__h").limit(k)
+      .select(monotonically_increasing_id().cast("int").as("centroid_id"), col("v").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = assign(vecs, centroids)
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("centroid_id", "i").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(collect_list(struct(col("i"), col("m"))).as("dims"))
+        .select(col("centroid_id"),
+          transform(array_sort(col("dims")), s => s("m")).as("c"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment by cosine (broadcast centroids). */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("sim", dot(col("v"), col("c")) /
+        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("c"), col("c")))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+  }
+
+  /** IVF search: assign candidates to their nearest centroid once (the
+    * "index"), then each query probes only the `nprobe` closest
+    * centroid lists. Compared pairs shrink by ~k/nprobe; recall is
+    * measured against cosineTopK in tests. */
+  def annIvfTopK(queries: DataFrame, candidates: DataFrame, topK: Int,
+                 k: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(candidates, k, iters)
+    val index = assign(
+      candidates.select(col("vec_id"), toDoubleArr(col("embedding")).as("v")), centroids)
+      .select(col("vec_id").as("cid"), col("v").as("ce"), col("centroid_id"))
+      .localCheckpoint(true)
+    // query -> its nprobe nearest centroids
+    val wQ = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), toDoubleArr(col("embedding")).as("qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", dot(col("qe"), col("c")) /
+        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("c"), col("c")))))
+      .withColumn("rn", row_number().over(wQ))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("centroid_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    index.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("score", dot(col("qe"), col("ce")) /
+        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+  }
+
   /** Bucketed ANN: queries probe only their own bucket. Trades recall
     * for a |bucket|/|corpus| reduction in compared pairs; recall is
     * measured against cosineTopK in tests. */

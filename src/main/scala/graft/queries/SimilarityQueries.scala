@@ -180,6 +180,14 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF ANN — k-means coarse quantizer + nprobe search (the other
+    * scale path for similarity search; see SimilarityFunctions). */
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilarityFunctions.annIvfTopK(e.filter(col("vec_id") % 100 === 0), e, 10)
+      .orderBy("qid", "rnk")
+  }
+
   /** HLL / exact distinct side-by-side (approx_count_distinct is
     * engine-specific → rows-only). */
   def hllDistinctTokens(s: SparkSession, dir: String): DataFrame =
@@ -199,6 +207,7 @@ object SimilarityQueries {
     "dedup_minhash_docs" -> (dedupMinhashDocs _),
     "dedup_simhash_docs" -> (dedupSimhashDocs _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "hll_distinct_tokens" -> (hllDistinctTokens _))
 
   def oracle: Map[String, String] = Map(

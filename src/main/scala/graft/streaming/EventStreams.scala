@@ -98,6 +98,37 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** documents parquet physical schema (for the streaming dedup twin). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup: `dropDuplicates` keyed on the text — the
+    * streaming twin of `dedup_exact_survivors`. In production the key
+    * would be paired with a watermark column to bound state
+    * (`dropDuplicatesWithinWatermark`); AvailableNow backfill keeps full
+    * state for exact parity with the batch query. */
+  def streamDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .dropDuplicates("text")
+      .select(col("doc_id"), col("text"))
+
+  def startDedupToMemory(spark: SparkSession, dir: String,
+                         name: String): StreamingQuery =
+    streamDedupDocs(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // --- custom state: streaming sessionization --------------------------
 
   final case class Ev(event_id: Long, user_id: Long, s: Long)

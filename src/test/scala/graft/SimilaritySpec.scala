@@ -84,6 +84,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(d13 > 10, s"unrelated docs too close: $d13")
   }
 
+  test("IVF: centroids form, index assigns, and exact duplicates are found") {
+    val rnd = new scala.util.Random(13)
+    // two well-separated clusters + an exact duplicate of the query
+    val clusterA = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => (if (d == 0) 5.0 else 0.0) + rnd.nextGaussian() * 0.1).map(_.toFloat)))
+    val clusterB = (100L until 120L).map(i =>
+      (i, Array.tabulate(8)(d => (if (d == 7) 5.0 else 0.0) + rnd.nextGaussian() * 0.1).map(_.toFloat)))
+    val all = (clusterA ++ clusterB) :+ (999L, clusterA.head._2.clone())
+    val e = all.toDF("vec_id", "embedding")
+    val cents = cosineTopK(e, e, 1) // warm nothing; just ensure df ok
+    assert(cents.count() > 0)
+    val got = annIvfTopK(e.filter($"vec_id" === 0L), e, 5, k = 2, nprobe = 1, iters = 2)
+      .select("cid").as[Long].collect().toSet
+    assert(got.contains(999L)) // the duplicate shares the probed cell
+    assert(got.forall(id => id < 20L || id == 999L)) // no cross-cluster noise in top-5
+  }
+
   test("ANN LSH: identical vector is always found; recall vs brute force is sane") {
     // 40 random-ish deterministic vectors + exact duplicate of query
     val rnd = new scala.util.Random(7)

@@ -37,6 +37,16 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamPairs.nonEmpty)
   }
 
+  test("streaming dedup keeps exactly one row per distinct text") {
+    val q = EventStreams.startDedupToMemory(spark, dir, "t_dedup")
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT text FROM t_dedup").collect().map(_.getString(0))
+    val batchDistinct = graft.Catalog.table(spark, dir, "documents")
+      .select("text").distinct().count()
+    assert(streamed.length.toLong == batchDistinct)
+    assert(streamed.toSet.size == streamed.length) // no dup texts survived
+  }
+
   test("streaming sessionize (flatMapGroupsWithState) == batch sessionize") {
     val q = EventStreams.startSessionizeToMemory(spark, dir, "t_sessions")
     q.awaitTermination()
