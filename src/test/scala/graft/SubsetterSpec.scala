@@ -81,6 +81,34 @@ class SubsetterSpec extends SparkSpecBase {
     assert(keys("parent").as[Long].collect().toSet == Set(20L))
   }
 
+  test("closureFrom: incremental deltas only expand from the delta") {
+    val (tables, graph) = tinyGraph
+    // fixpoint over leaf 100 …
+    val keys1 = Subsetter.parentClosure(tables, graph,
+      Map("leaf" -> tables("leaf").filter($"lid" === 100L)))
+    // … then add leaf 102 as a delta: mid 11 and grand 2 must appear,
+    // prior keys must persist
+    val delta = Map("leaf" -> tables("leaf").filter($"lid" === 102L).select("lid"))
+    val keys2 = Subsetter.closureFrom(tables, graph,
+      keys1 + ("leaf" -> keys1("leaf").union(delta("leaf"))), delta)
+    assert(keys2("mid").as[Long].collect().toSet == Set(10L, 11L))
+    assert(keys2("grand").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("parentClosure: composite-column FK edges") {
+    val parent = Seq((1L, 10L, "p1"), (2L, 20L, "p2"), (3L, 30L, "p3"))
+      .toDF("x", "y", "pname")
+    val child = Seq((100L, 1L, 10L), (101L, 3L, 30L), (102L, 1L, 10L))
+      .toDF("cid", "a", "b")
+    val graph = FkGraph(
+      pks = Map("child" -> Seq("cid"), "parent" -> Seq("x", "y")),
+      fks = Seq(Fk("child", Seq("a", "b"), "parent", Seq("x", "y"))))
+    val keys = Subsetter.parentClosure(
+      Map("child" -> child, "parent" -> parent), graph,
+      Map("child" -> child.filter($"cid" =!= 101L)))
+    assert(keys("parent").as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+  }
+
   test("childTopK: bounded deterministic child pull") {
     val lines = Seq(
       (1L, 1, "a"), (1L, 2, "b"), (1L, 3, "c"), (1L, 4, "d"),
