@@ -63,18 +63,16 @@ object EventQueries {
   // user_id; no self-join blowup, no per-row subquery.
   def asofJoinEvents(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
-    val tagged = e.filter(col("event_type").isin("click", "purchase"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), Det.epochS(col("ts")).as("s"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"),
+        Det.epochS(col("ts")).as("c_s"))
+    graft.operators.AsofJoin.backward(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "s", leftId = "event_id",
+        rightTime = "c_s", rightId = "c_id", valueCol = "c_s")
       .select(col("event_id"), col("user_id"),
-        Det.epochS(col("ts")).as("s"),
-        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("s"), col("tag"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("last_click_s", max(when(col("tag") === 0, col("s"))).over(w))
-      .filter(col("tag") === 1)
-      .select(col("event_id"), col("user_id"),
-        coalesce(col("last_click_s"), lit(-1L)).as("last_click_s"))
+        coalesce(col("asof_time"), lit(-1L)).as("last_click_s"))
       .orderBy("event_id")
   }
 
