@@ -23,22 +23,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query must NOT bench as ~0 s and silently pass: record
+    // per-query success and surface it in the JSON line.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"bench query failed: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     val cold = SparkEntry.queries.map { case (name, fn) => name -> once(fn) }
     val results =
       if (warmup) SparkEntry.queries.map { case (name, fn) => name -> once(fn) }
       else cold
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val oks = results.map { case (k, (_, ok)) => "\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val coldTotal = if (cold.nonEmpty) cold.values.map(_._1).sum else 0.0
+    val allOk = results.values.forall(_._2) && cold.values.forall(_._2)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""ok":$oks,"all_ok":$allOk,""" +
         s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}""")
     spark.stop()
   }

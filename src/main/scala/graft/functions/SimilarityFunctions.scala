@@ -171,23 +171,95 @@ object SimilarityFunctions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Banded simhash near-dup pairs. Pigeonhole: a pair within hamming
+    * distance `maxHamming` <= 3 differs in at most 3 of the 4 16-bit
+    * words of its fingerprint, so it must agree on at least one word —
+    * candidates join on (word index, word value), a hash JOIN, never
+    * the O(n²) all-pairs space (which would defeat the point of
+    * simhash). Exact hamming verifies within candidates. */
+  def simhashPairs(docs: DataFrame, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4-word banding only covers hamming <= 3, got $maxHamming")
+    // fingerprints feed both sides of the band join and both verify
+    // joins — materialize once (id + one long per doc).
+    val h = simhash(docs, textCol).localCheckpoint(true)
+    val words = h.select(col("doc_id"),
+      posexplode(array((0 until 4).map(w =>
+        shiftright(col("simhash"), 16 * w).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("w", "word")))
+    val cand = words.as("a")
+      .join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.word") === col("b.word") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cand
+      .join(h.select(col("doc_id").as("ida"), col("simhash").as("ha")), "ida")
+      .join(h.select(col("doc_id").as("idb"), col("simhash").as("hb")), "idb")
+      .withColumn("dist", hamming(col("ha"), col("hb")))
+      .filter(col("dist") <= maxHamming)
+      .select("ida", "idb", "dist")
+  }
+
   // --- hyperplane-LSH ANN (scale tier) ---------------------------------
 
   /** Deterministic pseudo-random hyperplane component for plane j,
     * dim i — derived from a Weyl-style integer sequence (no RNG state,
-    * reproducible on any cluster). */
-  private def planeComponent(j: Int, i: Int): Double = {
+    * reproducible on any cluster — and on the DuckDB oracle, which
+    * embeds these exact double literals). */
+  private[graft] def planeComponent(j: Int, i: Int): Double = {
     val x = (2654435761L * (j * 64L + i + 1L)) % 1000003L
     x.toDouble / 1000003.0 - 0.5
   }
 
-  /** Sign-bit bucket of an embedding under `nPlanes` hyperplanes. */
-  def lshBucket(embedding: Column, nPlanes: Int, dim: Int): Column = {
+  /** Sign-bit bucket of an embedding under `nPlanes` hyperplanes
+    * starting at plane index `planeOffset` (offsets give independent
+    * hash tables for LSH amplification). */
+  def lshBucket(embedding: Column, nPlanes: Int, dim: Int,
+                planeOffset: Int = 0): Column = {
     val e = toDoubleArr(embedding)
     (0 until nPlanes).map { j =>
-      val plane = array((0 until dim).map(i => lit(planeComponent(j, i))): _*)
+      val plane = array((0 until dim).map(i => lit(planeComponent(planeOffset + j, i))): _*)
       when(dot(e, plane) > 0.0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_ + _)
+  }
+
+  /** Embedding near-dup pairs, candidate-then-verify: `nTables`
+    * independent hyperplane-LSH tables generate candidates (pairs
+    * sharing any table's bucket — a hash JOIN on (table, bucket), never
+    * the quadratic pair space), then exact cosine verifies within
+    * candidates. The 100 TB shape: one (table,bucket) shuffle of
+    * id+bucket keys, one distinct over candidate ids, two id-equi joins
+    * to re-attach vectors. Recall is the standard LSH OR-amplification
+    * `1-(1-p^b)^L`; measured against the brute-force tier in tests.
+    *
+    * Every arithmetic step (plane dots, sign buckets, cosine) is a
+    * sequential fold over deterministic literals, so a DuckDB oracle
+    * reproduces the result bitwise — this is the oracle-checked dedup
+    * path, not just a scale tier. */
+  def cosineLshPairs(emb: DataFrame, nTables: Int, planesPerTable: Int,
+                     dim: Int, minCos: Double): DataFrame = {
+    // (id, vec, norm, buckets) is reused on both sides of the candidate
+    // join and both verify joins — materialize once; it is id+vec sized.
+    val v = emb
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+      .withColumn("n", sqrt(dot(col("e"), col("e"))))
+      .withColumn("bks", array((0 until nTables).map(t =>
+        lshBucket(col("e"), planesPerTable, dim, planeOffset = t * planesPerTable)): _*))
+      .localCheckpoint(true)
+    val keyed = v.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    cand
+      .join(v.select(col("vec_id").as("ida"), col("e").as("ea"), col("n").as("an")), "ida")
+      .join(v.select(col("vec_id").as("idb"), col("e").as("eb"), col("n").as("bn")), "idb")
+      .withColumn("score", dot(col("ea"), col("eb")) / (col("an") * col("bn")))
+      .filter(col("score") >= minCos)
+      .select("ida", "idb", "score")
   }
 
   // --- IVF ANN (scale tier) --------------------------------------------

@@ -231,17 +231,27 @@ object RelationalQueries {
 
   /** Approximate percentiles (t-digest-style sketch) next to exact
     * min/max — engine-specific sketch, so rows-only; sanity-checked in
-    * scalatest range terms by the driver's row check. */
-  def aggPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    * scalatest range terms by the driver's row check. The quartiles are
+    * projected as three SCALAR doubles (not one array column): the
+    * driver's rows-only compare sorts rows in pandas and cannot hash
+    * array cells. */
+  def aggPercentileApprox(s: SparkSession, dir: String): DataFrame = {
+    val q = percentile_approx(col("o_totalprice"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
     t(s, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("cnt"),
         min(col("o_totalprice")).as("min_price"),
-        percentile_approx(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75)),
-          lit(10000)).as("approx_quartiles"),
+        q.as("__q"),
         max(col("o_totalprice")).as("max_price"))
+      .select(col("o_orderstatus"), col("cnt"), col("min_price"),
+        element_at(col("__q"), 1).as("p25"),
+        element_at(col("__q"), 2).as("p50"),
+        element_at(col("__q"), 3).as("p75"),
+        col("max_price"))
       .orderBy("o_orderstatus")
+  }
 
   // --- window functions ------------------------------------------------
 

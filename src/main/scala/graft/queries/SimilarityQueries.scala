@@ -21,18 +21,32 @@ object SimilarityQueries {
 
   /** Duplicate groups by exact text: group key count + deterministic
     * keeper (min doc_id). Hash-groupBy — one shuffle on text at scale
-    * (or on a text digest; same plan shape). */
-  def dedupExactDocs(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    * (or on a text digest; same plan shape).
+    *
+    * The fixture corpus contains NO exact duplicates at any SF (a
+    * grouped result would be empty — a vacuous oracle match), so the
+    * query first PLANTS duplicates: every 10th doc is unioned back in
+    * under a shifted id. The dedup logic itself is unchanged. */
+  def dedupExactDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    d.union(planted)
       .groupBy("text")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") > 1)
       .select("keep_id", "dup_cnt")
       .orderBy("keep_id")
+  }
 
   val dedupExactDocsSql: String =
-    """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
-      |FROM documents GROUP BY text HAVING count(*) > 1
+    """WITH d AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM d GROUP BY text HAVING count(*) > 1
       |ORDER BY keep_id""".stripMargin
 
   /** Survivor set after exact dedup: first doc_id per distinct text. */
@@ -96,35 +110,56 @@ object SimilarityQueries {
        |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
-  // --- embedding-cosine near-dup pairs (oracle tier) -------------------
-  /** Vector near-duplicates: sampled probe set against the full corpus,
-    * pairs above a cosine threshold. Probe side broadcasts; candidates
-    * stream — same scan-bound shape as cosineTopK. */
-  def dedupCosinePairs(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val a = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("ida"), SimilarityFunctions.toDoubleArr(col("embedding")).as("ea"))
-      .withColumn("an", sqrt(SimilarityFunctions.dot(col("ea"), col("ea"))))
-    val b = e.select(col("vec_id").as("idb"), SimilarityFunctions.toDoubleArr(col("embedding")).as("eb"))
-      .withColumn("bn", sqrt(SimilarityFunctions.dot(col("eb"), col("eb"))))
-    b.join(broadcast(a), col("ida") < col("idb"))
-      .withColumn("score",
-        SimilarityFunctions.dot(col("ea"), col("eb")) / (col("an") * col("bn")))
-      .filter(col("score") >= 0.9)
-      .select("ida", "idb", "score")
+  // --- embedding-cosine near-dup pairs (candidate-then-verify) ---------
+  /** LSH parameters for the cosine near-dup pair query. 4 tables × 8
+    * planes and τ=0.35 are tuned to the fixture: the corpus embeddings
+    * are near-orthogonal (max pairwise cosine ≈ 0.51 — no planted
+    * vector near-dups), so a "realistic" 0.9 threshold matches nothing
+    * at any SF and the oracle row is vacuous. τ=0.35 yields ~30 pairs
+    * at sf0.001 and sf0.01. */
+  private val CosTables = 4
+  private val CosPlanes = 8
+  private val CosTau = 0.35
+
+  /** Vector near-duplicates as candidate-then-verify: multi-table
+    * hyperplane-LSH buckets generate candidates via a hash JOIN on
+    * (table, bucket), exact cosine verifies — no BroadcastNestedLoop,
+    * no quadratic pair space; see SimilarityFunctions.cosineLshPairs.
+    * The buckets are deterministic folds over literal planes, so the
+    * DuckDB oracle reproduces candidate generation AND verification
+    * bitwise (this is a full hash-checked query, not a rows-only tier). */
+  def dedupCosinePairs(s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.cosineLshPairs(emb(s, dir),
+        nTables = CosTables, planesPerTable = CosPlanes, dim = 64, minCos = CosTau)
       .orderBy("ida", "idb")
-  }
 
   val dedupCosinePairsSql: String = {
-    val dot = Det.sqlFoldChain(i => s"(ea[$i] * eb[$i])", 64)
-    val na = Det.sqlFoldChain(i => s"(ea[$i] * ea[$i])", 64)
-    val nb = Det.sqlFoldChain(i => s"(eb[$i] * eb[$i])", 64)
-    s"""WITH a AS (SELECT vec_id AS ida, CAST(embedding AS DOUBLE[]) AS ea
-       |           FROM embeddings WHERE vec_id % 20 = 0),
-       |b AS (SELECT vec_id AS idb, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings),
-       |s AS (SELECT ida, idb, $dot / (sqrt($na) * sqrt($nb)) AS score
-       |      FROM a JOIN b ON ida < idb)
-       |SELECT ida, idb, score FROM s WHERE score >= 0.9
+    // Mirror of lshBucket: per hash table t, bucket = Σ_j [fold(e·plane_{t*8+j}) > 0] << j
+    // with the exact planeComponent double literals (Double.toString
+    // round-trips, so DuckDB parses the identical IEEE value).
+    def planeDot(j: Int): String =
+      Det.sqlFoldChain(i => s"(e[$i] * ${SimilarityFunctions.planeComponent(j, i - 1)})", 64)
+    def bucketExpr(t: Int): String =
+      (0 until CosPlanes).map { j =>
+        s"(CASE WHEN ${planeDot(t * CosPlanes + j)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val tableSelects = (0 until CosTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM v"
+    }.mkString("\n  UNION ALL ")
+    val dot = Det.sqlFoldChain(i => s"(va.e[$i] * vb.e[$i])", 64)
+    val na = Det.sqlFoldChain(i => s"(va.e[$i] * va.e[$i])", 64)
+    val nb = Det.sqlFoldChain(i => s"(vb.e[$i] * vb.e[$i])", 64)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |k AS (
+       |  $tableSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM k a JOIN k b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |s AS (
+       |  SELECT ida, idb, $dot / (sqrt($na) * sqrt($nb)) AS score
+       |  FROM cand JOIN v va ON va.vec_id = ida JOIN v vb ON vb.vec_id = idb)
+       |SELECT ida, idb, score FROM s WHERE score >= $CosTau
        |ORDER BY ida, idb""".stripMargin
   }
 
@@ -159,18 +194,12 @@ object SimilarityQueries {
       .orderBy("ida", "idb")
   }
 
-  /** SimHash near-dup: 64-bit fingerprints, candidate pairs within
-    * hamming distance 3 over a modulus-sampled subset. */
-  def dedupSimhashDocs(s: SparkSession, dir: String): DataFrame = {
-    val h = SimilarityFunctions.simhash(docs(s, dir).filter(col("doc_id") % 25 === 0), "text")
-    val a = h.select(col("doc_id").as("ida"), col("simhash").as("ha"))
-    val b = h.select(col("doc_id").as("idb"), col("simhash").as("hb"))
-    a.join(b, col("ida") < col("idb"))
-      .withColumn("dist", SimilarityFunctions.hamming(col("ha"), col("hb")))
-      .filter(col("dist") <= 3)
-      .select("ida", "idb", "dist")
+  /** SimHash near-dup over the FULL corpus: 64-bit fingerprints, 4×16-bit
+    * word banding for candidate generation (hash join — pigeonhole
+    * covers hamming <= 3), exact hamming verify. */
+  def dedupSimhashDocs(s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.simhashPairs(docs(s, dir), "text", maxHamming = 3)
       .orderBy("ida", "idb")
-  }
 
   /** Hyperplane-LSH bucketed ANN — the scale path for similarity
     * search; compares only within sign-bit buckets. */
