@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   runMain graft.SubsetCli <srcDir> <destDir> <fraction> \
   *     [--logarithmic] [--children N] [--full-tables glob,glob] \
-  *     [--exclude-tables glob,glob] [--force table:pk[,table:pk...]]
+  *     [--exclude-tables glob,glob] \
+  *     [--force table:pk[,table:v1+v2...]]   (+-joined = composite PK tuple)
   */
 object SubsetCli {
 
@@ -35,10 +36,17 @@ object SubsetCli {
       case "--exclude-tables" :: globs :: tl =>
         cfg = cfg.copy(excludeTables = globs.split(',').toSeq); tl
       case "--force" :: specs :: tl =>
-        val forced = specs.split(',').toSeq
-          .map(_.split(':')).map(a => a(0) -> a(1).toLong)
+        // table:pk for single-column PKs; table:v1+v2 for composite PKs
+        // (values in FkGraph.pks column order)
+        val (comp, single) = specs.split(',').toSeq
+          .map(_.split(':')).map(a => a(0) -> a(1))
+          .partition(_._2.contains('+'))
+        val forced = single.map { case (t, v) => t -> v.toLong }
           .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2) }
-        cfg = cfg.copy(force = forced); tl
+        val forcedComp = comp
+          .map { case (t, v) => t -> v.split('+').toSeq.map(_.toLong: Any) }
+          .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2) }
+        cfg = cfg.copy(force = forced, forceComposite = forcedComp); tl
       case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
     }
     CliArgs(src, dest, cfg)

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed per-partition in batches —
   * north_star extension.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): [[decodeImage]] derives deterministic fake "pixels"
-  * from the bytes. Everything around it — schema, Dataset encoders,
-  * per-partition batch shape, partition-preserving execution — is real
-  * and tested; swapping in a real decoder changes only the stub body.
+  * [[decodeImage]] is a REAL codec for the formats the JVM decodes
+  * natively (`javax.imageio`: PNG/BMP/GIF/JPEG — no external library
+  * needed); bytes that are not a decodable image (the synthetic fixture
+  * blobs, truncated files) fall back to a deterministic byte-derived
+  * featurization, so the pipeline is total — no row ever throws. The
+  * Spark side — schema, Dataset encoders, per-partition batch shape,
+  * partition-preserving execution — is the same for both paths.
   *
   * Scale: `mapPartitions` keeps decode batched and local (no shuffle);
   * feature extraction adds fixed-width columns so downstream pruning
@@ -30,10 +32,42 @@ object Multimodal {
       mean_intensity: Double,
       histogram: Array[Long])
 
-  /** STUB — a real deployment binds an image codec here. Deterministic
-    * fake: width/height from byte-length, "pixels" are the bytes
-    * themselves. Keeps the full pipeline runnable + assertable. */
+  /** Decode image bytes into typed features: real `javax.imageio`
+    * decode when the bytes are a supported image (dimensions, channel
+    * count, mean gray intensity, 16-bin gray histogram — gray =
+    * (r+g+b)/3 over the ARGB raster); [[fallbackFeatures]] otherwise. */
   def decodeImage(bytes: Array[Byte]): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) fallbackFeatures(bytes)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val channels = img.getColorModel.getNumComponents
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          hist(gray >> 4) += 1
+          sum += gray
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w.toLong * h.toLong, 1L)
+      MediaFeatures(-1L, w, h, channels, sum.toDouble / n.toDouble, hist)
+    }
+  }
+
+  /** Deterministic byte-derived featurization for non-image binaries:
+    * width/height from byte-length, "pixels" are the bytes themselves.
+    * Keeps the pipeline total over arbitrary blobs. */
+  def fallbackFeatures(bytes: Array[Byte]): MediaFeatures = {
     val n = math.max(bytes.length, 1)
     val width = math.max(1, math.sqrt(n.toDouble).toInt)
     val height = math.max(1, n / width)

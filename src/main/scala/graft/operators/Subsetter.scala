@@ -39,15 +39,21 @@ object Subsetter {
   /** Subset configuration — mirrors the reference CLI
     * (`rdbms_subsetter.py :: generate()` argparse): fraction,
     * `--logarithmic`, `--full-tables`, `--exclude-tables`, `--force`,
-    * `--children`. */
+    * `--children`. `force` addresses single-column PKs; composite-PK
+    * seeds go through `forceComposite` (one value per PK column, in
+    * `FkGraph.pks` order) — using `force` on a composite-PK table
+    * fails loudly rather than silently dropping the request.
+    * `topUpRounds` bounds the completeness top-up loop (step 6). */
   final case class Config(
       fraction: Double,
       logarithmic: Boolean = false,
       fullTables: Seq[String] = Nil,     // fnmatch-style globs
       excludeTables: Seq[String] = Nil,  // fnmatch-style globs
       force: Map[String, Seq[Long]] = Map.empty, // table -> pk values
+      forceComposite: Map[String, Seq[Seq[Any]]] = Map.empty, // table -> pk tuples
       children: Int = 3,
-      childRounds: Int = 1)
+      childRounds: Int = 1,
+      topUpRounds: Int = 4)
 
   // ---------------------------------------------------------------------
   // Target sizing — rdbms_subsetter.py :: Db.assign_target (SURVEY §2 row 4)
@@ -92,18 +98,20 @@ object Subsetter {
   def modSample(df: DataFrame, keyCol: String, m: Long): DataFrame =
     df.filter(col(keyCol) % m === 0)
 
-  /** Deterministic pseudo-random sample of ~`target` rows out of `n`:
-    * keep rows whose 64-bit key hash falls under the target fraction.
-    * No global sort and no limit — O(scan) at any scale. Engine-internal
-    * (`xxhash64` never reaches an oracle query). */
+  /** Deterministic pseudo-random sample of ~`target` rows out of `n`
+    * (binomial, not exact — [[subset]] step 6 tops tables up to exact
+    * targets): keep rows whose 64-bit key hash falls under the target
+    * fraction. No global sort and no limit — O(scan) at any scale.
+    * Engine-internal (`xxhash64` never reaches an oracle query).
+    * `pmod`, not `abs` (abs(Long.MinValue) is negative — a 1-in-2⁶⁴
+    * row-drop anomaly); the modulus quantizes the kept fraction to
+    * 1e-6 steps, which the ceil biases to "at least". */
   def hashSample(df: DataFrame, pkCols: Seq[String], target: Long, n: Long): DataFrame = {
     if (n <= 0L || target >= n) df
     else {
-      // Unsigned comparison via threshold on the positive half plus the
-      // wrap: map hash to [0,1) by abs — deterministic across runs.
       val frac = target.toDouble / n.toDouble
-      val h = abs(xxhash64(pkCols.map(col): _*))
-      df.filter(h % 1000000L < lit(math.ceil(frac * 1000000L).toLong))
+      val h = pmod(xxhash64(pkCols.map(col): _*), lit(1000000L))
+      df.filter(h < lit(math.ceil(frac * 1000000L).toLong))
     }
   }
 
@@ -201,6 +209,17 @@ object Subsetter {
     val (edges, acyclic) = orderEdges(graph)
     var keys = existing
 
+    // Materialize + measure in ONE job: a LAZY localCheckpoint persists
+    // its partitions on the first action, so the count() both truncates
+    // lineage and answers the convergence probe — halving the per-edge
+    // job count vs eager-checkpoint-then-isEmpty (each extra job is a
+    // full cluster barrier at scale; measured ~0.3 s scheduling constant
+    // apiece at local[]).
+    def ckptCount(df: DataFrame): (DataFrame, Long) = {
+      val c = df.localCheckpoint(false)
+      (c, c.count())
+    }
+
     // Project the demanded parent keys of one edge out of a (possibly
     // shared) child FK projection. NULL FK values demand no parent (the
     // reference skips them).
@@ -213,17 +232,15 @@ object Subsetter {
         .distinct()
 
     // Merge fresh (not-yet-known) parent keys into `keys`; None if none.
-    // `fresh` is the only thing that needs materializing (its emptiness
+    // `fresh` is the only thing that needs materializing (its count
     // decides convergence); the union with the existing checkpointed
-    // set is depth-1 lineage and stays lazy — every eager job here is
-    // ~0.3 s of scheduling constant at local scale and a full barrier
-    // on a cluster.
+    // set is depth-1 lineage and stays lazy.
     def freshMerge(fk: Fk, needed: DataFrame): Option[DataFrame] = {
-      val fresh = ckpt(keys.get(fk.parentTable) match {
+      val (fresh, n) = ckptCount(keys.get(fk.parentTable) match {
         case Some(k) => needed.join(k, graph.pks(fk.parentTable), "left_anti")
         case None    => needed
       })
-      if (fresh.isEmpty) None
+      if (n == 0L) None
       else {
         keys += fk.parentTable -> (keys.get(fk.parentTable) match {
           case Some(k) => k.union(fresh)
@@ -323,8 +340,38 @@ object Subsetter {
   // Full pipeline — rdbms_subsetter.py :: create_subset_in (SURVEY §3b)
   // ---------------------------------------------------------------------
 
+  /** Forced-row predicate for a table: single-column values from
+    * `cfg.force` OR'd with composite tuples from `cfg.forceComposite`.
+    * Fails loudly when `force` names a composite-PK table — the
+    * reference silently dropped those, losing an explicit user request. */
+  private def forcedPredicate(cfg: Config, table: String,
+                              pkCols: Seq[String]): Option[Column] = {
+    cfg.force.get(table).foreach { _ =>
+      require(pkCols.size == 1,
+        s"--force $table: table has composite PK ${pkCols.mkString("(", ",", ")")}; " +
+          "pass full tuples via forceComposite instead")
+    }
+    val single = cfg.force.get(table).filter(_.nonEmpty)
+      .map(vals => col(pkCols.head).isin(vals: _*))
+    val composite = cfg.forceComposite.get(table).filter(_.nonEmpty).map { tuples =>
+      tuples.map { tup =>
+        require(tup.size == pkCols.size,
+          s"forceComposite $table: tuple $tup does not match PK $pkCols")
+        pkCols.zip(tup).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+      }.reduce(_ || _)
+    }
+    (single, composite) match {
+      case (Some(a), Some(b)) => Some(a || b)
+      case (a, b)             => a.orElse(b)
+    }
+  }
+
   /** Run the whole subsetting pipeline; returns table -> subset rows.
-    * Guarantees the reference's referential-integrity postcondition. */
+    * Guarantees the reference's referential-integrity postcondition,
+    * and (step 6) the reference's completeness guarantee: every table
+    * reaches its target count exactly whenever enough source rows
+    * exist — hash sampling alone lands near the target only in
+    * expectation. */
   def subset(
       tables: Map[String, DataFrame],
       graph: FkGraph,
@@ -334,23 +381,35 @@ object Subsetter {
     val included = tables.keys.toSeq.sorted
       .filterNot(t => globMatch(cfg.excludeTables, t))
 
-    // 1–2. seed: per-table deterministic sample at target size + forced rows
     // Row counts come from parquet footers when the caller has them
     // (metadata-only — no job); df.count() is the fallback.
-    var seeds: Map[String, DataFrame] = included.map { t =>
-      val df = tables(t)
-      val n = rowCounts.getOrElse(t, df.count())
+    val sourceN: Map[String, Long] =
+      included.map(t => t -> rowCounts.getOrElse(t, tables(t).count())).toMap
+    val targets: Map[String, Long] = included.map { t =>
       val full = globMatch(cfg.fullTables, t)
-      val tgt = targetSize(n, cfg.fraction, cfg.logarithmic, full)
+      t -> targetSize(sourceN(t), cfg.fraction, cfg.logarithmic, full)
+    }.toMap
+
+    // 1–2. seed: per-table deterministic sample at target size + forced rows
+    val seeds: Map[String, DataFrame] = included.map { t =>
+      val df = tables(t)
+      val n = sourceN(t)
+      val tgt = targets(t)
       val pkCols = graph.pks(t)
+      val forced = forcedPredicate(cfg, t, pkCols)
       val sampled =
         if (tgt >= n) df
         else {
-          val s = hashSample(df, pkCols, tgt, n)
-          cfg.force.get(t) match {
-            case Some(vals) if pkCols.size == 1 =>
-              s.union(df.filter(col(pkCols.head).isin(vals: _*)))
-            case _ => s
+          // Bias the binomial sample ~3σ UNDER target: an undershoot is
+          // exactly what the top-up (step 6) repairs — to an exact
+          // count — while an overshoot can never be trimmed (a sampled
+          // key may be closure-demanded). Net effect: tables land ON
+          // target, not merely near it.
+          val biased = math.max(1L, tgt - 3L * math.ceil(math.sqrt(tgt.toDouble)).toLong)
+          val s = hashSample(df, pkCols, biased, n)
+          forced match {
+            case Some(pred) => s.union(df.filter(pred))
+            case None       => s
           }
         }
       t -> sampled
@@ -381,15 +440,17 @@ object Subsetter {
           val pulled = childTopK(tables(fk.childTable), graph.pks(fk.childTable),
               fk, snapshot(fk.parentTable), cfg.children)
             .select(graph.pks(fk.childTable).map(col): _*).distinct()
+          // lazy checkpoint: the count() materializes it — one job,
+          // emptiness included, instead of eager-ckpt + isEmpty
           val fresh = (snapshot.get(fk.childTable) match {
             case Some(k) => pulled.join(k, graph.pks(fk.childTable), "left_anti")
             case None    => pulled
-          }).localCheckpoint(true)
-          fk.childTable -> fresh
+          }).localCheckpoint(false)
+          (fk.childTable, fresh, fresh.count())
         }}), Duration.Inf)
       val deltas = scala.collection.mutable.Map[String, DataFrame]()
-      freshByEdge.foreach { case (t, fresh) =>
-        if (!fresh.isEmpty) {
+      freshByEdge.foreach { case (t, fresh, freshN) =>
+        if (freshN > 0L) {
           // distinct: two edges into the same child table (computed
           // against the same snapshot) can pull overlapping keys
           keys += t -> keys.get(t)
@@ -401,7 +462,58 @@ object Subsetter {
       keys = closureFrom(tables, graph, keys, deltas.toMap)
     }
 
-    // 6. materialize rows
+    // 6. completeness top-up — the reference's create_subset_in main
+    // loop keeps pulling rows for the least-complete table until every
+    // completenessScore hits 1. Set-at-a-time analogue: measure each
+    // table's shortfall vs target (closure can only OVERfill — never
+    // fix an underfill), sample exactly the gap from the not-yet-kept
+    // keys (deterministic hash order, TakeOrdered — no full sort), and
+    // re-close the additions incrementally. Terminates when every table
+    // is at-target or its source is exhausted. Counts are over PK key
+    // sets (== rows when the PK is unique; a non-unique PK can
+    // overshoot in rows, as any key-closed subsetter must).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    var round = 0
+    var exhausted = Set.empty[String]
+    var shortfalls = Map.empty[String, Long]
+    def measure(): Map[String, Long] = Await.result(
+      Future.sequence(included.filterNot(exhausted).map { t => Future {
+        val have = keys.get(t).map(_.count()).getOrElse(0L)
+        t -> math.max(0L, targets(t) - have)
+      }}), Duration.Inf).filter(_._2 > 0L).toMap
+    shortfalls = measure()
+    while (shortfalls.nonEmpty && round < cfg.topUpRounds) {
+      round += 1
+      val adds = Await.result(
+        Future.sequence(shortfalls.toSeq.map { case (t, gap) => Future {
+          val pk = graph.pks(t)
+          val remaining = keys.get(t) match {
+            case Some(k) => tables(t).join(k, pk, "left_anti")
+            case None    => tables(t)
+          }
+          val extra = remaining
+            .select(pk.map(col): _*).distinct()
+            .orderBy(pmod(xxhash64(pk.map(col): _*), lit(1000003L)) +: pk.map(col): _*)
+            .limit(math.min(gap, Int.MaxValue.toLong).toInt)
+            .localCheckpoint(false)
+          (t, extra, extra.count())
+        }}), Duration.Inf)
+      val deltas = adds.collect { case (t, extra, n) if n > 0L =>
+        if (n < shortfalls(t)) exhausted += t // source can't fill the gap
+        keys += t -> keys.get(t).map(_.union(extra)).getOrElse(extra)
+        t -> extra
+      }.toMap
+      exhausted ++= adds.collect { case (t, _, 0L) => t }
+      if (deltas.isEmpty) shortfalls = Map.empty
+      else {
+        keys = closureFrom(tables, graph, keys, deltas)
+        shortfalls = measure()
+      }
+    }
+
+    // 7. materialize rows
     keys.collect { case (t, k) if tables.contains(t) =>
       t -> tables(t).join(k, graph.pks(t), "left_semi")
     }

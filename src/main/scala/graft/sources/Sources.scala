@@ -39,10 +39,18 @@ object Sources {
     df.write.mode("overwrite").json(path)
 
   /** JDBC passthrough — partitioned reads via (column, bounds,
-    * numPartitions) keep a real-DB scan parallel. */
+    * numPartitions) keep a real-DB scan parallel. Exercised end-to-end
+    * against embedded Derby in JdbcRoundTripSpec. */
   def readJdbc(spark: SparkSession, url: String, table: String,
                props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** JDBC sink (overwrite = drop + recreate, the reference's
+    * create-then-insert shape; each partition writes its own batch of
+    * INSERTs in parallel — the buffered-write analogue). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties): Unit =
+    df.write.mode("overwrite").jdbc(url, table, props)
 
   /** Row count from parquet footers only — the analogue of the
     * reference's catalog-stats estimate (`_find_n_rows(estimate=True)`),

@@ -6,7 +6,34 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("imageFeatures: deterministic stub decode with typed schema") {
+  test("decodeImage: real PNG decode via javax.imageio, end-to-end through Spark") {
+    // deterministic 4x2 grayscale gradient PNG, generated in-memory
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x + y * w) * 255 / math.max(1, w * h - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val bytes = png(4, 2)
+    // direct decode: exact dimensions, exact mean of the gradient
+    val f = Multimodal.decodeImage(bytes)
+    assert(f.width == 4 && f.height == 2 && f.channels == 3)
+    val expectedMean = (0 until 8).map(i => i * 255 / 7).sum.toDouble / 8.0
+    assert(f.mean_intensity == expectedMean)
+    assert(f.histogram.sum == 8)
+    // same decode through the distributed pipeline
+    val df = Seq((42L, bytes)).toDF("id", "bin")
+    val viaSpark = Multimodal.imageFeatures(df, "id", "bin").collect().head
+    assert(viaSpark.media_id == 42L && viaSpark.width == 4 && viaSpark.height == 2)
+    assert(viaSpark.mean_intensity == expectedMean)
+  }
+
+  test("imageFeatures: deterministic fallback decode for non-image bytes") {
     val df = Seq((1L, "abcd"), (2L, "a" * 100)).toDF("id", "txt")
       .select($"id", encode($"txt", "UTF-8").as("bin"))
     val feats = Multimodal.imageFeatures(df, "id", "bin").collect().sortBy(_.media_id)

@@ -150,6 +150,72 @@ class SubsetterSpec extends SparkSpecBase {
     assert(out("grand").filter($"gid" === 2L).count() == 1)  // grandparent
   }
 
+  // --- composite-PK force ----------------------------------------------
+  // orders(oid) <- lines(oid, lnum): lines' PK is composite
+  private def compositeGraph: (Map[String, DataFrame], FkGraph) = {
+    val orders = (1L to 20L).map(i => (i, s"o$i")).toDF("oid", "oname")
+    val lines = (1L to 20L).flatMap(o => (1 to 3).map(l => (o, l, s"v$o-$l")))
+      .toDF("oid", "lnum", "v")
+    val graph = FkGraph(
+      pks = Map("orders" -> Seq("oid"), "lines" -> Seq("oid", "lnum")),
+      fks = Seq(Fk("lines", Seq("oid"), "orders", Seq("oid"))))
+    (Map("orders" -> orders, "lines" -> lines), graph)
+  }
+
+  test("subset: composite-PK forced tuples survive with their parent closure") {
+    val (tables, graph) = compositeGraph
+    val out = Subsetter.subset(tables, graph,
+      Subsetter.Config(fraction = 0.1, children = 0,
+        forceComposite = Map("lines" -> Seq(Seq(17L, 2)))))
+    assert(out("lines").filter($"oid" === 17L && $"lnum" === 2).count() == 1)
+    assert(out("orders").filter($"oid" === 17L).count() == 1) // closure pulled parent
+    val orphans = Subsetter.validateRI(out, graph).select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L))
+  }
+
+  test("subset: single-column --force on a composite-PK table fails loudly") {
+    val (tables, graph) = compositeGraph
+    val e = intercept[IllegalArgumentException] {
+      Subsetter.subset(tables, graph,
+        Subsetter.Config(fraction = 0.1, force = Map("lines" -> Seq(17L))))
+    }
+    assert(e.getMessage.contains("composite PK"))
+  }
+
+  // --- completeness top-up ---------------------------------------------
+  test("subset: completeness top-up hits targets exactly (no-FK tables)") {
+    val a = (1L to 100L).map(i => (i, s"a$i")).toDF("aid", "av")
+    val b = (1L to 40L).map(i => (i, s"b$i")).toDF("bid", "bv")
+    val graph = FkGraph(pks = Map("a" -> Seq("aid"), "b" -> Seq("bid")), fks = Nil)
+    val out = Subsetter.subset(Map("a" -> a, "b" -> b), graph,
+      Subsetter.Config(fraction = 0.3))
+    assert(out("a").count() == 30) // ceil(100*0.3) — exactly, not binomially near
+    assert(out("b").count() == 12) // ceil(40*0.3)
+  }
+
+  test("subset: top-up re-closes parents; child exact, parent at-least, RI holds") {
+    val parent = (1L to 50L).map(i => (i, s"p$i")).toDF("pid", "pname")
+    val child = (1L to 100L).map(i => (i, (i - 1) / 2 + 1)).toDF("cid", "pid")
+    val graph = FkGraph(
+      pks = Map("parent" -> Seq("pid"), "child" -> Seq("cid")),
+      fks = Seq(Fk("child", Seq("pid"), "parent", Seq("pid"))))
+    val out = Subsetter.subset(Map("parent" -> parent, "child" -> child), graph,
+      Subsetter.Config(fraction = 0.2, children = 0))
+    assert(out("child").count() == 20)   // exactly ceil(100*0.2)
+    assert(out("parent").count() >= 10)  // target met; closure may overfill
+    val orphans = Subsetter.validateRI(out, graph).select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L))
+  }
+
+  test("subset: top-up stops at source exhaustion (target unreachable)") {
+    // exclude-nothing, but fraction > 1 is capped; instead: tiny table,
+    // full-tables glob forces n, while a sibling at fraction 0.5 tops up
+    val a = (1L to 7L).map(i => (i, s"a$i")).toDF("aid", "av")
+    val graph = FkGraph(pks = Map("a" -> Seq("aid")), fks = Nil)
+    val out = Subsetter.subset(Map("a" -> a), graph, Subsetter.Config(fraction = 0.99))
+    assert(out("a").count() == 7) // ceil(7*0.99)=7 == n, reached by exhaustion path
+  }
+
   test("subset: exclude and full-table globs") {
     val (tables, graph) = tinyGraph
     val out = Subsetter.subset(tables, graph,
