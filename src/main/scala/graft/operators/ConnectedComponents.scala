@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair graph — the step that turns
+  * near-duplicate PAIRS (minhash/simhash/cosine candidates) into dedup
+  * GROUPS: every node labeled with the minimum node id reachable through
+  * the pair edges, so `label` is the canonical survivor and everything
+  * else in the component is a duplicate of it. A pair list alone cannot
+  * express this: duplicates are transitive (a~b, b~c => one group
+  * {a,b,c}) and any per-pair keep/drop rule double-drops or double-keeps
+  * chains.
+  *
+  * Algorithm: min-label propagation to fixpoint. Each round every node
+  * takes the min of its own label and its neighbors' labels — one
+  * (edge join + union + groupBy-min) per round, converging in
+  * O(component diameter) rounds. This is the standard set-at-a-time
+  * formulation (the map-reduce literature's "hash-to-min" without the
+  * star optimizations); at 100 TB each round is one shuffle of the
+  * (node, label) relation keyed by node — never materializing the
+  * transitive closure, never quadratic. Labels are ids, so the result
+  * is deterministic regardless of partitioning or round count.
+  *
+  * Convergence probe: `sum(label)` is strictly monotone decreasing
+  * until fixpoint, so one aggregate job per round both materializes the
+  * round (lazy localCheckpoint) and decides termination — no separate
+  * isEmpty/subtract pass.
+  */
+object ConnectedComponents {
+
+  /** `edges`: (src, dst) long pairs, treated as undirected. `nodes`:
+    * one long id per row (isolated nodes keep their own label). Returns
+    * (id, component) with component = min id in the node's component. */
+  def components(nodes: DataFrame, edges: DataFrame,
+                 maxIters: Int = 25): DataFrame = {
+    val spark = nodes.sparkSession
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    var comp = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint(false)
+    var lastSum = comp.agg(sum("component")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      iter += 1
+      // neighbor labels flow along edges; groupBy-min folds them with
+      // the node's own label. One shuffle keyed by node id.
+      val viaEdges = bidir.join(comp, bidir("src") === comp("id"))
+        .select(bidir("dst").as("id"), col("component"))
+      comp = comp.union(viaEdges)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(false)
+      val s = comp.agg(sum("component")).head().getLong(0)
+      converged = s == lastSum
+      lastSum = s
+    }
+    comp
+  }
+
+  /** Dedup-group view over components: only nodes whose component has
+    * more than one member, with the canonical keeper and group size —
+    * the relation a dedup pipeline joins against to drop duplicates. */
+  def dupGroups(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val comp = components(nodes, edges)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+    comp.join(sizes, "component")
+      .select(col("id"), col("component").as("keep_id"), col("group_size"))
+  }
+}

@@ -57,6 +57,36 @@ object CoreQueries {
       |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey""".stripMargin
 
+  // --- stratified sampling: exact k per stratum -----------------------
+  /** Exactly 5 orders per priority stratum, picked in a deterministic
+    * pseudo-random order — Weyl-multiplier BIGINT arithmetic, not an
+    * engine hash, so the oracle reproduces the pick bitwise. The window
+    * is one shuffle on the stratum key; at 100 TB this is the textbook
+    * distributed stratified sampler (per-stratum heap, no global sort).
+    * Training-data pipelines use this shape to balance classes. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(pmod(col("o_orderkey") * lit(2654435761L), lit(1000003L)),
+        col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY (o_orderkey * 2654435761) % 1000003, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 5
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
   // --- §2a row 6: conjunctive filters, pushed to the scan -------------
   def filterPushdown(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -256,6 +286,7 @@ object CoreQueries {
     "count_exact" -> (countExact _),
     "target_sizes" -> (targetSizes _),
     "sample_orders" -> (sampleOrders _),
+    "sample_stratified" -> (sampleStratified _),
     "filter_pushdown" -> (filterPushdown _),
     "point_lookup" -> (pointLookup _),
     "semijoin_exists" -> (semijoinExists _),
@@ -272,6 +303,7 @@ object CoreQueries {
     "count_exact" -> countExactSql,
     "target_sizes" -> targetSizesSql,
     "sample_orders" -> sampleOrdersSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "filter_pushdown" -> filterPushdownSql,
     "point_lookup" -> pointLookupSql,
     "semijoin_exists" -> semijoinExistsSql,

@@ -163,6 +163,46 @@ object SimilarityQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // --- dedup groups: connected components over the pair graph ---------
+  /** Near-dup GROUPS from near-dup PAIRS: min-label propagation over
+    * the exact-Jaccard pair graph (transitive closure of "is a near
+    * duplicate of"), labeling every doc with its component's minimum
+    * doc_id — the canonical survivor. The oracle reproduces the
+    * fixpoint as a recursive CTE, so this is a full hash-checked query.
+    * See graft.operators.ConnectedComponents for the 100 TB story. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") % 25 === 0)
+    val pairs = SimilarityFunctions.jaccardPairs(d, 0.5)
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val nodes = d.select(col("doc_id").as("id"))
+    graft.operators.ConnectedComponents.components(nodes, pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      |tok AS (SELECT DISTINCT doc_id, tok FROM
+      |        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ida, idb FROM inter
+      |  JOIN sizes sa ON ida = sa.doc_id
+      |  JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5),
+      |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+      |          UNION ALL SELECT idb, ida FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM d
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id AS doc_id, min(lab) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Same top-k as sim_topk_embeddings but through the native Catalyst
     * `graft_cosine` expression (fused single-loop codegen — see
     * graft.plans.CosineSimilarity). Bitwise-identical accumulation
@@ -230,6 +270,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_jaccard_docs" -> (dedupJaccardDocs _),
+    "dedup_components" -> (dedupComponents _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "sim_topk_embeddings" -> (simTopkEmbeddings _),
     "sim_topk_native" -> (simTopkNative _),
@@ -243,6 +284,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> dedupExactDocsSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,
     "dedup_jaccard_docs" -> dedupJaccardDocsSql,
+    "dedup_components" -> dedupComponentsSql,
     "dedup_cosine_pairs" -> dedupCosinePairsSql,
     "sim_topk_embeddings" -> simTopkEmbeddingsSql,
     "sim_topk_native" -> simTopkEmbeddingsSql) // same oracle: bitwise-equal path

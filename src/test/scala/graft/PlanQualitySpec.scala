@@ -50,6 +50,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("cosine near-dup candidates come from a hash join, never BNLJ/cartesian") {
+    val df = SimilarityQueries.dedupCosinePairs(spark, dir)
+    df.collect() // finalize AQE so the real join strategies are visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("banded simhash candidates come from a hash join, never BNLJ/cartesian") {
+    val df = SimilarityQueries.dedupSimhashDocs(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution

@@ -84,6 +84,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(d13 > 10, s"unrelated docs too close: $d13")
   }
 
+  test("simhashPairs: banded candidates find exactly the all-pairs hamming matches") {
+    // 8 docs: two identical pairs, one near pair, rest far apart
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),          // identical to 1
+      (3L, "alpha beta gamma delta epsilon eta"),           // near 1/2
+      (4L, "one two three four five six seven eight"),
+      (5L, "one two three four five six seven eight"),      // identical to 4
+      (6L, "red orange yellow green blue indigo violet"),
+      (7L, "cat dog fish bird mouse horse cow sheep goat"),
+      (8L, "north south east west up down left right")).toDF("doc_id", "text")
+    val banded = simhashPairs(docs, "text", maxHamming = 3)
+      .select("ida", "idb", "dist").as[(Long, Long, Int)].collect().toSet
+    // ground truth: brute-force over all C(8,2) pairs
+    val h = simhash(docs, "text").as[(Long, Long)].collect().toMap
+    val truth = (for {
+      a <- h.keys; b <- h.keys if a < b
+      d = java.lang.Long.bitCount(h(a) ^ h(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded == truth) // pigeonhole banding loses nothing at hamming<=3
+    assert(truth.exists { case (a, b, d) => d == 0 }) // fixture really has dups
+  }
+
+  test("cosineLshPairs: verified subset of brute-force pairs, dups always found") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 30L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // plant a near-duplicate of vector 0 (tiny perturbation)
+    val nearDup = (500L, base.head._2.map(v => v + 0.01f))
+    val e = (base :+ nearDup).toDF("vec_id", "embedding")
+    val got = cosineLshPairs(e, nTables = 4, planesPerTable = 6, dim = 16, minCos = 0.9)
+      .select("ida", "idb", "score").as[(Long, Long, Double)].collect()
+    assert(got.exists { case (a, b, _) => a == 0L && b == 500L }) // planted dup found
+    // every reported pair genuinely clears the threshold (verify step is exact)
+    assert(got.forall(_._3 >= 0.9))
+  }
+
   test("IVF: centroids form, index assigns, and exact duplicates are found") {
     val rnd = new scala.util.Random(13)
     // two well-separated clusters + an exact duplicate of the query
