@@ -209,16 +209,6 @@ object Subsetter {
     val (edges, acyclic) = orderEdges(graph)
     var keys = existing
 
-    // Materialize + measure in ONE job: a LAZY localCheckpoint persists
-    // its partitions on the first action, so the count() both truncates
-    // lineage and answers the convergence probe — halving the per-edge
-    // job count vs eager-checkpoint-then-isEmpty (each extra job is a
-    // full cluster barrier at scale; measured ~0.3 s scheduling constant
-    // apiece at local[]).
-    def ckptCount(df: DataFrame): (DataFrame, Long) = {
-      val c = df.localCheckpoint(false)
-      (c, c.count())
-    }
 
     // Project the demanded parent keys of one edge out of a (possibly
     // shared) child FK projection. NULL FK values demand no parent (the
@@ -231,24 +221,11 @@ object Subsetter {
         .na.drop()
         .distinct()
 
-    // Merge fresh (not-yet-known) parent keys into `keys`; None if none.
-    // `fresh` is the only thing that needs materializing (its count
-    // decides convergence); the union with the existing checkpointed
-    // set is depth-1 lineage and stays lazy.
-    def freshMerge(fk: Fk, needed: DataFrame): Option[DataFrame] = {
-      val (fresh, n) = ckptCount(keys.get(fk.parentTable) match {
-        case Some(k) => needed.join(k, graph.pks(fk.parentTable), "left_anti")
-        case None    => needed
-      })
-      if (n == 0L) None
-      else {
-        keys += fk.parentTable -> (keys.get(fk.parentTable) match {
-          case Some(k) => k.union(fresh)
-          case None    => fresh
-        })
-        Some(fresh)
-      }
-    }
+    // Per-edge fresh keys materialize + measure in ONE job: a LAZY
+    // localCheckpoint persists its partitions on the first action, so
+    // count() both truncates lineage and answers the convergence probe
+    // (vs eager-checkpoint-then-isEmpty = two jobs per edge, each a
+    // full cluster barrier at scale).
 
     // All edges out of one child consume the same delta, so ONE
     // semi-join scan of the child table (projected to the union of the
@@ -273,17 +250,51 @@ object Subsetter {
         case (acc, fk) => acc :+ ((fk.childTable, Vector(fk)))
       }
 
+    // Expand one child group. Edges with DISTINCT parent tables
+    // anti-join against disjoint key sets, so their materialize+count
+    // jobs run as CONCURRENT Spark jobs (Futures); merges stay on this
+    // thread. Two edges into the SAME parent fall back to sequential
+    // (the second must anti-join against the first's additions or the
+    // union would double-count keys). Wall clock per group drops from
+    // Σ(edges) job latencies to max(edges).
+    def expandGroup(child: String, fks: Seq[Fk], d: DataFrame,
+                    onFresh: (Fk, DataFrame) => Unit): Unit = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val proj = fkProjection(child, fks, d)
+      val byParent = fks.groupBy(_.parentTable).values.toSeq
+      val waves: Seq[Seq[Fk]] =
+        (0 until byParent.map(_.size).max).map(i => byParent.flatMap(_.lift(i)))
+      for (wave <- waves) {
+        val counted = Await.result(
+          Future.sequence(wave.map { fk => Future {
+            val anti = keys.get(fk.parentTable) match {
+              case Some(k) =>
+                neededFrom(fk, proj).join(k, graph.pks(fk.parentTable), "left_anti")
+              case None => neededFrom(fk, proj)
+            }
+            val fresh = anti.localCheckpoint(false)
+            (fk, fresh, fresh.count())
+          }}), Duration.Inf)
+        for ((fk, fresh, n) <- counted if n > 0L) {
+          keys += fk.parentTable -> (keys.get(fk.parentTable) match {
+            case Some(k) => k.union(fresh)
+            case None    => fresh
+          })
+          onFresh(fk, fresh)
+        }
+      }
+    }
+
     if (acyclic) {
       // One chained pass: the topo order guarantees a table's delta is
       // complete before its outgoing edges run.
       val avail = scala.collection.mutable.Map[String, DataFrame]() ++= deltas
       for ((child, fks) <- grouped; d <- avail.get(child)) {
-        val proj = fkProjection(child, fks, d)
-        for (fk <- fks)
-          freshMerge(fk, neededFrom(fk, proj)).foreach { fresh =>
-            avail(fk.parentTable) =
-              avail.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh)
-          }
+        expandGroup(child, fks, d, (fk, fresh) =>
+          avail(fk.parentTable) =
+            avail.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh))
       }
     } else {
       // Cycles: classic semi-naive rounds until no delta survives.
@@ -293,12 +304,9 @@ object Subsetter {
         iter += 1
         val next = scala.collection.mutable.Map[String, DataFrame]()
         for ((child, fks) <- grouped; d <- delta.get(child)) {
-          val proj = fkProjection(child, fks, d)
-          for (fk <- fks)
-            freshMerge(fk, neededFrom(fk, proj)).foreach { fresh =>
-              next(fk.parentTable) =
-                next.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh)
-            }
+          expandGroup(child, fks, d, (fk, fresh) =>
+            next(fk.parentTable) =
+              next.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh))
         }
         delta = next.toMap
       }
