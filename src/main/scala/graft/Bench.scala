@@ -36,9 +36,14 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val cold = SparkEntry.queries.map { case (name, fn) => name -> once(fn) }
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run for targeted profiling.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.split(',').toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    val cold = selected.map { case (name, fn) => name -> once(fn) }
     val results =
-      if (warmup) SparkEntry.queries.map { case (name, fn) => name -> once(fn) }
+      if (warmup) selected.map { case (name, fn) => name -> once(fn) }
       else cold
     val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -76,18 +76,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * idempotent per-session registration for embedded use. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.cosineDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[plans] val cosineDescriptor = (
-    FunctionIdentifier("graft_cosine"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression)
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[plans] val descriptors = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSignature(children(0),
+        intLit(children(1), "nShingle"), intLit(children(2), "numHashes")): Expression),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children(0)): Expression))
 
   /** Idempotent in-session registration (for sessions built without the
     * extensions config — Verify/Bench/tests). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineDescriptor._1, cosineDescriptor._2, cosineDescriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

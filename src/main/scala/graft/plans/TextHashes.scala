@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared kernels for the text-hash expressions. Static methods so the
+  * generated code is a single call — no lambda dispatch, no boxing per
+  * element, and the expression stays inside whole-stage codegen.
+  *
+  * Hashing matches Spark's `xxhash64` (XXH64 over UTF8String bytes,
+  * seed 42), so these are drop-in replacements for the HOF
+  * formulations they supersede (which evaluated 32 interpreted lambda
+  * passes per row for minhash, and an explode + 64-column aggregate
+  * SHUFFLE for simhash — measured ~10x slower at sf0.1).
+  */
+object GraftHashes {
+
+  final val MersennePrime = 2147483647L // 2^31 - 1
+
+  private def shingleHash(toks: ArrayData, start: Int, n: Int): Long = {
+    // n-token shingle joined by ' ' — same bytes as concat_ws(" ", slice)
+    var s = toks.getUTF8String(start)
+    var j = 1
+    while (j < n) {
+      s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(start + j))
+      j += 1
+    }
+    val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    val m = h % MersennePrime
+    if (m < 0) m + MersennePrime else m
+  }
+
+  /** MinHash signature over `nShingle`-token shingles of `toks`:
+    * permutation k approximated by `(h*(1+2k) + 7919*(k+1)) mod p`.
+    * One pass over the shingles, all `numHashes` minima in the same
+    * loop. Empty result when the doc has no shingles. */
+  def minhash(toks: ArrayData, nShingle: Int, numHashes: Int): ArrayData = {
+    val nTok = toks.numElements()
+    val nSh = nTok - nShingle + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Long])
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < nSh) {
+      val h = shingleHash(toks, i, nShingle)
+      var k = 0
+      while (k < numHashes) {
+        val v = (h * (1L + 2L * k) + 7919L * (k + 1)) % MersennePrime
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over the DISTINCT tokens of `toks`: per-bit ±1
+    * votes over token hashes, bit set where votes are positive. One
+    * pass, no shuffle (vs the explode + groupBy formulation). */
+  def simhash(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      if (seen.add(h)) {
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** `graft_minhash(tokens array<string>, nShingle, numHashes) -> array<long>` */
+case class MinHashSignature(child: Expression, nShingle: Int, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHashes.minhash(a.asInstanceOf[ArrayData], nShingle, numHashes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.GraftHashes.minhash($a, $nShingle, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(tokens array<string>) -> long` */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHashes.simhash(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.GraftHashes.simhash($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
