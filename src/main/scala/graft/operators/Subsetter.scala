@@ -250,51 +250,81 @@ object Subsetter {
         case (acc, fk) => acc :+ ((fk.childTable, Vector(fk)))
       }
 
-    // Expand one child group. Edges with DISTINCT parent tables
-    // anti-join against disjoint key sets, so their materialize+count
-    // jobs run as CONCURRENT Spark jobs (Futures); merges stay on this
-    // thread. Two edges into the SAME parent fall back to sequential
-    // (the second must anti-join against the first's additions or the
-    // union would double-count keys). Wall clock per group drops from
-    // Σ(edges) job latencies to max(edges).
-    def expandGroup(child: String, fks: Seq[Fk], d: DataFrame,
-                    onFresh: (Fk, DataFrame) => Unit): Unit = {
+    // Expand a WAVE of child groups concurrently. All edge work runs as
+    // concurrent Spark jobs (Futures), EXCEPT edges sharing a parent
+    // table: those chain sequentially inside one future (the second
+    // must anti-join against the first's additions or the key-set union
+    // would double-count). Futures only read `keys` entries for their
+    // own parent and return their fresh sets; merging happens on this
+    // thread after the Await — no shared mutation across threads. Wall
+    // clock per wave drops from Σ(edges) job latencies to max over
+    // parents of the per-parent chain.
+    def expandWave(wave: Seq[(String, Seq[Fk], DataFrame)],
+                   onFresh: (Fk, DataFrame) => Unit): Unit = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val proj = fkProjection(child, fks, d)
-      val byParent = fks.groupBy(_.parentTable).values.toSeq
-      val waves: Seq[Seq[Fk]] =
-        (0 until byParent.map(_.size).max).map(i => byParent.flatMap(_.lift(i)))
-      for (wave <- waves) {
-        val counted = Await.result(
-          Future.sequence(wave.map { fk => Future {
-            val anti = keys.get(fk.parentTable) match {
-              case Some(k) =>
-                neededFrom(fk, proj).join(k, graph.pks(fk.parentTable), "left_anti")
-              case None => neededFrom(fk, proj)
+      if (wave.isEmpty) return
+      // shared per-child FK projections (a ckpt job when >1 edge reads it)
+      val projs = Await.result(
+        Future.sequence(wave.map { case (child, fks, d) =>
+          Future { child -> fkProjection(child, fks, d) }
+        }), Duration.Inf).toMap
+      val byParent = wave
+        .flatMap { case (child, fks, _) => fks.map(fk => fk -> projs(child)) }
+        .groupBy(_._1.parentTable).toSeq
+      val results = Await.result(
+        Future.sequence(byParent.map { case (parent, es) => Future {
+          var known = keys.get(parent)
+          val out = Seq.newBuilder[(Fk, DataFrame)]
+          for ((fk, proj) <- es) {
+            val needed = neededFrom(fk, proj)
+            val anti = known match {
+              case Some(k) => needed.join(k, graph.pks(parent), "left_anti")
+              case None    => needed
             }
+            // lazy checkpoint: count() materializes it — one job,
+            // emptiness probe included
             val fresh = anti.localCheckpoint(false)
-            (fk, fresh, fresh.count())
-          }}), Duration.Inf)
-        for ((fk, fresh, n) <- counted if n > 0L) {
-          keys += fk.parentTable -> (keys.get(fk.parentTable) match {
-            case Some(k) => k.union(fresh)
-            case None    => fresh
-          })
-          onFresh(fk, fresh)
-        }
+            if (fresh.count() > 0L) {
+              known = Some(known.map(_.union(fresh)).getOrElse(fresh))
+              out += ((fk, fresh))
+            }
+          }
+          parent -> out.result()
+        }}), Duration.Inf)
+      for ((parent, freshes) <- results; (fk, fresh) <- freshes) {
+        keys += parent -> (keys.get(parent) match {
+          case Some(k) => k.union(fresh)
+          case None    => fresh
+        })
+        onFresh(fk, fresh)
       }
     }
 
     if (acyclic) {
-      // One chained pass: the topo order guarantees a table's delta is
-      // complete before its outgoing edges run.
+      // Dataflow wave scheduling: a child group is ready once every
+      // group that can still grow its delta (an edge INTO the child) has
+      // completed — independent branches of the FK DAG expand
+      // concurrently instead of one group at a time. Depth = DAG depth,
+      // not group count.
       val avail = scala.collection.mutable.Map[String, DataFrame]() ++= deltas
-      for ((child, fks) <- grouped; d <- avail.get(child)) {
-        expandGroup(child, fks, d, (fk, fresh) =>
-          avail(fk.parentTable) =
+      val producers: Map[String, Set[String]] =
+        graph.fks.groupBy(_.parentTable).map { case (p, es) =>
+          p -> es.map(_.childTable).toSet
+        }
+      val pending = scala.collection.mutable.ArrayBuffer.from(grouped)
+      val done = scala.collection.mutable.Set[String]()
+      while (pending.nonEmpty) {
+        val ready = pending.filter { case (c, _) =>
+          producers.getOrElse(c, Set.empty).forall(done) }.toSeq
+        require(ready.nonEmpty, "group scheduling stuck — graph not acyclic?")
+        expandWave(
+          ready.flatMap { case (c, fks) => avail.get(c).map(d => (c, fks, d)) },
+          (fk, fresh) => avail(fk.parentTable) =
             avail.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh))
+        ready.foreach { case (c, _) => done += c }
+        pending.filterInPlace { case (c, _) => !done.contains(c) }
       }
     } else {
       // Cycles: classic semi-naive rounds until no delta survives.
@@ -304,7 +334,7 @@ object Subsetter {
         iter += 1
         val next = scala.collection.mutable.Map[String, DataFrame]()
         for ((child, fks) <- grouped; d <- delta.get(child)) {
-          expandGroup(child, fks, d, (fk, fresh) =>
+          expandWave(Seq((child, fks, d)), (fk, fresh) =>
             next(fk.parentTable) =
               next.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh))
         }
@@ -533,23 +563,41 @@ object Subsetter {
 
   /** Per-FK-edge orphan counts: child rows with a non-null FK value that
     * resolves to no parent row. All-zero on a valid subset (and on the
-    * full source tables). */
+    * full source tables).
+    *
+    * ONE scan per child table serves ALL its outgoing edges: the child's
+    * FK projection chains a left join per parent (each against the
+    * parent's DISTINCT key set, so 1:≤1 — no row multiplication), a
+    * single aggregate counts every edge's orphans at once, and `stack`
+    * unpivots to (edge, orphans). At 100 TB this reads lineitem once
+    * for its three edges instead of three times. */
   def validateRI(tables: Map[String, DataFrame], graph: FkGraph): DataFrame = {
-    val perEdge = graph.fks
+    val byChild = graph.fks
       .filter(fk => tables.contains(fk.childTable) && tables.contains(fk.parentTable))
-      .map { fk =>
-        val child = tables(fk.childTable)
+      .groupBy(_.childTable).toSeq.sortBy(_._1)
+    val perChild = byChild.map { case (childName, fks) =>
+      var joined = tables(childName)
+        .select(fks.flatMap(_.childCols).distinct.map(col): _*)
+      fks.zipWithIndex.foreach { case (fk, i) =>
         val parent = tables(fk.parentTable)
-          .select(fk.parentCols.map(c => col(c).as(s"__p_$c")): _*).distinct()
+          .select(fk.parentCols.map(c => col(c).cast("long").as(s"__p${i}_$c")): _*)
+          .distinct()
         val cond = fk.childCols.zip(fk.parentCols)
-          .map { case (c, p) => child(c).cast("long") === parent(s"__p_$p").cast("long") }
+          .map { case (c, p) => joined(c).cast("long") === parent(s"__p${i}_$p") }
           .reduce(_ && _)
-        child
-          .filter(fk.childCols.map(col(_).isNotNull).reduce(_ && _))
-          .join(parent, cond, "left_anti")
-          .agg(count(lit(1)).as("orphans"))
-          .select(lit(fk.name).as("edge"), col("orphans"))
+        joined = joined.join(parent, cond, "left_outer")
       }
-    perEdge.reduce(_ union _).orderBy("edge")
+      val orphanCounts = fks.zipWithIndex.map { case (fk, i) =>
+        sum(when(
+          fk.childCols.map(col(_).isNotNull).reduce(_ && _) &&
+            col(s"__p${i}_${fk.parentCols.head}").isNull, 1L).otherwise(0L))
+          .as(s"__o$i")
+      }
+      val stackArgs = fks.zipWithIndex
+        .map { case (fk, i) => s"'${fk.name}', __o$i" }.mkString(", ")
+      joined.agg(orphanCounts.head, orphanCounts.tail: _*)
+        .select(expr(s"stack(${fks.size}, $stackArgs) AS (edge, orphans)"))
+    }
+    perChild.reduce(_ union _).orderBy("edge")
   }
 }

@@ -52,6 +52,19 @@ object Sources {
                 props: java.util.Properties): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
 
+  /** Bucketed managed table: rows hash-partitioned into `buckets` files
+    * per partition by `cols` and sorted within each bucket. Joins and
+    * aggregations keyed on `cols` between tables bucketed the same way
+    * run WITHOUT an Exchange — the decisive co-location technique at
+    * 100 TB, where re-shuffling a fact table per join dominates cost
+    * (BucketedJoinSpec proves the exchange-free plan). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    cols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .saveAsTable(table)
+
   /** Row count from parquet footers only — the analogue of the
     * reference's catalog-stats estimate (`_find_n_rows(estimate=True)`),
     * except parquet footers are exact. No data pages are read. */

@@ -73,6 +73,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(math.abs(est - exact) < 0.25) // 64 hashes -> σ≈0.06; generous bound
   }
 
+  test("native hash kernels: edge cases (short docs, empty, null, SQL callable)") {
+    graft.plans.GraftExtensions.register(spark)
+    // doc shorter than the shingle width -> empty signature -> filtered out
+    val docs = Seq((1L, "a b"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val sigs = minhashSignatures(docs, "text", 8, nShingle = 3)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(!sigs.contains(1L) && sigs(2L).length == 8)
+    // signature values are in [0, 2^31-1)
+    assert(sigs(2L).forall(v => v >= 0L && v < 2147483647L))
+    // null text -> null hash, propagated not thrown
+    val withNull = Seq((1L, Option("x y z")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(simhash(withNull, "text").filter($"simhash".isNotNull).count() == 1)
+    // callable straight from SQL (registered like any builtin)
+    val viaSql = spark.sql(
+      "SELECT graft_simhash(array('a','b')) = graft_simhash(array('b','a','a'))")
+      .head().getBoolean(0)
+    assert(viaSql) // order- and duplicate-insensitive (distinct token set)
+  }
+
   test("simhash: identical docs collide, unrelated docs are far") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
