@@ -107,6 +107,34 @@ object EventQueries {
        |FROM events GROUP BY 1, 2 ORDER BY hour_start_s, event_type""".stripMargin
   }
 
+  // --- sliding window ----------------------------------------------------
+  // 2-hour windows sliding every hour: each event lands in exactly two
+  // windows. Uses Spark's native window(ts, "2 hours", "1 hour"); the
+  // oracle reproduces the window set as a two-bucket union (an event at
+  // hour h belongs to windows starting h and h-1h — same epoch-aligned
+  // grid). Same groupBy runs under readStream in EventStreams.
+  def slidingCounts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Det.moneySum(col("value")).as("sum_value"))
+      .select(Det.epochS(col("window.start")).as("win_start_s"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("win_start_s", "event_type")
+
+  val slidingCountsSql: String = {
+    import Det.sql._
+    s"""WITH b AS (
+       |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, value
+       |  FROM events
+       |), e AS (
+       |  SELECT h AS win_start_s, event_type, value FROM b
+       |  UNION ALL
+       |  SELECT h - 3600, event_type, value FROM b
+       |)
+       |SELECT win_start_s, event_type, count(*) AS cnt, ${moneySum("value")} AS sum_value
+       |FROM e GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin
+  }
+
   // --- sessionization ----------------------------------------------------
   // 30-minute-gap sessions per user: lag -> new-session flag ->
   // running sum = session id -> per-session aggregate. Two window
@@ -154,11 +182,13 @@ object EventQueries {
     "range_join_events" -> (rangeJoinEvents _),
     "asof_join_events" -> (asofJoinEvents _),
     "stream_tumbling_counts" -> (tumblingCounts _),
+    "stream_sliding_counts" -> (slidingCounts _),
     "stream_sessionize" -> (sessionize _))
 
   def oracle: Map[String, String] = Map(
     "range_join_events" -> rangeJoinEventsSql,
     "asof_join_events" -> asofJoinEventsSql,
     "stream_tumbling_counts" -> tumblingCountsSql,
+    "stream_sliding_counts" -> slidingCountsSql,
     "stream_sessionize" -> sessionizeSql)
 }

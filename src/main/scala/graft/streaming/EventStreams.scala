@@ -62,6 +62,28 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Sliding 2-hour/1-hour counts with a watermark — the streaming twin
+    * of the oracle-checked batch `stream_sliding_counts`. Each event
+    * feeds two window states; the watermark closes windows once late
+    * data can no longer arrive. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("cnt"))
+
+  def startSlidingToMemory(spark: SparkSession, dir: String,
+                           name: String): StreamingQuery =
+    slidingCounts(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream range join under watermarks: errors joined to the
     * same user's purchases within the next 60 seconds — the streaming
     * twin of the oracle-checked batch `range_join_events`. Both sides

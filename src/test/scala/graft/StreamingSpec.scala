@@ -23,6 +23,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamRows.nonEmpty)
   }
 
+  test("streaming sliding counts == batch sliding counts") {
+    val q = EventStreams.startSlidingToMemory(spark, dir, "t_sliding")
+    q.awaitTermination()
+    val streamRows = spark.sql(
+      "SELECT win_start_s, event_type, cnt FROM t_sliding").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batchRows = EventQueries.slidingCounts(spark, dir)
+      .select("win_start_s", "event_type", "cnt").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamRows == batchRows)
+    assert(streamRows.nonEmpty)
+  }
+
   test("stream-stream range join under watermarks == batch range join (nonempty)") {
     // widen the window so the tiny sf0.001 stream actually joins
     val q = EventStreams.startRangeJoinToMemory(spark, dir, "t_rjoin",
