@@ -111,14 +111,28 @@ object SimilarityFunctions {
   /** Banded LSH over minhash signatures: docs sharing any band bucket
     * become candidate pairs; estimate Jaccard as the matching-signature
     * fraction. One shuffle on (band, band-key) — never quadratic in the
-    * corpus, which is the whole point at 100 TB. */
-  def minhashLshPairs(sigsIn: DataFrame, bands: Int): DataFrame = {
+    * corpus, which is the whole point at 100 TB.
+    *
+    * `maxBucket` is the hot-bucket safety valve: a degenerate band key
+    * (boilerplate shingles, near-constant docs) holds b docs and emits
+    * b² candidate pairs — one pathological bucket can dwarf the rest of
+    * the job. Buckets past the cap are dropped whole (the standard
+    * production trade: those pairs are overwhelmingly boilerplate, and
+    * a dropped TRUE near-dup pair still has bands-1 more chances to
+    * collide in a healthy bucket). */
+  def minhashLshPairs(sigsIn: DataFrame, bands: Int,
+                      maxBucket: Int = 10000): DataFrame = {
     // The signature relation appears 4x in this plan (both sides of the
     // band self-join + both estimate joins) and Spark re-executes each
     // occurrence — materialize it once (it is small: docs x numHashes).
     val sigs = sigsIn.localCheckpoint(true)
-    val banded = sigs.select(col("doc_id"),
+    val bandedAll = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "band_key")))
+    val bucketW = Window.partitionBy(col("band"), col("band_key"))
+    val banded = bandedAll
+      .withColumn("__bn", count(lit(1)).over(bucketW))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     // Candidate pairs carry only ids through the shuffle+distinct; the
     // signatures (small: docs x numHashes longs) re-join afterwards —
     // broadcast when they fit, one pair-keyed shuffle when not.
@@ -162,15 +176,22 @@ object SimilarityFunctions {
     * candidates join on (word index, word value), a hash JOIN, never
     * the O(n²) all-pairs space (which would defeat the point of
     * simhash). Exact hamming verifies within candidates. */
-  def simhashPairs(docs: DataFrame, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, textCol: String, maxHamming: Int = 3,
+                   maxBucket: Int = 10000): DataFrame = {
     require(maxHamming <= 3, s"4-word banding only covers hamming <= 3, got $maxHamming")
     // fingerprints feed both sides of the band join and both verify
     // joins — materialize once (id + one long per doc).
     val h = simhash(docs, textCol).localCheckpoint(true)
-    val words = h.select(col("doc_id"),
+    val wordsAll = h.select(col("doc_id"),
       posexplode(array((0 until 4).map(w =>
         shiftright(col("simhash"), 16 * w).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("w", "word")))
+    // hot-word cap: same quadratic-bucket safety valve as minhash LSH
+    val bucketW = Window.partitionBy(col("w"), col("word"))
+    val words = wordsAll
+      .withColumn("__bn", count(lit(1)).over(bucketW))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     val cand = words.as("a")
       .join(words.as("b"),
         col("a.w") === col("b.w") && col("a.word") === col("b.word") &&

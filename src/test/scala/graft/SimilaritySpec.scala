@@ -127,6 +127,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(truth.exists { case (a, b, d) => d == 0 }) // fixture really has dups
   }
 
+  test("hot-bucket caps bound the candidate space (minhash + simhash)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    // identical docs share every band bucket: cap 1 drops all candidates
+    val sigs = minhashSignatures(docs, "text", 16, nShingle = 2)
+    assert(minhashLshPairs(sigs, bands = 4, maxBucket = 1).count() == 0)
+    assert(minhashLshPairs(sigs, bands = 4).count() == 3) // healthy cap keeps them
+    assert(simhashPairs(docs, "text", maxBucket = 1).count() == 0)
+    assert(simhashPairs(docs, "text").count() == 3)
+  }
+
   test("cosineLshPairs: verified subset of brute-force pairs, dups always found") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 30L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
