@@ -129,7 +129,73 @@ object TextQueries {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- text_chunks: overlapping fixed-size token windows --------------
+  // The training-data chunking shape: 32-token windows every 24 tokens
+  // (8-token overlap), one output row per chunk. Pure scan-local HOF
+  // (sequence of starts -> slice -> concat) + one explode — no shuffle
+  // until the final ORDER BY.
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  def chunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(toks), lit(ChunkStride)),
+          start => concat_ws(" ", slice(toks, start, lit(ChunkSize)))))
+          .as(Seq("chunk_no", "chunk_text")))
+      .withColumn("n_tok",
+        size(split(col("chunk_text"), " ")).cast("int"))
+      .select("doc_id", "chunk_no", "n_tok", "chunk_text")
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  val chunksSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |        unnest(generate_series(1, len(toks), $ChunkStride)) AS i
+       |      FROM t)
+       |SELECT doc_id,
+       |  CAST((i - 1) // $ChunkStride AS INTEGER) AS chunk_no,
+       |  CAST(len(list_slice(toks, i, i + ${ChunkSize - 1})) AS INTEGER) AS n_tok,
+       |  array_to_string(list_slice(toks, i, i + ${ChunkSize - 1}), ' ') AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_no""".stripMargin
+
+  // --- text_pack_bins: sequence packing by token budget ---------------
+  // Greedy sequential packing: within each language, docs in doc_id
+  // order accumulate into bins of ~256 tokens (bin = tokens-before-me
+  // div budget). One window pass per lang partition — the distributed
+  // analogue of context-window packing in a training-data pipeline.
+  private val PackBudget = 256
+
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(s, dir)
+      .select(col("lang"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"CAST(cum_before div $PackBudget AS INT)"))
+      .select("lang", "doc_id", "n_tokens", "bin_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  val packBinsSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t
+       |)
+       |SELECT lang, doc_id, n_tokens, CAST(cum_before // $PackBudget AS INTEGER) AS bin_id
+       |FROM c ORDER BY lang, doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks" -> (chunks _),
+    "text_pack_bins" -> (packBins _),
     "text_tokens_top" -> (tokensTop _),
     "text_lang_stats" -> (langStats _),
     "text_quality" -> (quality _),
@@ -137,6 +203,8 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "text_chunks" -> chunksSql,
+    "text_pack_bins" -> packBinsSql,
     "text_tokens_top" -> tokensTopSql,
     "text_lang_stats" -> langStatsSql,
     "text_quality" -> qualitySql,
