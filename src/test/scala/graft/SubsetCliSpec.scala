@@ -13,12 +13,13 @@ class SubsetCliSpec extends SparkSpecBase {
     val a = SubsetCli.parse(Seq("/src", "/dst", "0.25",
       "--logarithmic", "--children", "5",
       "--full-tables", "region,nation", "--exclude-tables", "embeddings",
-      "--force", "customer:1,customer:42,orders:7"))
+      "--force", "customer:1,customer:42,orders:7,lineitem:3+2"))
     assert(a.src == "/src" && a.dest == "/dst")
     assert(a.cfg.fraction == 0.25 && a.cfg.logarithmic && a.cfg.children == 5)
     assert(a.cfg.fullTables == Seq("region", "nation"))
     assert(a.cfg.excludeTables == Seq("embeddings"))
     assert(a.cfg.force == Map("customer" -> Seq(1L, 42L), "orders" -> Seq(7L)))
+    assert(a.cfg.forceComposite == Map("lineitem" -> Seq(Seq(3L, 2L))))
   }
 
   test("subset sf0.001 -> destination parquet: RI holds on the written copy") {
