@@ -341,22 +341,33 @@ object SimilarityFunctions {
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
   }
 
-  /** Bucketed ANN: queries probe only their own bucket. Trades recall
-    * for a |bucket|/|corpus| reduction in compared pairs; recall is
-    * measured against cosineTopK in tests. */
+  /** Bucketed ANN with multi-table OR-amplification (the standard LSH
+    * index shape): `nTables` independent hyperplane tables; a candidate
+    * is compared iff it shares ANY table's bucket with the query.
+    * Single-table recall for a pair at angle θ is `(1-θ/π)^nPlanes`;
+    * OR-amplification lifts it to `1-(1-p)^nTables` while still
+    * comparing only ~nTables·|corpus|/2^nPlanes candidates per query.
+    * Recall is measured against cosineTopK in tests AND surfaced as the
+    * `ann_lsh_recall` query. */
   def annLshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-                 nPlanes: Int = 12, dim: Int = 64): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"),
-      toDoubleArr(col("embedding")).as("qe"),
-      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+                 nPlanes: Int = 6, dim: Int = 64, nTables: Int = 6): DataFrame = {
+    def keyed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol),
+          toDoubleArr(col("embedding")).as(vecCol),
+          array((0 until nTables).map(t =>
+            lshBucket(col("embedding"), nPlanes, dim, planeOffset = t * nPlanes)): _*)
+            .as("bks"))
+        .select(col(idCol), col(vecCol),
+          posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val q = keyed(queries, "qid", "qe")
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
-    val c = candidates.select(col("vec_id").as("cid"),
-      toDoubleArr(col("embedding")).as("ce"),
-      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    val c = keyed(candidates, "cid", "ce")
       .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    c.join(broadcast(q), Seq("bucket"))
+    c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qe"), col("ce"), col("qn"), col("cn"))
+      .distinct() // a pair may collide in several tables; score it once
       .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

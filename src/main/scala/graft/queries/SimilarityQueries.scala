@@ -257,6 +257,24 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** ANN quality surfaced as data: recall of the hyperplane-LSH tier
+    * against the brute-force tier on the same query set — the
+    * accuracy/cost tradeoff of the scale path, measurable in the
+    * driver's own artifacts instead of only inside scalatest.
+    * Rows-only (both tiers are engine-internal). */
+  def annLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val brute = SimilarityFunctions.cosineTopK(q, e, 10).select("qid", "cid")
+    val ann = SimilarityFunctions.annLshTopK(q, e, 10).select("qid", "cid")
+    val hits = ann.join(brute, Seq("qid", "cid"), "inner")
+      .agg(count(lit(1)).as("hits"))
+    brute.agg(count(lit(1)).as("brute_pairs"))
+      .crossJoin(hits)
+      .select(col("brute_pairs"), col("hits"),
+        (col("hits").cast("double") / col("brute_pairs").cast("double")).as("recall"))
+  }
+
   /** HLL / exact distinct side-by-side (approx_count_distinct is
     * engine-specific → rows-only). */
   def hllDistinctTokens(s: SparkSession, dir: String): DataFrame =
@@ -277,6 +295,7 @@ object SimilarityQueries {
     "dedup_minhash_docs" -> (dedupMinhashDocs _),
     "dedup_simhash_docs" -> (dedupSimhashDocs _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "hll_distinct_tokens" -> (hllDistinctTokens _))
 
