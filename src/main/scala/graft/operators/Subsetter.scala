@@ -179,8 +179,11 @@ object Subsetter {
       graph: FkGraph,
       seeds: Map[String, DataFrame],
       maxIters: Int = 50): Map[String, DataFrame] = {
+    // LAZY checkpoints: each normalized seed materializes inside the
+    // first closure job that consumes it instead of paying one eager
+    // driver-job barrier per table up front.
     val norm = seeds.map { case (t, rows) =>
-      t -> rows.select(graph.pks(t).map(col): _*).distinct().localCheckpoint(true)
+      t -> rows.select(graph.pks(t).map(col): _*).distinct().localCheckpoint(false)
     }
     closureFrom(tables, graph, norm, norm, maxIters)
   }
