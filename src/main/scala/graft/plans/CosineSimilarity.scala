@@ -98,7 +98,16 @@ object GraftExtensions {
         intLit(children(1), "nShingle"), intLit(children(2), "numHashes")): Expression),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash64(children(0)): Expression))
+      (children: Seq[Expression]) => SimHash64(children(0)): Expression),
+    (FunctionIdentifier("graft_lsh_bits"),
+      new ExpressionInfo(classOf[LshBits].getName, "graft_lsh_bits"),
+      (children: Seq[Expression]) => LshBits(children(0),
+        intLit(children(1), "offset"), intLit(children(2), "nPlanes")): Expression),
+    (FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => LshBuckets(children(0),
+        intLit(children(1), "offset"), intLit(children(2), "nPlanes"),
+        intLit(children(3), "nTables")): Expression))
 
   /** Idempotent in-session registration (for sessions built without the
     * extensions config — Verify/Bench/tests). */

@@ -28,6 +28,26 @@ class PlansSpec extends SparkSpecBase {
     rows.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") } // exact
   }
 
+  test("graft_lsh_bits/buckets == HOF lshBucket, bitwise") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 100).map(_ => Tuple1(Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("embedding")
+    val e = SimilarityFunctions.toDoubleArr($"embedding")
+    val rows = df.select(
+      call_function("graft_lsh_bits", e, lit(0), lit(8)).as("n0"),
+      SimilarityFunctions.lshBucket($"embedding", 8, 16, planeOffset = 0).as("h0"),
+      call_function("graft_lsh_bits", e, lit(4096), lit(64)).as("n1"),
+      SimilarityFunctions.lshBucket($"embedding", 64, 16, planeOffset = 4096).as("h1"),
+      call_function("graft_lsh_buckets", e, lit(0), lit(8), lit(3)).as("nb"),
+      array((0 until 3).map(t =>
+        SimilarityFunctions.lshBucket($"embedding", 8, 16, planeOffset = t * 8)): _*).as("hb"))
+      .as[(Long, Long, Long, Long, Array[Long], Array[Long])].collect()
+    rows.foreach { case (n0, h0, n1, h1, nb, hb) =>
+      assert(n0 == h0 && n1 == h1, s"single-table mismatch: $n0/$h0 $n1/$h1")
+      assert(nb.sameElements(hb), s"multi-table mismatch")
+    }
+  }
+
   test("graft_cosine is callable from SQL") {
     val v = spark.sql(
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))").as[Double].head()
