@@ -30,14 +30,16 @@ object Catalog {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.ts is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4
-      // rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-      // nanosecond long via the legacy flag and normalize to a µs
-      // TimestampType with exact integer division (`div`, not `/` —
-      // double division would round the 19-digit nanos). Sub-µs digits
-      // are dropped; all engine comparisons/outputs on event time use
-      // whole seconds (queries.Det.epochS), and floor(ns->µs->s) ==
-      // floor(ns->s), so oracle semantics are unaffected.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must be
+      // built with `spark.sql.legacy.parquet.nanosAsLong=true` (see
+      // [[GraftSession.local]] — a conf set HERE would be a hidden
+      // session mutation on every load); the raw nanosecond long then
+      // normalizes to a µs TimestampType with exact integer division
+      // (`div`, not `/` — double division would round the 19-digit
+      // nanos). Sub-µs digits are dropped; all engine comparisons/
+      // outputs on event time use whole seconds (queries.Det.epochS),
+      // and floor(ns->µs->s) == floor(ns->s), so oracle semantics are
+      // unaffected.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       if (raw.schema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -54,4 +56,23 @@ object Catalog {
     * same data the DataFrame API sees. */
   def registerViews(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Canonical local session for the graft mains (Verify/Bench/SubsetCli):
+  * parallelism from SPARK_GRAFT_CPUS, shuffle partitions sized to match
+  * (not the 200 default), UTC, no UI — and the
+  * `parquet.nanosAsLong` legacy flag the events table needs, set at
+  * CONSTRUCTION so [[Catalog.table]] never mutates session conf. */
+object GraftSession {
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 }

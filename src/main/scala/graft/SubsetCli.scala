@@ -12,23 +12,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * around its run.
   *
   *   runMain graft.SubsetCli <srcDir> <destDir> <fraction> \
-  *     [--logarithmic] [--children N] [--full-tables glob,glob] \
+  *     [--yes] [--logarithmic] [--children N] [--full-tables glob,glob] \
   *     [--exclude-tables glob,glob] \
   *     [--force table:pk[,table:v1+v2...]]   (+-joined = composite PK tuple)
+  *
+  * Like the reference, the CLI prints the per-table target plan and
+  * asks for confirmation before touching the destination; `--yes`
+  * (upstream's `--yes`) skips the prompt for scripted runs.
   */
 object SubsetCli {
 
   final case class CliArgs(
       src: String,
       dest: String,
-      cfg: Subsetter.Config)
+      cfg: Subsetter.Config,
+      yes: Boolean = false)
 
   def parse(argv: Seq[String]): CliArgs = {
     require(argv.length >= 3, "usage: SubsetCli <srcDir> <destDir> <fraction> [flags]")
     val Seq(src, dest, fractionS) = argv.take(3)
     var cfg = Subsetter.Config(fraction = fractionS.toDouble)
+    var yes = false
     var rest = argv.drop(3).toList
     while (rest.nonEmpty) rest = rest match {
+      case "--yes" :: tl => yes = true; tl
       case "--logarithmic" :: tl => cfg = cfg.copy(logarithmic = true); tl
       case "--children" :: n :: tl => cfg = cfg.copy(children = n.toInt); tl
       case "--full-tables" :: globs :: tl =>
@@ -49,8 +56,27 @@ object SubsetCli {
         cfg = cfg.copy(force = forced, forceComposite = forcedComp); tl
       case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
     }
-    CliArgs(src, dest, cfg)
+    CliArgs(src, dest, cfg, yes)
   }
+
+  /** Pre-run plan: (table, source rows, target rows) for every included
+    * table — footer counts only, no Spark job. This is what the
+    * reference's `generate()` prints before asking to proceed. */
+  def plan(spark: SparkSession, args: CliArgs): Seq[(String, Long, Long)] =
+    Catalog.tableNames.sorted
+      .filterNot(t => Subsetter.globMatch(args.cfg.excludeTables, t))
+      .map { t =>
+        val n = Sources.footerRowCount(spark, s"${args.src}/$t.parquet")
+        val tgt = Subsetter.targetSize(n, args.cfg.fraction, args.cfg.logarithmic,
+          full = Subsetter.globMatch(args.cfg.fullTables, t))
+        (t, n, tgt)
+      }
+
+  /** Render the plan the way the summary prints (stable format the
+    * spec asserts on). */
+  def renderPlan(rows: Seq[(String, Long, Long)]): String =
+    rows.map { case (t, n, tgt) => f"$t%-12s $n%10d -> $tgt%10d rows" }
+      .mkString("\n")
 
   /** Run the subset and write each table to `<dest>/<table>.parquet`.
     * Returns per-table written row counts. */
@@ -76,15 +102,22 @@ object SubsetCli {
 
   def main(argv: Array[String]): Unit = {
     val args = parse(argv.toSeq)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local("graft-subset")
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // reference parity: show the per-table plan, then confirm unless
+      // --yes. A non-interactive stdin (null readLine) aborts rather
+      // than assuming consent.
+      println(renderPlan(plan(spark, args)))
+      if (!args.yes) {
+        print("proceed? [y/N] ")
+        val answer = scala.io.StdIn.readLine()
+        if (answer == null || !answer.trim.toLowerCase.startsWith("y")) {
+          println("aborted")
+          spark.stop()
+          sys.exit(1)
+        }
+      }
       val written = run(spark, args)
       written.toSeq.sortBy(_._1).foreach { case (t, n) =>
         println(f"$t%-12s $n%10d rows")

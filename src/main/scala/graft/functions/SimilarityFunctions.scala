@@ -53,14 +53,29 @@ object SimilarityFunctions {
   /** Exact pairwise token-set Jaccard via inverted index: explode
     * distinct tokens, self-join on token, count intersections. Scales as
     * sum over tokens of df(token)^2 — the standard candidate-generation
-    * shape; pair the modFilter down at large SF or switch to the LSH
-    * tier. */
-  def jaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    * shape; switch to the LSH tier when even capped df² is too much.
+    *
+    * `maxDf` is the hot-token safety valve (same window cap as the
+    * minhash/simhash tiers): one stopword-grade token with df=d costs
+    * d² intersection rows and can dwarf the rest of the job, while
+    * contributing nothing to discrimination — tokens past the cap are
+    * dropped from the INDEX side whole. NOTE this makes the reported
+    * jaccard approximate for pairs containing capped tokens (their
+    * intersection and union both shrink), so callers that need the
+    * exact value (the oracle-checked queries) must choose a cap above
+    * their corpus's max df. */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double,
+                   maxDf: Int = 100000): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tok.as("a")
-      .join(tok.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+    val dfW = Window.partitionBy(col("tok"))
+    val capped = tok
+      .withColumn("__df", count(lit(1)).over(dfW))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = capped.as("a")
+      .join(capped.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("c"))
     inter

@@ -12,20 +12,25 @@ import org.apache.spark.sql.functions._
   * {a,b,c}) and any per-pair keep/drop rule double-drops or double-keeps
   * chains.
   *
-  * Algorithm: min-label propagation to fixpoint. Each round every node
-  * takes the min of its own label and its neighbors' labels — one
-  * (edge join + union + groupBy-min) per round, converging in
-  * O(component diameter) rounds. This is the standard set-at-a-time
-  * formulation (the map-reduce literature's "hash-to-min" without the
-  * star optimizations); at 100 TB each round is one shuffle of the
-  * (node, label) relation keyed by node — never materializing the
-  * transitive closure, never quadratic. Labels are ids, so the result
-  * is deterministic regardless of partitioning or round count.
+  * Algorithm: min-label propagation with POINTER JUMPING. Each round
+  * every node takes the min of its own label and its neighbors' labels
+  * (edge join + union + groupBy-min), then labels shortcut through
+  * themselves (`label := label(label)` — the label is itself a node
+  * id, so one self-join doubles the distance a minimum has traveled).
+  * Propagation alone needs O(diameter) rounds and a 10⁶-node chain
+  * would run 10⁶ shuffles; with the jump the round count is
+  * O(log diameter) — the hash-to-min bound from the map-reduce CC
+  * literature. At 100 TB each round is two shuffles of the
+  * (node, label) relation keyed by node/label — never materializing
+  * the transitive closure, never quadratic. Labels are ids, so the
+  * result is deterministic regardless of partitioning or round count.
   *
   * Convergence probe: `sum(label)` is strictly monotone decreasing
   * until fixpoint, so one aggregate job per round both materializes the
   * round (lazy localCheckpoint) and decides termination — no separate
-  * isEmpty/subtract pass.
+  * isEmpty/subtract pass. The sum accumulates as DECIMAL(38,0): a Long
+  * sum could overflow at ~10¹² nodes with 64-bit ids and in principle
+  * alias two distinct label states across rounds.
   */
 object ConnectedComponents {
 
@@ -40,7 +45,9 @@ object ConnectedComponents {
       .localCheckpoint(false)
     var comp = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint(false)
-    var lastSum = comp.agg(sum("component")).head().getLong(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var lastSum = labelSum(comp)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -49,11 +56,18 @@ object ConnectedComponents {
       // the node's own label. One shuffle keyed by node id.
       val viaEdges = bidir.join(comp, bidir("src") === comp("id"))
         .select(bidir("dst").as("id"), col("component"))
-      comp = comp.union(viaEdges)
+      val propagated = comp.union(viaEdges)
         .groupBy("id").agg(min("component").as("component"))
+      // pointer jump: a label is a node id, so re-labeling through the
+      // label's own (smaller-or-equal, still-reachable) label doubles
+      // the hop distance a minimum covers per round.
+      val parents = propagated
+        .select(col("id").as("pid"), col("component").as("pcomp"))
+      comp = propagated.join(parents, propagated("component") === col("pid"))
+        .select(propagated("id"), col("pcomp").as("component"))
         .localCheckpoint(false)
-      val s = comp.agg(sum("component")).head().getLong(0)
-      converged = s == lastSum
+      val s = labelSum(comp)
+      converged = s.compareTo(lastSum) == 0
       lastSum = s
     }
     comp

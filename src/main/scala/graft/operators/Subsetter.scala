@@ -43,7 +43,9 @@ object Subsetter {
     * seeds go through `forceComposite` (one value per PK column, in
     * `FkGraph.pks` order) — using `force` on a composite-PK table
     * fails loudly rather than silently dropping the request.
-    * `topUpRounds` bounds the completeness top-up loop (step 6). */
+    * `topUpRounds` bounds the completeness top-up loop (step 6);
+    * -1 = loop until every table is complete or its source is
+    * exhausted (the reference's main-loop semantics). */
   final case class Config(
       fraction: Double,
       logarithmic: Boolean = false,
@@ -519,13 +521,26 @@ object Subsetter {
     var round = 0
     var exhausted = Set.empty[String]
     var shortfalls = Map.empty[String, Long]
-    def measure(): Map[String, Long] = Await.result(
-      Future.sequence(included.filterNot(exhausted).map { t => Future {
-        val have = keys.get(t).map(_.count()).getOrElse(0L)
-        t -> math.max(0L, targets(t) - have)
-      }}), Duration.Inf).filter(_._2 > 0L).toMap
+    // ONE union-agg job counts every pending key set at once (each
+    // branch reads an already-checkpointed set projected to a tag
+    // column) — instead of a driver future + count job per table.
+    def measure(): Map[String, Long] = {
+      val pending = included.filterNot(exhausted)
+      val tagged = pending.flatMap(t => keys.get(t).map(_.select(lit(t).as("__t"))))
+      val have: Map[String, Long] =
+        if (tagged.isEmpty) Map.empty
+        else tagged.reduce(_ union _)
+          .groupBy("__t").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      pending.map(t => t -> math.max(0L, targets(t) - have.getOrElse(t, 0L)))
+        .filter(_._2 > 0L).toMap
+    }
     shortfalls = measure()
-    while (shortfalls.nonEmpty && round < cfg.topUpRounds) {
+    // topUpRounds < 0 = the reference's until-complete semantics: loop
+    // while progress is possible (each round either fills a gap or
+    // marks its source exhausted, so termination is guaranteed).
+    while (shortfalls.nonEmpty &&
+           (cfg.topUpRounds < 0 || round < cfg.topUpRounds)) {
       round += 1
       val adds = Await.result(
         Future.sequence(shortfalls.toSeq.map { case (t, gap) => Future {
@@ -582,11 +597,17 @@ object Subsetter {
       var joined = tables(childName)
         .select(fks.flatMap(_.childCols).distinct.map(col): _*)
       fks.zipWithIndex.foreach { case (fk, i) =>
+        // parent keys keep their NATIVE types; the child side casts to
+        // the parent's type (int FK -> long PK and the like). A blanket
+        // cast("long") would silently orphan every row of a
+        // string-keyed edge.
+        val parentSchema = tables(fk.parentTable).schema
         val parent = tables(fk.parentTable)
-          .select(fk.parentCols.map(c => col(c).cast("long").as(s"__p${i}_$c")): _*)
+          .select(fk.parentCols.map(c => col(c).as(s"__p${i}_$c")): _*)
           .distinct()
         val cond = fk.childCols.zip(fk.parentCols)
-          .map { case (c, p) => joined(c).cast("long") === parent(s"__p${i}_$p") }
+          .map { case (c, p) =>
+            joined(c).cast(parentSchema(p).dataType) === parent(s"__p${i}_$p") }
           .reduce(_ && _)
         joined = joined.join(parent, cond, "left_outer")
       }

@@ -546,17 +546,28 @@ object RelationalQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** Typed-Aggregator UDAF over grouped data (rows-only: double
-    * accumulation order varies with partitioning, so no bitwise oracle;
-    * correctness is asserted in UdfSpec). */
+  /** Typed-Aggregator UDAF over grouped data. Welford's (n, mean, m2/n)
+    * is algebraically COUNT/AVG/VAR_POP, but its accumulation order
+    * differs from the oracle's sum-based aggregates, so the doubles
+    * agree only to ~1e-12 relative — the one place the bitwise contract
+    * (Det) is unreachable and both sides round to 6 dp instead (the
+    * values are O(10⁴)-scale with ~1e-7 absolute agreement, so the
+    * rounded digits coincide). UdfSpec asserts the moments math itself. */
   def udafAcctbalMoments(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(graft.functions.Udfs.moments(col("c_acctbal")).as("m"))
-      .select(col("n_name"), col("m._1").as("n"), col("m._2").as("mean"),
-        col("m._3").as("variance"))
+      .select(col("n_name"), col("m._1").as("n"),
+        round(col("m._2"), 6).as("mean"), round(col("m._3"), 6).as("variance"))
       .orderBy("n_name")
+
+  val udafAcctbalMomentsSql: String =
+    """SELECT n_name, count(*) AS n,
+      |  round(avg(c_acctbal), 6) AS mean,
+      |  round(var_pop(c_acctbal), 6) AS variance
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   // ---------------------------------------------------------------------
 
@@ -611,5 +622,6 @@ object RelationalQueries {
     "str_funcs_docs" -> strFuncsDocsSql,
     "date_funcs_orders" -> dateFuncsOrdersSql,
     "array_funcs_embeddings" -> arrayFuncsEmbeddingsSql,
-    "json_props_events" -> jsonPropsEventsSql)
+    "json_props_events" -> jsonPropsEventsSql,
+    "udaf_acctbal_moments" -> udafAcctbalMomentsSql)
 }

@@ -28,9 +28,11 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Streaming source over the events parquet, ts normalized to µs
-    * TimestampType exactly like the batch Catalog. */
+    * TimestampType exactly like the batch Catalog. The session must be
+    * built with `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * [[graft.GraftSession.local]]) — set at construction, not mutated
+    * here. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
       // file streaming sources demand a directory; select the events

@@ -18,14 +18,16 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 8L, 9L -> 8L))
   }
 
-  test("components: long path converges within diameter rounds") {
-    // path 1-2-3-...-12: worst case for label propagation
-    val n = 12L
+  test("components: long path (diameter >> maxIters without jumping) converges") {
+    // path 1-2-...-80: propagation alone would need 79 rounds — far
+    // past the default maxIters=25. Pointer jumping covers it in
+    // O(log 80) rounds, so this converges (and proves the jump works).
+    val n = 80L
     val nodes = (1L to n).toDF("id")
     val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
     val got = ConnectedComponents.components(nodes, edges)
       .as[(Long, Long)].collect().toMap
-    assert(got.values.toSet == Set(1L))
+    assert(got.size == 80 && got.values.toSet == Set(1L))
   }
 
   test("dupGroups: only multi-member components, with keeper and size") {

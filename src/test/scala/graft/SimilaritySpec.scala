@@ -42,6 +42,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L, 0.6)))
   }
 
+  test("jaccardPairs: hot-token cap drops stopword-grade tokens from the index") {
+    // "the" appears in every doc — uncapped it alone creates C(4,2)
+    // intersection rows; capped at maxDf=3 it is dropped whole and
+    // only the genuinely-overlapping pair survives.
+    val docs = Seq(
+      (1L, "the a b c d"),
+      (2L, "the a b c e"),
+      (3L, "the x y z w"),
+      (4L, "the p q r s")).toDF("doc_id", "text")
+    val capped = jaccardPairs(docs, 0.1, maxDf = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    // with "the" gone both sides have 4 tokens, |∩|=3 -> 3/5 = 0.6
+    assert(capped == Set((1L, 2L, 0.6)), s"got $capped")
+    // uncapped: every pair shares "the" -> 6 candidate pairs
+    assert(jaccardPairs(docs, 0.0).count() == 6)
+  }
+
   test("minhash LSH: near-dups are candidates with high estimate; disjoint docs are not") {
     val near = ("w1 " * 30).trim + " extra"
     val docs = Seq(

@@ -22,6 +22,24 @@ class SubsetCliSpec extends SparkSpecBase {
     assert(a.cfg.forceComposite == Map("lineitem" -> Seq(Seq(3L, 2L))))
   }
 
+  test("parse: --yes skips the confirmation prompt") {
+    assert(!SubsetCli.parse(Seq("/s", "/d", "0.1")).yes)
+    assert(SubsetCli.parse(Seq("/s", "/d", "0.1", "--yes")).yes)
+  }
+
+  test("plan: per-table targets from footers, globs applied, stable rendering") {
+    val args = SubsetCli.parse(Seq("/root/testdata/sf0.001", "/tmp/unused", "0.1",
+      "--full-tables", "region", "--exclude-tables", "embeddings", "--yes"))
+    val rows = SubsetCli.plan(spark, args)
+    val byTable = rows.map(r => r._1 -> r).toMap
+    assert(!byTable.contains("embeddings"))          // excluded
+    assert(byTable("region") == ("region", 5L, 5L))  // full glob -> n
+    assert(byTable("nation") == ("nation", 25L, 3L)) // ceil(25*0.1)
+    val rendered = SubsetCli.renderPlan(rows)
+    assert(rendered.contains("region") && rendered.contains("-> "))
+    assert(rendered.linesIterator.size == rows.size)
+  }
+
   test("subset sf0.001 -> destination parquet: RI holds on the written copy") {
     val dest = Files.createTempDirectory("graft-subset-dest").toString
     val args = SubsetCli.parse(Seq("/root/testdata/sf0.001", dest, "0.1",

@@ -141,6 +141,31 @@ class SubsetterSpec extends SparkSpecBase {
     assert(r == 1L)
   }
 
+  test("validateRI: string-keyed FK edges use native types (no long cast)") {
+    val child = Seq((1L, "US"), (2L, "FR"), (3L, "XX")).toDF("cid", "ccode")
+    val parent = Seq(("US", "United States"), ("FR", "France")).toDF("code", "cname")
+    val graph = FkGraph(
+      pks = Map("child" -> Seq("cid"), "parent" -> Seq("code")),
+      fks = Seq(Fk("child", Seq("ccode"), "parent", Seq("code"))))
+    val r = Subsetter.validateRI(Map("child" -> child, "parent" -> parent), graph)
+      .select("orphans").as[Long].head()
+    assert(r == 1L) // only "XX" is orphaned; a long-cast would orphan all 3
+  }
+
+  test("subset + validateRI: string-keyed graph end to end") {
+    val parent = ('a' to 'z').map(c => (c.toString, s"p$c")).toDF("code", "pname")
+    val child = (1L to 52L).map(i => (i, ('a' + ((i - 1) % 26).toInt).toChar.toString))
+      .toDF("cid", "code")
+    val graph = FkGraph(
+      pks = Map("parent" -> Seq("code"), "child" -> Seq("cid")),
+      fks = Seq(Fk("child", Seq("code"), "parent", Seq("code"))))
+    val out = Subsetter.subset(Map("parent" -> parent, "child" -> child), graph,
+      Subsetter.Config(fraction = 0.25, children = 0))
+    assert(out("child").count() == 13) // exact target via top-up
+    val orphans = Subsetter.validateRI(out, graph).select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L))
+  }
+
   test("subset: forced rows are present with their parent closure") {
     val (tables, graph) = tinyGraph
     val out = Subsetter.subset(tables, graph,
@@ -214,6 +239,20 @@ class SubsetterSpec extends SparkSpecBase {
     val graph = FkGraph(pks = Map("a" -> Seq("aid")), fks = Nil)
     val out = Subsetter.subset(Map("a" -> a), graph, Subsetter.Config(fraction = 0.99))
     assert(out("a").count() == 7) // ceil(7*0.99)=7 == n, reached by exhaustion path
+  }
+
+  test("subset: topUpRounds = -1 loops until complete where bounded rounds fall short") {
+    // binomial sampling is biased ~3σ under target, so with the top-up
+    // disabled (0 rounds) the count falls short of the exact target;
+    // until-complete (-1) repairs it to exactly ceil(200*0.3) = 60.
+    val a = (1L to 200L).map(i => (i, s"a$i")).toDF("aid", "av")
+    val graph = FkGraph(pks = Map("a" -> Seq("aid")), fks = Nil)
+    val none = Subsetter.subset(Map("a" -> a), graph,
+      Subsetter.Config(fraction = 0.3, topUpRounds = 0))
+    assert(none("a").count() < 60) // bounded-rounds shortfall is real
+    val full = Subsetter.subset(Map("a" -> a), graph,
+      Subsetter.Config(fraction = 0.3, topUpRounds = -1))
+    assert(full("a").count() == 60)
   }
 
   test("subset: exclude and full-table globs") {
