@@ -330,12 +330,15 @@ object SimilarityFunctions {
     centroids
   }
 
-  /** Nearest-centroid assignment by cosine (broadcast centroids). */
+  /** Nearest-centroid assignment by cosine (broadcast centroids).
+    * Native fused `graft_cosine` (same fold order as the HOF tier) —
+    * the assign loop is k dot products per row and was the IVF tier's
+    * hot spot as interpreted lambdas. */
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(vecs.sparkSession)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
     vecs.crossJoin(broadcast(centroids))
-      .withColumn("sim", dot(col("v"), col("c")) /
-        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("c"), col("c")))))
+      .withColumn("sim", call_function("graft_cosine", col("v"), col("c")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("centroid_id"))
@@ -357,16 +360,14 @@ object SimilarityFunctions {
     val probes = queries
       .select(col("vec_id").as("qid"), toDoubleArr(col("embedding")).as("qe"))
       .crossJoin(broadcast(centroids))
-      .withColumn("sim", dot(col("qe"), col("c")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("c"), col("c")))))
+      .withColumn("sim", call_function("graft_cosine", col("qe"), col("c")))
       .withColumn("rn", row_number().over(wQ))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qe"), col("centroid_id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     index.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("score", dot(col("qe"), col("ce")) /
-        (sqrt(dot(col("qe"), col("qe"))) * sqrt(dot(col("ce"), col("ce")))))
+      .withColumn("score", call_function("graft_cosine", col("qe"), col("ce")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("cid"), col("score"), col("rnk"))

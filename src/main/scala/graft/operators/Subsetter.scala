@@ -241,9 +241,10 @@ object Subsetter {
       val proj = tables(child)
         .join(childDelta, graph.pks(child), "left_semi")
         .select(allCols.map(col): _*)
-        .distinct()
-      // materialize only when several edges will re-read it
-      if (fks.size > 1) ckpt(proj) else proj
+      // dedup + materialize only when several edges re-read it; a
+      // single-edge projection flows straight into neededFrom, whose own
+      // distinct makes a pre-distinct here a wasted shuffle
+      if (fks.size > 1) ckpt(proj.distinct()) else proj
     }
 
     // Group consecutive same-child edges (orderEdges emits a table's
@@ -421,6 +422,15 @@ object Subsetter {
       cfg: Config,
       rowCounts: Map[String, Long] = Map.empty): Map[String, DataFrame] = {
 
+    // dev profiling: GRAFT_SUBSET_TIMING=1 prints per-phase wall times
+    val timing = sys.env.get("GRAFT_SUBSET_TIMING").contains("1")
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = if (timing) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[subset] $name%-18s ${(t1 - t0) / 1e9}%6.2f s")
+      t0 = t1
+    }
+
     val included = tables.keys.toSeq.sorted
       .filterNot(t => globMatch(cfg.excludeTables, t))
 
@@ -458,8 +468,10 @@ object Subsetter {
       t -> sampled
     }.toMap
 
+    phase("seed")
     // 3. parent closure to fixpoint
     var keys = parentClosure(tables, graph, seeds)
+    phase("closure")
 
     // 4–5. bounded child pull, then re-close parents (children may
     // demand parents not yet in the subset) — `childRounds` controls how
@@ -478,32 +490,66 @@ object Subsetter {
       val snapshot = keys
       val pullEdges = graph.fks.filter(fk =>
         snapshot.contains(fk.parentTable) && included.contains(fk.childTable))
-      val freshByEdge = Await.result(
-        Future.sequence(pullEdges.map { fk => Future {
-          val pulled = childTopK(tables(fk.childTable), graph.pks(fk.childTable),
-              fk, snapshot(fk.parentTable), cfg.children)
-            .select(graph.pks(fk.childTable).map(col): _*).distinct()
-          // lazy checkpoint: the count() materializes it — one job,
-          // emptiness included, instead of eager-ckpt + isEmpty
-          val fresh = (snapshot.get(fk.childTable) match {
-            case Some(k) => pulled.join(k, graph.pks(fk.childTable), "left_anti")
-            case None    => pulled
+      // ALL edges into one child table fuse into a single job: union the
+      // per-edge windowed pulls, dedup ONCE, anti-join ONCE, and let the
+      // count() materialize the lazy checkpoint — one barrier per child
+      // table instead of (window + distinct + anti + count) per edge.
+      val pulls = Await.result(
+        Future.sequence(pullEdges.groupBy(_.childTable).toSeq.map { case (ct, fks) =>
+          Future {
+            val pk = graph.pks(ct)
+            val pulled = fks.map(fk =>
+                childTopK(tables(ct), pk, fk, snapshot(fk.parentTable), cfg.children))
+              .reduce(_ union _)
+              .localCheckpoint(false)
+            val fresh = (snapshot.get(ct) match {
+              case Some(k) => pulled.select(pk.map(col): _*).distinct()
+                .join(k, pk, "left_anti")
+              case None    => pulled.select(pk.map(col): _*).distinct()
+            }).localCheckpoint(false)
+            // one job: materializes `pulled` + `fresh`, answers emptiness
+            val n = fresh.count()
+            // parent demands along EVERY out-edge of the child (not just
+            // the pulling edges), straight from the pulled rows
+            val demands = graph.fks
+              .filter(fk => fk.childTable == ct && tables.contains(fk.parentTable))
+              .map { fk =>
+                fk.parentTable -> pulled.select(
+                  fk.childCols.zip(fk.parentCols).map { case (c, p) =>
+                    col(c).cast(tables(fk.parentTable).schema(p).dataType).as(p)
+                  }: _*).na.drop()
+              }
+            (ct, fresh, n, demands)
+          }
+        }), Duration.Inf)
+      pulls.foreach { case (t, fresh, n, _) =>
+        if (n > 0L) keys += t -> keys.get(t).map(_.union(fresh)).getOrElse(fresh)
+      }
+      // merge per-parent demands (cheap: they read the materialized pull
+      // checkpoints), dedup across children, keep only genuinely new keys
+      val demandByParent = pulls.flatMap(_._4).groupBy(_._1).toSeq
+      val parentFresh = Await.result(
+        Future.sequence(demandByParent.map { case (parent, ds) => Future {
+          val need = ds.map(_._2).reduce(_ union _).distinct()
+          val fresh = (keys.get(parent) match {
+            case Some(k) => need.join(k, graph.pks(parent), "left_anti")
+            case None    => need
           }).localCheckpoint(false)
-          (fk.childTable, fresh, fresh.count())
+          (parent, fresh, fresh.count())
         }}), Duration.Inf)
       val deltas = scala.collection.mutable.Map[String, DataFrame]()
-      freshByEdge.foreach { case (t, fresh, freshN) =>
-        if (freshN > 0L) {
-          // distinct: two edges into the same child table (computed
-          // against the same snapshot) can pull overlapping keys
-          keys += t -> keys.get(t)
-            .map(k => k.union(fresh).distinct().localCheckpoint(true)).getOrElse(fresh)
-          deltas(t) = deltas.get(t)
-            .map(d => d.union(fresh).distinct().localCheckpoint(true)).getOrElse(fresh)
+      parentFresh.foreach { case (parent, fresh, n) =>
+        if (n > 0L) {
+          keys += parent -> keys.get(parent).map(_.union(fresh)).getOrElse(fresh)
+          deltas(parent) = fresh
         }
       }
+      // the pulled children's own first-hop demands are folded in above,
+      // so the closure resumes from the PARENT deltas only — at 100 TB
+      // that means no second scan of any child (fact) table.
       keys = closureFrom(tables, graph, keys, deltas.toMap)
     }
+    phase("child-pull")
 
     // 6. completeness top-up — the reference's create_subset_in main
     // loop keeps pulling rows for the least-complete table until every
@@ -536,6 +582,7 @@ object Subsetter {
         .filter(_._2 > 0L).toMap
     }
     shortfalls = measure()
+    phase("measure-0")
     // topUpRounds < 0 = the reference's until-complete semantics: loop
     // while progress is possible (each round either fills a gap or
     // marks its source exhausted, so termination is guaranteed).
@@ -567,6 +614,7 @@ object Subsetter {
         keys = closureFrom(tables, graph, keys, deltas)
         shortfalls = measure()
       }
+      phase(s"topup-$round")
     }
 
     // 7. materialize rows
