@@ -66,6 +66,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ANN LSH: candidate gen is a hash join on (tbl,bucket); dedup carries ids only") {
+    val df = SimilarityQueries.annLshTopk(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the candidate-dedup aggregate must group on id-width keys, never
+    // shuffle the 64-double vectors (VERDICT r2 finding)
+    val dedupAggs = p.linesIterator
+      .filter(_.contains("HashAggregate(keys=[qid")).toSeq
+    assert(dedupAggs.nonEmpty, "expected an id-keyed candidate-dedup aggregate")
+    assert(dedupAggs.forall(l => !l.contains("qe") && !l.contains("ce")),
+      "candidate dedup must not carry embedding vectors")
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution
