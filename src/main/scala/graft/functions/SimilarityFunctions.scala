@@ -349,7 +349,7 @@ object SimilarityFunctions {
     * centroid lists. Compared pairs shrink by ~k/nprobe; recall is
     * measured against cosineTopK in tests. */
   def annIvfTopK(queries: DataFrame, candidates: DataFrame, topK: Int,
-                 k: Int = 8, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+                 k: Int = 8, nprobe: Int = 3, iters: Int = 2): DataFrame = {
     val centroids = ivfCentroids(candidates, k, iters)
     val index = assign(
       candidates.select(col("vec_id"), toDoubleArr(col("embedding")).as("v")), centroids)

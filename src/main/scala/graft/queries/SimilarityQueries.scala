@@ -275,6 +275,45 @@ object SimilarityQueries {
         (col("hits").cast("double") / col("brute_pairs").cast("double")).as("recall"))
   }
 
+  /** Same recall artifact for the IVF tier: nprobe=3 of k=8 cells
+    * probes ~3/8 of the corpus for recall ~0.66 on this (worst-case,
+    * near-orthogonal) embedding geometry. Rows-only. */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val brute = SimilarityFunctions.cosineTopK(q, e, 10).select("qid", "cid")
+    val ivf = SimilarityFunctions.annIvfTopK(q, e, 10).select("qid", "cid")
+    val hits = ivf.join(brute, Seq("qid", "cid"), "inner")
+      .agg(count(lit(1)).as("hits"))
+    brute.agg(count(lit(1)).as("brute_pairs"))
+      .crossJoin(hits)
+      .select(col("brute_pairs"), col("hits"),
+        (col("hits").cast("double") / col("brute_pairs").cast("double")).as("recall"))
+  }
+
+  /** Exact dedup with a 100 TB shuffle budget: group documents by an
+    * 8-byte xxhash64 digest (plus a 16-byte md5 as a collision
+    * sentinel) instead of shuffling the full text — at corpus scale the
+    * dedup shuffle carries 24 bytes/doc, not the documents themselves.
+    * A bucket whose members disagree on the sentinel is a digest
+    * collision (probability ~n²/2⁶⁴) and is surfaced, not silently
+    * merged. Rows-only (engine-internal hash); SimilaritySpec proves
+    * group-equivalence with the full-text tier. */
+  def dedupExactDigest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    d.union(planted)
+      .select(col("doc_id"), xxhash64(col("text")).as("digest"),
+        md5(col("text")).as("sentinel"))
+      .groupBy("digest")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"),
+        countDistinct(col("sentinel")).as("distinct_texts"))
+      .filter(col("dup_cnt") > 1)
+      .select("keep_id", "dup_cnt", "distinct_texts")
+      .orderBy("keep_id")
+  }
+
   /** HLL / exact distinct side-by-side (approx_count_distinct is
     * engine-specific → rows-only). */
   def hllDistinctTokens(s: SparkSession, dir: String): DataFrame =
@@ -297,6 +336,8 @@ object SimilarityQueries {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_recall" -> (annIvfRecall _),
+    "dedup_exact_digest" -> (dedupExactDigest _),
     "hll_distinct_tokens" -> (hllDistinctTokens _))
 
   def oracle: Map[String, String] = Map(

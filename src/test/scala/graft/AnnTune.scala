@@ -38,6 +38,12 @@ object AnnTune {
       val recall = hits.toDouble / brutePairs
       println(f"planes=$p tables=$t probeH=$h maxCand=$m recall=$recall%.3f")
     }
+    for ((k, nprobe) <- Seq((8, 2), (8, 3), (16, 4))) {
+      val ivf = SimilarityFunctions.annIvfTopK(q, e, 10, k = k, nprobe = nprobe)
+        .select("qid", "cid").localCheckpoint(true)
+      val hits = ivf.join(brute, Seq("qid", "cid")).count()
+      println(f"ivf k=$k nprobe=$nprobe recall=${hits.toDouble / brutePairs}%.3f")
+    }
     spark.stop()
   }
 }

@@ -170,6 +170,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.forall(_._3 >= 0.9))
   }
 
+  test("digest dedup == full-text dedup on the real corpus; no collisions") {
+    val dir = "/root/testdata/sf0.01"
+    val byText = graft.queries.SimilarityQueries.dedupExactDocs(spark, dir)
+      .select("keep_id", "dup_cnt").as[(Long, Long)].collect().toSet
+    val byDigest = graft.queries.SimilarityQueries.dedupExactDigest(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(byDigest.forall(_._3 == 1L), "xxhash64 collision sentinel tripped")
+    assert(byDigest.map(r => (r._1, r._2)).toSet == byText)
+  }
+
+  test("IVF recall@10 vs brute force on the real corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val r = graft.queries.SimilarityQueries.annIvfRecall(spark, dir)
+      .select("recall").as[Double].head()
+    assert(r >= 0.4, s"IVF recall degraded: $r")
+  }
+
   test("IVF: centroids form, index assigns, and exact duplicates are found") {
     val rnd = new scala.util.Random(13)
     // two well-separated clusters + an exact duplicate of the query

@@ -21,6 +21,20 @@ class SourcesSpec extends SparkSpecBase {
       df.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("orc roundtrip preserves data and schema (self-describing)") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "gamma", 0.0))
+      .toDF("id", "name", "score")
+    Sources.writeOrc(df, s"$dir/orc")
+    val back = Sources.readOrc(spark, s"$dir/orc")
+    assert(back.collect().toSet == df.collect().toSet)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    // pushdown reaches the ORC scan like parquet
+    val p = back.filter($"id" > 1L).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), p)
+  }
+
   test("footerRowCount: exact counts from parquet metadata, no scan") {
     val expected = Map("region" -> 5L, "nation" -> 25L, "customer" -> 150L)
     expected.foreach { case (t, n) =>
