@@ -236,15 +236,22 @@ object Subsetter {
     // semi-join scan of the child table (projected to the union of the
     // edges' FK columns, deduped, materialized) serves every edge — at
     // 100 TB that is one lineitem scan instead of three.
-    def fkProjection(child: String, fks: Seq[Fk], childDelta: DataFrame): DataFrame = {
+    def fkProjection(child: String, fks: Seq[Fk], childDelta: DataFrame,
+                     probe: Boolean): DataFrame = {
       val allCols = fks.flatMap(_.childCols).distinct
       val proj = tables(child)
         .join(childDelta, graph.pks(child), "left_semi")
         .select(allCols.map(col): _*)
       // dedup + materialize only when several edges re-read it; a
       // single-edge projection flows straight into neededFrom, whose own
-      // distinct makes a pre-distinct here a wasted shuffle
-      if (fks.size > 1) ckpt(proj.distinct()) else proj
+      // distinct makes a pre-distinct here a wasted shuffle. In lazy
+      // (DAG) mode the checkpoint materializes inside the single
+      // end-of-closure job — within one job Spark's stage graph dedups
+      // the shared RDD, so it still computes once.
+      if (fks.size > 1) {
+        val d = proj.distinct()
+        if (probe) ckpt(d) else d.localCheckpoint(false)
+      } else proj
     }
 
     // Group consecutive same-child edges (orderEdges emits a table's
@@ -266,7 +273,8 @@ object Subsetter {
     // clock per wave drops from Σ(edges) job latencies to max over
     // parents of the per-parent chain.
     def expandWave(wave: Seq[(String, Seq[Fk], DataFrame)],
-                   onFresh: (Fk, DataFrame) => Unit): Unit = {
+                   onFresh: (Fk, DataFrame) => Unit,
+                   probe: Boolean): Unit = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -274,7 +282,7 @@ object Subsetter {
       // shared per-child FK projections (a ckpt job when >1 edge reads it)
       val projs = Await.result(
         Future.sequence(wave.map { case (child, fks, d) =>
-          Future { child -> fkProjection(child, fks, d) }
+          Future { child -> fkProjection(child, fks, d, probe) }
         }), Duration.Inf).toMap
       val byParent = wave
         .flatMap { case (child, fks, _) => fks.map(fk => fk -> projs(child)) }
@@ -289,10 +297,13 @@ object Subsetter {
               case Some(k) => needed.join(k, graph.pks(parent), "left_anti")
               case None    => needed
             }
-            // lazy checkpoint: count() materializes it — one job,
-            // emptiness probe included
             val fresh = anti.localCheckpoint(false)
-            if (fresh.count() > 0L) {
+            // probe mode (cyclic graphs): the count() both materializes
+            // the lazy checkpoint and answers the semi-naive emptiness
+            // question — one job per edge. Lazy mode (DAGs): NO action
+            // at all; everything materializes in the single job at the
+            // end of the closure (a DAG needs no convergence probe).
+            if (!probe || fresh.count() > 0L) {
               known = Some(known.map(_.union(fresh)).getOrElse(fresh))
               out += ((fk, fresh))
             }
@@ -328,10 +339,19 @@ object Subsetter {
         expandWave(
           ready.flatMap { case (c, fks) => avail.get(c).map(d => (c, fks, d)) },
           (fk, fresh) => avail(fk.parentTable) =
-            avail.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh))
+            avail.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh),
+          probe = false)
         ready.foreach { case (c, _) => done += c }
         pending.filterInPlace { case (c, _) => !done.contains(c) }
       }
+      // The whole DAG closure above was PLAN construction only — zero
+      // Spark jobs. ONE job now materializes every lazily-checkpointed
+      // key set (shared stages dedup inside the job), replacing the
+      // per-edge count barriers: ~2 driver round-trips total instead of
+      // ~2 per edge. Downstream concurrent consumers (child pull,
+      // measurement) then read persisted partitions.
+      if (keys.nonEmpty)
+        keys.values.map(_.select(lit(1).as("__m"))).reduce(_ union _).count()
     } else {
       // Cycles: classic semi-naive rounds until no delta survives.
       var delta = deltas
@@ -342,7 +362,8 @@ object Subsetter {
         for ((child, fks) <- grouped; d <- delta.get(child)) {
           expandWave(Seq((child, fks, d)), (fk, fresh) =>
             next(fk.parentTable) =
-              next.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh))
+              next.get(fk.parentTable).map(a => a.union(fresh)).getOrElse(fresh),
+            probe = true)
         }
         delta = next.toMap
       }
