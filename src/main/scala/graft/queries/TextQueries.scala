@@ -193,7 +193,74 @@ object TextQueries {
        |SELECT lang, doc_id, n_tokens, CAST(cum_before // $PackBudget AS INTEGER) AS bin_id
        |FROM c ORDER BY lang, doc_id""".stripMargin
 
+  // --- pipeline_corpus_clean: the full training-data cleanup chain ----
+  // The composition a corpus-prep pipeline actually runs, end to end in
+  // ONE declarative plan: plant dups (the fixture has none) -> quality
+  // gate (length + uniq-ratio) -> language-ID agreement gate -> exact
+  // dedup keeping the first doc per text -> survivors. Every stage is
+  // deterministic integer/double arithmetic, so the WHOLE pipeline is
+  // DuckDB-oracle-checked, not just its pieces. Scan-local until the
+  // dedup window — one shuffle total.
+  private val CleanMinTokens = 24
+  private val CleanMinUniq = 0.35
+  private val LangOrder = Seq("en", "de", "es", "fr", "zh")
+
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val feat = d.union(planted).select(
+      col("doc_id"), col("lang"), col("text"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.uniqRatio(col("text")).as("uniq_ratio"))
+    val scored = LangOrder.foldLeft(feat)((df, l) => df.withColumn(s"s_$l",
+      TextFunctions.wordSetCount(col("text"), TextFunctions.langStopwords(l))))
+    val m = greatest(LangOrder.map(l => col(s"s_$l")): _*)
+    val pred = LangOrder.foldRight(lit("und")) { (l, els) =>
+      when(col(s"s_$l") === m, lit(l)).otherwise(els)
+    }
+    val kept = scored.withColumn("pred", pred)
+      .filter(col("n_tokens") >= CleanMinTokens &&
+        col("uniq_ratio") >= CleanMinUniq && col("pred") === col("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id"))
+    kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "lang", "n_tokens", "uniq_ratio")
+      .orderBy("doc_id")
+  }
+
+  val corpusCleanSql: String = {
+    val t = "string_split(text, ' ')"
+    val scoreExprs = LangOrder.map { l =>
+      val words = TextFunctions.langStopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter($t, w -> w IN ($words))) AS INTEGER) AS s_$l"
+    }.mkString(",\n  ")
+    val m = LangOrder.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val caseChain = LangOrder.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 10 = 0
+       |), feat AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len($t) AS INTEGER) AS n_tokens,
+       |    CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE) AS uniq_ratio,
+       |  $scoreExprs
+       |  FROM all_docs
+       |), withm AS (SELECT *, $m AS m FROM feat),
+       |kept AS (
+       |  SELECT * FROM withm
+       |  WHERE n_tokens >= $CleanMinTokens AND uniq_ratio >= $CleanMinUniq
+       |    AND (CASE $caseChain ELSE 'und' END) = lang
+       |), dedup AS (
+       |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM kept)
+       |SELECT doc_id, lang, n_tokens, uniq_ratio
+       |FROM dedup WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus_clean" -> (corpusClean _),
     "text_chunks" -> (chunks _),
     "text_pack_bins" -> (packBins _),
     "text_tokens_top" -> (tokensTop _),
@@ -203,6 +270,7 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "pipeline_corpus_clean" -> corpusCleanSql,
     "text_chunks" -> chunksSql,
     "text_pack_bins" -> packBinsSql,
     "text_tokens_top" -> tokensTopSql,
