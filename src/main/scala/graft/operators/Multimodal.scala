@@ -112,6 +112,50 @@ object Multimodal {
       }
   }
 
+  /** Real bilinear resize via `java.awt` (JDK-native, no external
+    * library): decodable images draw into a w×h canvas with bilinear
+    * interpolation and re-encode as PNG; non-image bytes pass through a
+    * deterministic byte-stride downsample to ~w·h bytes, so the
+    * pipeline stays total over arbitrary blobs. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img =
+      if (!looksLikeImage(bytes)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+    if (img == null) {
+      val target = math.max(1, w * h)
+      if (bytes.length <= target) bytes
+      else {
+        val step = bytes.length.toDouble / target.toDouble
+        Array.tabulate(target)(i => bytes((i * step).toInt))
+      }
+    } else {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Resize a binary media column per-partition (media_id, thumb). Same
+    * batched no-shuffle shape as [[imageFeatures]]. */
+  def resizeColumn(df: DataFrame, idCol: String, binCol: String,
+                   w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("media_bytes"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => (r.media_id, resizeImage(r.media_bytes, w, h))))
+      .toDF("media_id", "thumb")
+  }
+
   /** Frame sampling for "video" binaries: every `stride`-th fixed-size
     * frame as its own row (media_id, frame_no, frame_bytes). */
   def frameSample(df: DataFrame, idCol: String, binCol: String,

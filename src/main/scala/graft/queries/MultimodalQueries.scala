@@ -32,9 +32,21 @@ object MultimodalQueries {
       .orderBy("media_id", "frame_no")
   }
 
+  /** Thumbnail the "images" to 8x8: real bilinear resize on decodable
+    * bytes, deterministic byte-stride downsample otherwise. */
+  def multimodalThumbs(s: SparkSession, dir: String): DataFrame = {
+    val withBin = Catalog.table(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
+    Multimodal.resizeColumn(withBin, "doc_id", "media_bytes", w = 8, h = 8)
+      .select(col("media_id"), length(col("thumb")).as("thumb_len"))
+      .orderBy("media_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_thumbs" -> (multimodalThumbs _))
 
   def oracle: Map[String, String] = Map.empty // Dataset pipeline: rows-only
 }

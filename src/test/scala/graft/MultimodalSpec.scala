@@ -47,6 +47,33 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f2.mean_intensity == 'a'.toDouble)
   }
 
+  test("resizeImage: real bilinear PNG resize; byte-stride fallback; via Spark") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 31) << 16) | ((y * 31) << 8) | 128)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // real image path: 8x8 -> 4x4 PNG, decodable, right dimensions
+    val thumb = Multimodal.resizeImage(png(8, 8), 4, 4)
+    assert(Multimodal.looksLikeImage(thumb))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(thumb))
+    assert(back.getWidth == 4 && back.getHeight == 4)
+    // fallback path: 100 non-image bytes -> exactly w*h strided bytes
+    val blob = Array.tabulate[Byte](100)(_.toByte)
+    val small = Multimodal.resizeImage(blob, 3, 3)
+    assert(small.length == 9 && small(0) == 0.toByte)
+    // distributed: one image row + one blob row
+    val df = Seq((1L, png(8, 8)), (2L, blob)).toDF("id", "bin")
+    val rows = Multimodal.resizeColumn(df, "id", "bin", 4, 4)
+      .select($"media_id", length($"thumb")).as[(Long, Int)].collect().toMap
+    assert(rows(2L) == 16) // blob -> 4*4 strided bytes
+    assert(rows(1L) > 16)  // real PNG re-encode
+  }
+
   test("frameSample: strided fixed-size frames") {
     val df = Seq((7L, "x" * 300)).toDF("id", "txt")
       .select($"id", encode($"txt", "UTF-8").as("bin"))
