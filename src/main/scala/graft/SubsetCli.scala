@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   runMain graft.SubsetCli <srcDir> <destDir> <fraction> \
   *     [--yes] [--logarithmic] [--children N] [--full-tables glob,glob] \
-  *     [--exclude-tables glob,glob] \
+  *     [--exclude-tables glob,glob] [--config fks.json] \
   *     [--force table:pk[,table:v1+v2...]]   (+-joined = composite PK tuple)
   *
   * Like the reference, the CLI prints the per-table target plan and
@@ -26,16 +26,40 @@ object SubsetCli {
       src: String,
       dest: String,
       cfg: Subsetter.Config,
-      yes: Boolean = false)
+      yes: Boolean = false,
+      extraFks: Seq[Fk] = Nil)
+
+  /** Parse a `--config` JSON file of extra (pseudo-)FK edges — the
+    * reference's `--config` constraints JSON (`Db.__init__` config
+    * merge). Shape: `[{"childTable": "...", "childCols": ["..."],
+    * "parentTable": "...", "parentCols": ["..."]}]`. */
+  def parseConfigFks(path: String): Seq[Fk] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    require(root.isArray, s"--config $path: expected a JSON array of FK edges")
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map { n =>
+      def strs(field: String): Seq[String] = {
+        val f = n.get(field)
+        require(f != null, s"--config $path: edge missing '$field'")
+        if (f.isArray) f.elements().asScala.map(_.asText()).toSeq
+        else Seq(f.asText())
+      }
+      Fk(strs("childTable").head, strs("childCols"),
+        strs("parentTable").head, strs("parentCols"), pseudo = true)
+    }.toSeq
+  }
 
   def parse(argv: Seq[String]): CliArgs = {
     require(argv.length >= 3, "usage: SubsetCli <srcDir> <destDir> <fraction> [flags]")
     val Seq(src, dest, fractionS) = argv.take(3)
     var cfg = Subsetter.Config(fraction = fractionS.toDouble)
     var yes = false
+    var extraFks: Seq[Fk] = Nil
     var rest = argv.drop(3).toList
     while (rest.nonEmpty) rest = rest match {
       case "--yes" :: tl => yes = true; tl
+      case "--config" :: path :: tl => extraFks = parseConfigFks(path); tl
       case "--logarithmic" :: tl => cfg = cfg.copy(logarithmic = true); tl
       case "--children" :: n :: tl => cfg = cfg.copy(children = n.toInt); tl
       case "--full-tables" :: globs :: tl =>
@@ -56,7 +80,7 @@ object SubsetCli {
         cfg = cfg.copy(force = forced, forceComposite = forcedComp); tl
       case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
     }
-    CliArgs(src, dest, cfg, yes)
+    CliArgs(src, dest, cfg, yes, extraFks)
   }
 
   /** Pre-run plan: (table, source rows, target rows) for every included
@@ -84,7 +108,9 @@ object SubsetCli {
     val tables = Catalog.load(spark, args.src)
     val counts = Catalog.tableNames.map(t =>
       t -> Sources.footerRowCount(spark, s"${args.src}/$t.parquet")).toMap
-    val out = Subsetter.subset(tables, FkGraph.default, args.cfg, rowCounts = counts)
+    val graph = FkGraph.default.copy(
+      fks = FkGraph.default.fks ++ args.extraFks)
+    val out = Subsetter.subset(tables, graph, args.cfg, rowCounts = counts)
     out.toSeq.sortBy(_._1).map { case (t, df) =>
       Sources.writeParquet(df, s"${args.dest}/$t.parquet")
       t -> Sources.footerRowCount(spark, s"${args.dest}/$t.parquet")

@@ -22,6 +22,22 @@ class SubsetCliSpec extends SparkSpecBase {
     assert(a.cfg.forceComposite == Map("lineitem" -> Seq(Seq(3L, 2L))))
   }
 
+  test("parse: --config loads extra pseudo-FK edges from JSON") {
+    val f = Files.createTempFile("graft-config", ".json")
+    Files.writeString(f,
+      """[{"childTable": "documents", "childCols": ["doc_id"],
+        |  "parentTable": "customer", "parentCols": ["c_custkey"]}]""".stripMargin)
+    val a = SubsetCli.parse(Seq("/s", "/d", "0.1", "--config", f.toString))
+    assert(a.extraFks == Seq(
+      Fk("documents", Seq("doc_id"), "customer", Seq("c_custkey"), pseudo = true)))
+    // malformed config fails loudly
+    val bad = Files.createTempFile("graft-config-bad", ".json")
+    Files.writeString(bad, """{"not": "an array"}""")
+    intercept[IllegalArgumentException] {
+      SubsetCli.parse(Seq("/s", "/d", "0.1", "--config", bad.toString))
+    }
+  }
+
   test("parse: --yes skips the confirmation prompt") {
     assert(!SubsetCli.parse(Seq("/s", "/d", "0.1")).yes)
     assert(SubsetCli.parse(Seq("/s", "/d", "0.1", "--yes")).yes)
