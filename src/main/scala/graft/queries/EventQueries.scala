@@ -178,17 +178,59 @@ object EventQueries {
        |ORDER BY user_id, session_id""".stripMargin
   }
 
+  // --- session_window: Spark's NATIVE session operator ----------------
+  // Same 30-minute-gap sessions as `sessionize`, but through the
+  // built-in `session_window` (the operator Structured Streaming's
+  // stateful sessionization uses) instead of the lag+cumsum
+  // formulation. Boundary semantics differ at exactly the gap:
+  // session_window windows are [t, t+gap) and merge on OVERLAP, so a
+  // successor at t+gap starts a NEW session (>= breaks), while the lag
+  // formulation breaks only when the gap is EXCEEDED (> breaks) — the
+  // oracle below mirrors >= to match the native operator.
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"),
+        timestamp_seconds(Det.epochS(col("ts"))).as("tss"), col("value"))
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), Det.moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start_s"),
+        (unix_timestamp(col("sw.end")) - 1800L).as("session_end_s"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_s")
+
+  val sessionWindowNativeSql: String = {
+    import Det.sql._
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, ${epochS("ts")} AS s, value FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w >= 1800
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+       |), sessed AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged
+       |)
+       |SELECT user_id, min(s) AS session_start_s, max(s) AS session_end_s,
+       |  count(*) AS n_events, ${moneySum("value")} AS sum_value
+       |FROM sessed GROUP BY user_id, session_id
+       |ORDER BY user_id, session_start_s""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "range_join_events" -> (rangeJoinEvents _),
     "asof_join_events" -> (asofJoinEvents _),
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_sliding_counts" -> (slidingCounts _),
-    "stream_sessionize" -> (sessionize _))
+    "stream_sessionize" -> (sessionize _),
+    "session_window_native" -> (sessionWindowNative _))
 
   def oracle: Map[String, String] = Map(
     "range_join_events" -> rangeJoinEventsSql,
     "asof_join_events" -> asofJoinEventsSql,
     "stream_tumbling_counts" -> tumblingCountsSql,
     "stream_sliding_counts" -> slidingCountsSql,
-    "stream_sessionize" -> sessionizeSql)
+    "stream_sessionize" -> sessionizeSql,
+    "session_window_native" -> sessionWindowNativeSql)
 }
