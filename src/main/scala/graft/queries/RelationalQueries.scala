@@ -546,6 +546,25 @@ object RelationalQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Semi-structured props through Spark 4's native VARIANT type:
+    * `parse_json` once into a variant column, then typed
+    * `variant_get` extraction — the engine's open-schema path (binary
+    * variant encoding, no per-row string re-parse per field, unlike
+    * repeated `get_json_object`). Same aggregates as
+    * `json_props_events`, so the same DuckDB oracle applies. */
+  def variantPropsEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** Typed-Aggregator UDAF over grouped data. Welford's (n, mean, m2/n)
     * is algebraically COUNT/AVG/VAR_POP, but its accumulation order
     * differs from the oracle's sum-based aggregates, so the doubles
@@ -596,6 +615,7 @@ object RelationalQueries {
     "date_funcs_orders" -> (dateFuncsOrders _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "json_props_events" -> (jsonPropsEvents _),
+    "variant_props_events" -> (variantPropsEvents _),
     "udaf_acctbal_moments" -> (udafAcctbalMoments _))
 
   def oracle: Map[String, String] = Map(
@@ -623,5 +643,6 @@ object RelationalQueries {
     "date_funcs_orders" -> dateFuncsOrdersSql,
     "array_funcs_embeddings" -> arrayFuncsEmbeddingsSql,
     "json_props_events" -> jsonPropsEventsSql,
+    "variant_props_events" -> jsonPropsEventsSql, // same aggregates, same oracle
     "udaf_acctbal_moments" -> udafAcctbalMomentsSql)
 }
