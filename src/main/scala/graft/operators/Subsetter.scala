@@ -519,8 +519,16 @@ object Subsetter {
         Future.sequence(pullEdges.groupBy(_.childTable).toSeq.map { case (ct, fks) =>
           Future {
             val pk = graph.pks(ct)
+            // project the child to pk + every out-edge FK column BEFORE
+            // the windowed pull: everything downstream (key delta,
+            // parent demands) reads only those, and un-projected wide
+            // columns (events.props at 100 TB) would otherwise ride
+            // through the window shuffle for nothing.
+            val outFkCols = graph.fks.filter(_.childTable == ct).flatMap(_.childCols)
+            val slim = tables(ct)
+              .select((pk ++ outFkCols).distinct.map(col): _*)
             val pulled = fks.map(fk =>
-                childTopK(tables(ct), pk, fk, snapshot(fk.parentTable), cfg.children))
+                childTopK(slim, pk, fk, snapshot(fk.parentTable), cfg.children))
               .reduce(_ union _)
               .localCheckpoint(false)
             val fresh = (snapshot.get(ct) match {
