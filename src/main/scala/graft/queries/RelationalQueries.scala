@@ -253,6 +253,28 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** EXACT percentiles (Spark `percentile`, a sort-based aggregate) —
+    * the oracle-checkable twin of the approx sketch above: both engines
+    * use the same linear-interpolation definition over identical
+    * doubles, so the result hash-matches DuckDB's `quantile_cont`
+    * (verified bitwise on this data). The approx variant stays
+    * rows-only (sketch internals are engine-specific); this one is the
+    * correctness anchor. */
+  def aggPercentileExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy("o_orderpriority")
+
+  val aggPercentileExactSql: String =
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.9) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --- window functions ------------------------------------------------
 
   /** Ranking window; the window ORDER BY carries a unique tiebreaker
@@ -602,6 +624,7 @@ object RelationalQueries {
     "agg_cube_segment_nation" -> (aggCubeSegmentNation _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_percentile_approx" -> (aggPercentileApprox _),
+    "agg_percentile_exact" -> (aggPercentileExact _),
     "win_rank_orders_by_cust" -> (winRankOrdersByCust _),
     "win_running_total" -> (winRunningTotal _),
     "win_moving_avg" -> (winMovingAvg _),
@@ -630,6 +653,7 @@ object RelationalQueries {
     "agg_cube_segment_nation" -> aggCubeSegmentNationSql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     // agg_percentile_approx: engine-specific sketch -> rows-only
+    "agg_percentile_exact" -> aggPercentileExactSql,
     "win_rank_orders_by_cust" -> winRankOrdersByCustSql,
     "win_running_total" -> winRunningTotalSql,
     "win_moving_avg" -> winMovingAvgSql,
