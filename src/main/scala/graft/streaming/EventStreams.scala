@@ -153,6 +153,33 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** NATIVE session-window streaming twin of the oracle-checked batch
+    * `session_window_native`: the built-in merge-on-overlap session
+    * operator under a watermark. Timestamps truncate to whole seconds
+    * BEFORE the operator so session boundaries match the batch/oracle
+    * epoch-second semantics exactly; `sw.end - gap` recovers the last
+    * event time, as in the batch query. */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("tss", timestamp_seconds(Det.epochS(col("ts"))))
+      .withWatermark("tss", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("tss"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start_s"),
+        (unix_timestamp(col("sw.end")) - 1800L).as("session_end_s"),
+        col("n_events"))
+
+  def startSessionWindowToMemory(spark: SparkSession, dir: String,
+                                 name: String): StreamingQuery =
+    sessionWindowCounts(readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // --- custom state: streaming sessionization --------------------------
 
   final case class Ev(event_id: Long, user_id: Long, s: Long)

@@ -60,6 +60,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.toSet.size == streamed.length) // no dup texts survived
   }
 
+  test("streaming session_window (native operator) == batch session_window_native") {
+    val q = EventStreams.startSessionWindowToMemory(spark, dir, "t_swin")
+    q.awaitTermination()
+    val streamRows = spark.sql(
+      "SELECT user_id, session_start_s, session_end_s, n_events FROM t_swin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batchRows = EventQueries.sessionWindowNative(spark, dir)
+      .select("user_id", "session_start_s", "session_end_s", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamRows == batchRows)
+    assert(streamRows.nonEmpty)
+  }
+
   test("streaming sessionize (flatMapGroupsWithState) == batch sessionize") {
     val q = EventStreams.startSessionizeToMemory(spark, dir, "t_sessions")
     q.awaitTermination()
