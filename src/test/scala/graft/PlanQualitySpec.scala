@@ -80,6 +80,21 @@ class PlanQualitySpec extends SparkSpecBase {
       "candidate dedup must not carry embedding vectors")
   }
 
+  test("pipeline_corpus_clean: scan-local gates, one dedup shuffle, no joins") {
+    val df = graft.queries.TextQueries.corpusClean(spark, dir)
+    df.collect()
+    // AQE's plan string repeats the tree under "== Initial Plan ==" —
+    // count only the finalized section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("Join"), "the cleanup chain must not join")
+    // all gates fold into the scan-side projection (visible as
+    // DataFilters on the parquet scan); the only hash shuffle is the
+    // dedup window's partition-by-text
+    val hashExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected exactly one dedup shuffle, got $hashExchanges")
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution
