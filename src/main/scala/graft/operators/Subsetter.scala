@@ -208,7 +208,8 @@ object Subsetter {
       graph: FkGraph,
       existing: Map[String, DataFrame],
       deltas: Map[String, DataFrame],
-      maxIters: Int = 50): Map[String, DataFrame] = {
+      maxIters: Int = 50,
+      materialize: Boolean = true): Map[String, DataFrame] = {
 
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
     val (edges, acyclic) = orderEdges(graph)
@@ -348,9 +349,11 @@ object Subsetter {
       // Spark jobs. ONE job now materializes every lazily-checkpointed
       // key set (shared stages dedup inside the job), replacing the
       // per-edge count barriers: ~2 driver round-trips total instead of
-      // ~2 per edge. Downstream concurrent consumers (child pull,
-      // measurement) then read persisted partitions.
-      if (keys.nonEmpty)
+      // ~2 per edge. Downstream CONCURRENT consumers (child pull) need
+      // this; callers whose next step is itself a single materializing
+      // job (the top-up loop's measure()) pass materialize=false and
+      // skip the barrier entirely.
+      if (materialize && keys.nonEmpty)
         keys.values.map(_.select(lit(1).as("__m"))).reduce(_ union _).count()
     } else {
       // Cycles: classic semi-naive rounds until no delta survives.
@@ -640,7 +643,10 @@ object Subsetter {
       exhausted ++= adds.collect { case (t, _, 0L) => t }
       if (deltas.isEmpty) shortfalls = Map.empty
       else {
-        keys = closureFrom(tables, graph, keys, deltas)
+        // materialize=false: the measure() right after is ONE job that
+        // computes (and thereby persists) every pending key set — a
+        // separate closure-end barrier would read them all twice.
+        keys = closureFrom(tables, graph, keys, deltas, materialize = false)
         shortfalls = measure()
       }
       phase(s"topup-$round")
