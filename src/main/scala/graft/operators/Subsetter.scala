@@ -180,14 +180,15 @@ object Subsetter {
       tables: Map[String, DataFrame],
       graph: FkGraph,
       seeds: Map[String, DataFrame],
-      maxIters: Int = 50): Map[String, DataFrame] = {
+      maxIters: Int = 50,
+      materialize: Boolean = true): Map[String, DataFrame] = {
     // LAZY checkpoints: each normalized seed materializes inside the
     // first closure job that consumes it instead of paying one eager
     // driver-job barrier per table up front.
     val norm = seeds.map { case (t, rows) =>
       t -> rows.select(graph.pks(t).map(col): _*).distinct().localCheckpoint(false)
     }
-    closureFrom(tables, graph, norm, norm, maxIters)
+    closureFrom(tables, graph, norm, norm, maxIters, materialize)
   }
 
   /** Semi-naive closure: expand only from `deltas` (the keys that are

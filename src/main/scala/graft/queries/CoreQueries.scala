@@ -155,7 +155,10 @@ object CoreQueries {
   def fkClosureParents(s: SparkSession, dir: String): DataFrame = {
     val tables = Catalog.load(s, dir)
     val seed = Subsetter.modSample(tables("lineitem"), "l_orderkey", 100)
-    val keys = Subsetter.parentClosure(tables, FkGraph.default, Map("lineitem" -> seed))
+    // materialize=false: the single union-agg count job below computes
+    // (and persists) every key set itself — no separate barrier needed.
+    val keys = Subsetter.parentClosure(tables, FkGraph.default,
+      Map("lineitem" -> seed), materialize = false)
     val ancestors = Seq("customer", "nation", "orders", "part", "region", "supplier")
     ancestors.map { tn =>
       keys(tn).agg(count(lit(1)).as("key_count"))
