@@ -140,7 +140,7 @@ object SimilarityFunctions {
     // The signature relation appears 4x in this plan (both sides of the
     // band self-join + both estimate joins) and Spark re-executes each
     // occurrence — materialize it once (it is small: docs x numHashes).
-    val sigs = sigsIn.localCheckpoint(true)
+    val sigs = sigsIn.localCheckpoint(false)
     val bandedAll = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "band_key")))
     val bucketW = Window.partitionBy(col("band"), col("band_key"))
@@ -196,7 +196,7 @@ object SimilarityFunctions {
     require(maxHamming <= 3, s"4-word banding only covers hamming <= 3, got $maxHamming")
     // fingerprints feed both sides of the band join and both verify
     // joins — materialize once (id + one long per doc).
-    val h = simhash(docs, textCol).localCheckpoint(true)
+    val h = simhash(docs, textCol).localCheckpoint(false)
     val wordsAll = h.select(col("doc_id"),
       posexplode(array((0 until 4).map(w =>
         shiftright(col("simhash"), 16 * w).bitwiseAND(lit(0xFFFFL))): _*))
@@ -282,7 +282,7 @@ object SimilarityFunctions {
       .withColumn("n", sqrt(dot(col("e"), col("e"))))
       .withColumn("bks", call_function("graft_lsh_buckets",
         col("e"), lit(0), lit(planesPerTable), lit(nTables)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val keyed = v.select(col("vec_id"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")))
     val cand = keyed.as("a")
@@ -310,12 +310,12 @@ object SimilarityFunctions {
   def ivfCentroids(candidates: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     val vecs = candidates
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var centroids = vecs
       .withColumn("__h", xxhash64(col("vec_id")))
       .orderBy("__h").limit(k)
       .select(monotonically_increasing_id().cast("int").as("centroid_id"), col("v").as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids)
       centroids = assigned
@@ -325,7 +325,7 @@ object SimilarityFunctions {
         .agg(collect_list(struct(col("i"), col("m"))).as("dims"))
         .select(col("centroid_id"),
           transform(array_sort(col("dims")), s => s("m")).as("c"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     centroids
   }
@@ -354,7 +354,7 @@ object SimilarityFunctions {
     val index = assign(
       candidates.select(col("vec_id"), toDoubleArr(col("embedding")).as("v")), centroids)
       .select(col("vec_id").as("cid"), col("v").as("ce"), col("centroid_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // query -> its nprobe nearest centroids
     val wQ = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("centroid_id"))
     val probes = queries
@@ -414,10 +414,10 @@ object SimilarityFunctions {
     // re-attached by id; each relation feeds 2-3 plan branches.
     val qv = withKeys(queries, "qid", "qe")
       .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cv = withKeys(candidates, "cid", "ce")
       .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def tableBuckets(vec: Column): Column =
       call_function("graft_lsh_buckets", vec, lit(0), lit(nPlanes), lit(nTables))
     val cKeyed = cv.select(col("cid"),
