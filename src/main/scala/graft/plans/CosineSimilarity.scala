@@ -107,7 +107,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) => LshBuckets(children(0),
         intLit(children(1), "offset"), intLit(children(2), "nPlanes"),
-        intLit(children(3), "nTables")): Expression))
+        intLit(children(3), "nTables")): Expression),
+    (FunctionIdentifier("graft_editdist"),
+      new ExpressionInfo(classOf[BoundedEditDistance].getName, "graft_editdist"),
+      (children: Seq[Expression]) => BoundedEditDistance(children(0), children(1),
+        intLit(children(2), "threshold")): Expression))
 
   /** Idempotent in-session registration (for sessions built without the
     * extensions config — Verify/Bench/tests). */

@@ -87,6 +87,100 @@ object CoreQueries {
       |WHERE rn <= 5
       |ORDER BY o_orderpriority, rn""".stripMargin
 
+  // --- weighted sampling: PPS systematic, exact arithmetic ------------
+  /** Probability-proportional-to-size systematic sample of k=50 orders
+    * weighted by o_totalprice: a row is picked iff its weight interval
+    * [cum-w, cum) on the cumulative-cents axis crosses a multiple of
+    * total/k. All arithmetic is BIGINT cents (the fp-free form of the
+    * classic PPS selector: floor(cum*k/total) increments), so both
+    * engines agree bitwise. The running total comes from
+    * PrefixSum.runningSum — range-sharded partial sums, NOT a
+    * single-partition window — so the plan holds at 100 TB where a
+    * global `ORDER BY` window funnels everything through one task.
+    * Training-data pipelines use this shape for size-weighted corpus
+    * sampling. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val k = 50
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("cents", (Det.dec2(col("o_totalprice")) * lit(100)).cast("long"))
+    val withCum = graft.operators.PrefixSum.runningSum(o, "o_orderkey", "cents")
+    val total = o.agg(sum(col("cents")).as("__total"))
+    withCum.crossJoin(broadcast(total))
+      .withColumn("pick_no", expr(s"(cum * $k) div __total"))
+      .filter(expr(s"(cum * $k) div __total > ((cum - cents) * $k) div __total"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("pick_no"))
+      .orderBy("o_orderkey")
+  }
+
+  val sampleWeightedSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |mx AS (SELECT max(o_orderkey) AS mx FROM o),
+      |sh AS (SELECT o.*, LEAST((o_orderkey * 32) // (mx + 1), 31) AS shard FROM o, mx),
+      |part AS (
+      |  SELECT *, CAST(SUM(cents) OVER (PARTITION BY shard ORDER BY o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS part
+      |  FROM sh),
+      |off AS (
+      |  SELECT shard, CAST(COALESCE(SUM(stot) OVER (ORDER BY shard
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM (SELECT shard, CAST(SUM(cents) AS BIGINT) AS stot FROM sh GROUP BY shard)),
+      |c AS (
+      |  SELECT part.o_orderkey, part.o_totalprice, part.cents, part.part + off.off AS cum
+      |  FROM part JOIN off USING (shard)),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM o)
+      |SELECT o_orderkey, o_totalprice, CAST((cum * 50) // total AS BIGINT) AS pick_no
+      |FROM c, tot
+      |WHERE (cum * 50) // total > ((cum - cents) * 50) // total
+      |ORDER BY o_orderkey""".stripMargin
+
+  // --- MERGE / upsert: the set-at-a-time generalization of rows 8-9 ---
+  /** MERGE INTO semantics as one full-outer shuffle join (the core of
+    * every lakehouse upsert): matched rows take the source's values,
+    * source-only rows are inserts, target-only rows are kept. Source
+    * updates are decimal-exact ((12,2)x(4,2) stays inside exact range)
+    * so the whole merge is oracle-checked. At scale this is one
+    * key-partitioned join — broadcastable when the changeset is small,
+    * AQE-skew-safe otherwise. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val target = o.filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey").as("t_key"), col("o_totalprice").as("t_price"),
+        col("o_orderpriority").as("t_prio"))
+    val source = o.filter(col("o_orderkey") % 30 === 0)
+      .select(col("o_orderkey").as("s_key"),
+        (Det.dec2(col("o_totalprice")) * Det.rate2(lit(1.10))).cast("double").as("s_price"),
+        concat(lit("M-"), col("o_orderpriority")).as("s_prio"))
+    target.join(source, col("t_key") === col("s_key"), "full_outer")
+      .select(
+        coalesce(col("t_key"), col("s_key")).as("o_orderkey"),
+        when(col("t_key").isNotNull && col("s_key").isNotNull, lit("updated"))
+          .when(col("t_key").isNull, lit("inserted"))
+          .otherwise(lit("kept")).as("merge_action"),
+        coalesce(col("s_price"), col("t_price")).as("o_totalprice"),
+        coalesce(col("s_prio"), col("t_prio")).as("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey AS t_key, o_totalprice AS t_price, o_orderpriority AS t_prio
+      |  FROM orders WHERE o_orderkey % 20 = 0),
+      |source AS (
+      |  SELECT o_orderkey AS s_key,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE) AS s_price,
+      |    'M-' || o_orderpriority AS s_prio
+      |  FROM orders WHERE o_orderkey % 30 = 0)
+      |SELECT COALESCE(t_key, s_key) AS o_orderkey,
+      |  CASE WHEN t_key IS NOT NULL AND s_key IS NOT NULL THEN 'updated'
+      |       WHEN t_key IS NULL THEN 'inserted' ELSE 'kept' END AS merge_action,
+      |  COALESCE(s_price, t_price) AS o_totalprice,
+      |  COALESCE(s_prio, t_prio) AS o_orderpriority
+      |FROM target FULL OUTER JOIN source ON t_key = s_key
+      |ORDER BY o_orderkey""".stripMargin
+
   // --- §2a row 6: conjunctive filters, pushed to the scan -------------
   def filterPushdown(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -290,6 +384,8 @@ object CoreQueries {
     "target_sizes" -> (targetSizes _),
     "sample_orders" -> (sampleOrders _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> (sampleWeighted _),
+    "merge_upsert" -> (mergeUpsert _),
     "filter_pushdown" -> (filterPushdown _),
     "point_lookup" -> (pointLookup _),
     "semijoin_exists" -> (semijoinExists _),
@@ -307,6 +403,8 @@ object CoreQueries {
     "target_sizes" -> targetSizesSql,
     "sample_orders" -> sampleOrdersSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_weighted" -> sampleWeightedSql,
+    "merge_upsert" -> mergeUpsertSql,
     "filter_pushdown" -> filterPushdownSql,
     "point_lookup" -> pointLookupSql,
     "semijoin_exists" -> semijoinExistsSql,

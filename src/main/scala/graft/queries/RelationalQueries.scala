@@ -376,6 +376,83 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  /** Relative-position window functions: percent_rank and cume_dist.
+    * Both are pure integer-ratio doubles ((rank-1)/(n-1), rank/n), so
+    * they hash-match with no rounding. */
+  def winPercentCume(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders").filter(col("o_custkey") % 50 === 0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val winPercentCumeSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders WHERE o_custkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Statistical aggregates (corr / regression slope / stddev) computed
+    * from EXACT decimal sufficient statistics — n, Σx, Σy, Σxy, Σx²,
+    * Σy² accumulate in decimal (associative and exact, so any
+    * partitioning / AQE merge order gives the same bits — unlike
+    * streaming Welford merges, whose result depends on merge order),
+    * and the final ratios are IEEE doubles of identical inputs. This is
+    * how a distributed engine computes corr at scale anyway: one
+    * map-side-combinable pass, no second pass over the data. */
+  def aggStatsCorr(s: SparkSession, dir: String): DataFrame = {
+    // Integer-cents sufficient statistics: BIGINT sums are exact and the
+    // one int64->double cast per stat rounds identically in both engines
+    // (a high-scale DECIMAL->DOUBLE cast does NOT: DuckDB double-rounds
+    // int128*10^-s, Spark rounds the exact decimal once — they differ in
+    // the last ulp). corr is scale-invariant; slope's 100s cancel; the
+    // stddevs divide the cents back down at the end.
+    val qc = (Det.dec2(col("l_quantity")) * lit(100)).cast("long")
+    val pc = (Det.dec2(col("l_extendedprice")) * lit(100)).cast("long")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(qc).cast("double").as("sq"),
+        sum(pc).cast("double").as("sp"),
+        sum(qc * qc).cast("double").as("sqq"),
+        sum(pc * pc).cast("double").as("spp"),
+        sum(qc * pc).cast("double").as("sqp"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+            sqrt(col("n") * col("spp") - col("sp") * col("sp")))).as("corr_qty_price"),
+        ((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (col("n") * col("sqq") - col("sq") * col("sq"))).as("slope_price_per_qty"),
+        (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) / col("n") / lit(100.0)).as("std_qty"),
+        (sqrt(col("n") * col("spp") - col("sp") * col("sp")) / col("n") / lit(100.0)).as("std_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggStatsCorrSql: String = {
+    def cents(e: String) = s"CAST(CAST($e AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    s"""WITH g AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    CAST(CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS DOUBLE) AS sq,
+       |    CAST(CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS DOUBLE) AS sp,
+       |    CAST(CAST(SUM(${cents("l_quantity")} * ${cents("l_quantity")}) AS BIGINT) AS DOUBLE) AS sqq,
+       |    CAST(CAST(SUM(${cents("l_extendedprice")} * ${cents("l_extendedprice")}) AS BIGINT) AS DOUBLE) AS spp,
+       |    CAST(CAST(SUM(${cents("l_quantity")} * ${cents("l_extendedprice")}) AS BIGINT) AS DOUBLE) AS sqp
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  (n * sqp - sq * sp) /
+       |    (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)) AS corr_qty_price,
+       |  (n * sqp - sq * sp) / (n * sqq - sq * sq) AS slope_price_per_qty,
+       |  sqrt(n * sqq - sq * sq) / n / 100.0 AS std_qty,
+       |  sqrt(n * spp - sp * sp) / n / 100.0 AS std_price
+       |FROM g ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Pivot: order counts per priority, statuses as columns. The oracle
     * mirror is portable conditional aggregation (identical semantics,
     * no dialect-specific PIVOT syntax). */
@@ -629,6 +706,8 @@ object RelationalQueries {
     "win_running_total" -> (winRunningTotal _),
     "win_moving_avg" -> (winMovingAvg _),
     "win_lead_lag" -> (winLeadLag _),
+    "win_percent_cume" -> (winPercentCume _),
+    "agg_stats_corr" -> (aggStatsCorr _),
     "pivot_orders_status" -> (pivotOrdersStatus _),
     "unpivot_part_attrs" -> (unpivotPartAttrs _),
     "topk_expensive_orders" -> (topkExpensiveOrders _),
@@ -658,6 +737,8 @@ object RelationalQueries {
     "win_running_total" -> winRunningTotalSql,
     "win_moving_avg" -> winMovingAvgSql,
     "win_lead_lag" -> winLeadLagSql,
+    "win_percent_cume" -> winPercentCumeSql,
+    "agg_stats_corr" -> aggStatsCorrSql,
     "pivot_orders_status" -> pivotOrdersStatusSql,
     "unpivot_part_attrs" -> unpivotPartAttrsSql,
     "topk_expensive_orders" -> topkExpensiveOrdersSql,

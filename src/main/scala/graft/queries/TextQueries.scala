@@ -193,6 +193,79 @@ object TextQueries {
        |SELECT lang, doc_id, n_tokens, CAST(cum_before // $PackBudget AS INTEGER) AS bin_id
        |FROM c ORDER BY lang, doc_id""".stripMargin
 
+  // --- text_bm25_topk: BM25 full-text ranking --------------------------
+  // Okapi BM25 over the corpus for a fixed 3-term query: tf from one
+  // explode+groupBy, df from the tiny tf relation, doc length + corpus
+  // stats from scan-local counts (broadcast as scalars). The idf ratio
+  // is kept rational — (N - df + ½)/(df + ½) == (2N-2df+1)/(2df+1) in
+  // exact BIGINTs — so ln() is the only transcendental; per-term scores
+  // are pivoted into fixed columns and summed in a fixed left-assoc
+  // order, then rounded to 6 dp (ln may differ in the last ulp across
+  // libm implementations; everything else is bitwise). At scale: tf is
+  // the only data shuffle, everything else is broadcast-sized.
+  private val Bm25Terms = Seq("join", "merge", "vector")
+
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dl = d.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = d.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl
+    val idf = log(lit(1.0) +
+      (col("n_docs") * 2 - col("df") * 2 + 1).cast("double") /
+        (col("df") * 2 + 1).cast("double"))
+    val scored = tf.join(dl, "doc_id").join(broadcast(dfs), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", (idf * (tfD * lit(2.2))) / (tfD + lit(1.2) * norm))
+    val piv = scored.groupBy("doc_id").agg(
+      max(when(col("tok") === "join", col("sc"))).as("s_join"),
+      max(when(col("tok") === "merge", col("sc"))).as("s_merge"),
+      max(when(col("tok") === "vector", col("sc"))).as("s_vector"))
+    piv.withColumn("bm25", round(
+        coalesce(col("s_join"), lit(0.0)) + coalesce(col("s_merge"), lit(0.0)) +
+          coalesce(col("s_vector"), lit(0.0)), 6))
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(25)
+      .select("doc_id", "bm25")
+  }
+
+  val bm25TopkSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE tok IN ($terms) GROUP BY doc_id, tok),
+       |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tok,
+       |    (ln(1.0 + CAST(n_docs * 2 - df * 2 + 1 AS DOUBLE) / CAST(df * 2 + 1 AS DOUBLE)) *
+       |      (CAST(tf AS DOUBLE) * 2.2)) /
+       |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) /
+       |      (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS sc
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfs USING (tok), stats),
+       |piv AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN tok = 'join' THEN sc END) AS s_join,
+       |    max(CASE WHEN tok = 'merge' THEN sc END) AS s_merge,
+       |    max(CASE WHEN tok = 'vector' THEN sc END) AS s_vector
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, bm25 FROM (
+       |  SELECT doc_id, round(COALESCE(s_join, 0.0) + COALESCE(s_merge, 0.0)
+       |    + COALESCE(s_vector, 0.0), 6) AS bm25 FROM piv)
+       |WHERE bm25 > 0.0
+       |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin
+  }
+
   // --- pipeline_corpus_clean: the full training-data cleanup chain ----
   // The composition a corpus-prep pipeline actually runs, end to end in
   // ONE declarative plan: plant dups (the fixture has none) -> quality
@@ -261,6 +334,7 @@ object TextQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus_clean" -> (corpusClean _),
+    "text_bm25_topk" -> (bm25Topk _),
     "text_chunks" -> (chunks _),
     "text_pack_bins" -> (packBins _),
     "text_tokens_top" -> (tokensTop _),
@@ -271,6 +345,7 @@ object TextQueries {
 
   def oracle: Map[String, String] = Map(
     "pipeline_corpus_clean" -> corpusCleanSql,
+    "text_bm25_topk" -> bm25TopkSql,
     "text_chunks" -> chunksSql,
     "text_pack_bins" -> packBinsSql,
     "text_tokens_top" -> tokensTopSql,

@@ -80,6 +80,27 @@ class PlanQualitySpec extends SparkSpecBase {
       "candidate dedup must not carry embedding vectors")
   }
 
+  test("editdist near-dup candidates come from the blocking-key hash join, never BNLJ/cartesian") {
+    val df = SimilarityQueries.dedupEditdistPairs(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("weighted sample: no single-partition data window (shard-partitioned prefix sum)") {
+    val df = CoreQueries.sampleWeighted(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the data-bearing window is keyed by the shard column (scalar aggs
+    // and the 32-row offset window may funnel, the data never does)
+    assert(p.contains("hashpartitioning(__shard"))
+    val dataWindows = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("cents")).toSeq
+    assert(dataWindows.forall(_.contains("__shard")),
+      "the cents prefix-sum window must partition by __shard")
+  }
+
   test("pipeline_corpus_clean: scan-local gates, one dedup shuffle, no joins") {
     val df = graft.queries.TextQueries.corpusClean(spark, dir)
     df.collect()

@@ -28,6 +28,36 @@ class PlansSpec extends SparkSpecBase {
     rows.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") } // exact
   }
 
+  test("graft_editdist == builtin bounded levenshtein on random mutations") {
+    val rnd = new scala.util.Random(37)
+    val alphabet = "abcdefg xyz"
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    def mutate(s: String): String = {
+      val sb = new StringBuilder(s)
+      (0 until rnd.nextInt(5)).foreach { _ =>
+        if (sb.isEmpty) sb.append('q')
+        else rnd.nextInt(3) match {
+          case 0 => sb.setCharAt(rnd.nextInt(sb.length), alphabet(rnd.nextInt(alphabet.length)))
+          case 1 => sb.deleteCharAt(rnd.nextInt(sb.length))
+          case 2 => sb.insert(rnd.nextInt(sb.length + 1), alphabet(rnd.nextInt(alphabet.length)))
+        }
+      }
+      sb.toString
+    }
+    val base = (1 to 300).map(_ => randStr(5 + rnd.nextInt(60)))
+    val cases = base.map(s => (s, mutate(s))) ++
+      Seq(("", ""), ("", "ab"), ("abc", ""), ("café", "cafe"), ("日本語", "日本誤"))
+    val rows = cases.toDF("a", "b").select(
+      call_function("graft_editdist", $"a", $"b", lit(3)).as("n"),
+      levenshtein($"a", $"b", 3).as("h"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (n, h) => assert(n == h, s"native $n != builtin $h") }
+    // threshold contract: above-bound pairs report -1, like the builtin
+    val far = Seq(("aaaaaaaaaa", "bbbbbbbbbb")).toDF("a", "b")
+      .select(call_function("graft_editdist", $"a", $"b", lit(3)).as("n")).as[Int].head()
+    assert(far == -1)
+  }
+
   test("graft_lsh_bits/buckets == HOF lshBucket, bitwise") {
     val rnd = new scala.util.Random(23)
     val df = (1 to 100).map(_ => Tuple1(Array.fill(16)(rnd.nextGaussian().toFloat)))

@@ -42,6 +42,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L, 0.6)))
   }
 
+  test("dedup_editdist_pairs: every planted substitution is recovered at distance 1") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Catalog.table(spark, dir, "documents")
+    val planted = docs.filter($"doc_id" % 10 === 0).count()
+    val pairs = graft.queries.SimilarityQueries.dedupEditdistPairs(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    // each planted mutation (id+1e6, first char substituted) must pair
+    // with its original at exactly distance 1
+    val plantedHits = pairs.filter { case (a, b, d) => b == a + 1000000L && d == 1 }
+    assert(plantedHits.length == planted)
+  }
+
   test("jaccardPairs: hot-token cap drops stopword-grade tokens from the index") {
     // "the" appears in every doc — uncapped it alone creates C(4,2)
     // intersection rows; capped at maxDf=3 it is dropped whole and
