@@ -40,17 +40,43 @@ object Bench {
     val results =
       if (warmup) selected.map { case (name, fn) => name -> once(fn) }
       else cold
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val oks = results.map { case (k, (_, ok)) => "\"" + k + "\":" + ok }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.map(_._1).sum else 0.0
     val allOk = results.values.forall(_._2) && cold.values.forall(_._2)
-    println(
+    val failed = (results.filterNot(_._2._2).keySet ++ cold.filterNot(_._2._2).keySet).toSeq.sorted
+
+    def r2(v: Double) = math.round(v * 100) / 100.0
+
+    // The harness captures only the LAST ~2000 chars of stdout and
+    // json-parses a line out of that window; with the full 80-query
+    // timing + ok maps the line overran the window and every round's
+    // bench parsed as null. Keep stdout to one compact line (top
+    // queries by time, 2 dp) and write the complete per-query detail
+    // to bench_full.json next to the repo root.
+    val topN = 40
+    val slowest = results.toSeq.sortBy(-_._2._1).take(topN)
+    val qsCompact = slowest.map { case (k, (v, _)) => "\"" + k + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    val fullJson = {
+      val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val cs = cold.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val oks = results.map { case (k, (_, ok)) => "\"" + k + "\":" + ok }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""ok":$oks,"all_ok":$allOk,""" +
-        s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}""")
+        s""""cold_queries":$cs,"ok":$oks,"all_ok":$allOk,""" +
+        s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      fullJson.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"bench_full.json write failed: $e") }
+    println(
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,""" +
+        s""""n_queries":${results.size},"all_ok":$allOk,""" +
+        (if (failed.nonEmpty) s""""failed":${failed.mkString("[\"", "\",\"", "\"]")},""" else "") +
+        s""""cold_value":${r2(coldTotal)},"warmup":$warmup,"sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -218,7 +218,52 @@ object EventQueries {
        |ORDER BY user_id, session_start_s""".stripMargin
   }
 
+  // --- scd2_intervals: temporal versioning (SCD type-2) ----------------
+  // Each user's event stream becomes validity intervals: a row is
+  // "current" from its own timestamp until the next event by the same
+  // user (NULL valid_to = still current). One shuffle on user_id, then
+  // a sorted lead() within the partition — the canonical distributed
+  // SCD2 build; no self-join, no driver loop. user_id % 20 = 0 keeps
+  // the oracle output bounded while still crossing many partitions.
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .filter(col("user_id") % 20 === 0)
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        Det.epochS(col("ts")).as("valid_from"),
+        Det.epochS(col("valid_to_ts")).as("valid_to"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val scd2IntervalsSql: String = {
+    import Det.sql._
+    s"""SELECT user_id, event_id, event_type,
+       |  ${epochS("ts")} AS valid_from,
+       |  ${epochS("lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)")} AS valid_to
+       |FROM events WHERE user_id % 20 = 0
+       |ORDER BY user_id, valid_from, event_id""".stripMargin
+  }
+
+  // --- regex_extract_props: regexp family over semi-structured text ----
+  // regexp_extract with a capture group, entirely scan-local (codegen'd
+  // Java regex on Spark, RE2 on DuckDB — the digit class is identical
+  // in both dialects); one 10-group shuffle after.
+  def regexExtractProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select((regexp_extract(col("props"), "([0-9]+)", 1).cast("long") % 10).as("k_mod"))
+      .groupBy("k_mod").agg(count(lit(1)).as("cnt"))
+      .orderBy("k_mod")
+
+  val regexExtractPropsSql: String =
+    """SELECT CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_intervals" -> (scd2Intervals _),
+    "regex_extract_props" -> (regexExtractProps _),
     "range_join_events" -> (rangeJoinEvents _),
     "asof_join_events" -> (asofJoinEvents _),
     "stream_tumbling_counts" -> (tumblingCounts _),
@@ -227,6 +272,8 @@ object EventQueries {
     "session_window_native" -> (sessionWindowNative _))
 
   def oracle: Map[String, String] = Map(
+    "scd2_intervals" -> scd2IntervalsSql,
+    "regex_extract_props" -> regexExtractPropsSql,
     "range_join_events" -> rangeJoinEventsSql,
     "asof_join_events" -> asofJoinEventsSql,
     "stream_tumbling_counts" -> tumblingCountsSql,

@@ -689,7 +689,88 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------------
 
+  // --- subquery_correlated: EXISTS + correlated scalar subqueries ------
+  // Through the SQL front-end on purpose: Catalyst DECORRELATES both the
+  // EXISTS predicate and the two scalar subqueries into joins (a
+  // left-semi for EXISTS, per-custkey aggregates + left joins for the
+  // scalars), so the physical plan is three hash joins on c_custkey —
+  // no per-row re-execution, which is what makes correlated subqueries
+  // survive 100 TB. Upstream emits exactly this SQL shape through
+  // SQLAlchemy for its existence checks.
+  def subqueryCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(subqueryCorrelatedSql)
+  }
+
+  val subqueryCorrelatedSql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  // --- join_full_outer_days: FULL OUTER join of two daily aggregates ---
+  // Days with orders but no shipments (and vice versa) survive from
+  // either side. Both inputs pre-aggregate BEFORE the join — at 100 TB
+  // the full-outer operates on ~2500 day rows, not the fact tables, so
+  // the join cost is noise regardless of strategy.
+  def joinFullOuterDays(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, Seq("day"), "full_outer")
+      .select(
+        col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+      .orderBy("day")
+  }
+
+  val joinFullOuterDaysSql: String =
+    """SELECT COALESCE(o.day, l.day) AS day,
+      |  COALESCE(n_orders, 0) AS n_orders, COALESCE(n_ships, 0) AS n_ships
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+      |      FROM orders GROUP BY 1) o
+      |FULL OUTER JOIN
+      |     (SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_ships
+      |      FROM lineitem GROUP BY 1) l
+      |ON o.day = l.day
+      |ORDER BY day""".stripMargin
+
+  // --- agg_filter_conditional: FILTER-clause conditional aggregation ---
+  // One scan, one 3-group shuffle; the three FILTER predicates become
+  // branch-free conditional accumulators inside the same hash-agg
+  // operator (no extra pass per condition). Double comparisons are safe
+  // cross-engine: both sides parse the same literal to the same double
+  // and compare identical stored doubles.
+  def aggFilterConditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_hi_disc"),
+        count(when(col("l_tax") === 0.0, 1)).as("n_no_tax"),
+        sum(when(col("l_linestatus") === "F", Det.dec2(col("l_quantity"))))
+          .cast("double").as("qty_f"))
+      .orderBy("l_returnflag")
+
+  val aggFilterConditionalSql: String = {
+    import Det.sql._
+    s"""SELECT l_returnflag,
+       |  count(*) FILTER (WHERE l_discount > 0.05) AS n_hi_disc,
+       |  count(*) FILTER (WHERE l_tax = 0.0) AS n_no_tax,
+       |  CAST(SUM(${dec2("l_quantity")}) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subquery_correlated" -> (subqueryCorrelated _),
+    "join_full_outer_days" -> (joinFullOuterDays _),
+    "agg_filter_conditional" -> (aggFilterConditional _),
     "agg_pricing_summary" -> (aggPricingSummary _),
     "proj_prune" -> (projPrune _),
     "join_orders_customer" -> (joinOrdersCustomer _),
@@ -721,6 +802,9 @@ object RelationalQueries {
     "udaf_acctbal_moments" -> (udafAcctbalMoments _))
 
   def oracle: Map[String, String] = Map(
+    "subquery_correlated" -> subqueryCorrelatedSql,
+    "join_full_outer_days" -> joinFullOuterDaysSql,
+    "agg_filter_conditional" -> aggFilterConditionalSql,
     "agg_pricing_summary" -> aggPricingSummarySql,
     "proj_prune" -> projPruneSql,
     "join_orders_customer" -> joinOrdersCustomerSql,

@@ -332,7 +332,51 @@ object TextQueries {
        |FROM dedup WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  // --- text_repetition: Gopher-style repetition quality signal --------
+  // Per-doc token totals, distinct count, and the hottest token's count
+  // (max run over the SORTED token array) — all via codegen'd HOFs on
+  // the scan, ZERO shuffles except the final order. The explode→
+  // groupBy(doc,tok)→groupBy(doc) alternative shuffles every token
+  // twice; this shape ships 4 numbers per document no matter the corpus
+  // size, which is the difference between scan-bound and shuffle-bound
+  // at 100 TB.
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val sorted = array_sort(toks)
+    // fold over the sorted array tracking (prev token, current run, best run)
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    val maxCnt = aggregate(
+      sorted, zero,
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+        maxCnt.as("max_tok_cnt"))
+      .withColumn("rep_ratio",
+        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counts AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(max(c) AS BIGINT) AS max_tok_cnt,
+      |  CAST(SUM(c) - count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+      |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (repetition _),
     "pipeline_corpus_clean" -> (corpusClean _),
     "text_bm25_topk" -> (bm25Topk _),
     "text_chunks" -> (chunks _),
@@ -344,6 +388,7 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
     "pipeline_corpus_clean" -> corpusCleanSql,
     "text_bm25_topk" -> bm25TopkSql,
     "text_chunks" -> chunksSql,

@@ -60,6 +60,16 @@ object Sources {
                 props: java.util.Properties): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
 
+  /** Hive-style partitioned parquet: one subdirectory per distinct value
+    * of `cols`. Reads with predicates on those columns prune whole
+    * directories at PLANNING time (`PartitionFilters` in the scan —
+    * zero IO for pruned partitions), the other co-location axis next to
+    * bucketing: partition by the low-cardinality scan predicate
+    * (date, source, lang), bucket by the high-cardinality join key.
+    * SourcesSpec proves the pruned file count. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** Bucketed managed table: rows hash-partitioned into `buckets` files
     * per partition by `cols` and sorted within each bucket. Joins and
     * aggregations keyed on `cols` between tables bucketed the same way

@@ -153,6 +153,33 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-STATIC enrichment join — the canonical streaming dimension
+    * lookup: the event stream hash-joins a static customer dimension on
+    * the config pseudo-FK (events.user_id → customer.c_custkey,
+    * FIXTURES.md) and aggregates per market segment. The static side is
+    * broadcast and re-planned per micro-batch (no join state kept, no
+    * watermark needed on the dim) — at 100 TB the stream side never
+    * shuffles for the join at all. */
+  def enrichedSegmentCounts(spark: SparkSession, dir: String,
+                            events: DataFrame): DataFrame = {
+    val dim = graft.Catalog.table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def startEnrichedToMemory(spark: SparkSession, dir: String,
+                            name: String): StreamingQuery =
+    enrichedSegmentCounts(spark, dir, readEvents(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** NATIVE session-window streaming twin of the oracle-checked batch
     * `session_window_native`: the built-in merge-on-overlap session
     * operator under a watermark. Timestamps truncate to whole seconds

@@ -35,6 +35,28 @@ class SourcesSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), p)
   }
 
+  test("partitioned parquet: directory pruning at planning time") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val df = Catalog.table(spark, "/root/testdata/sf0.001", "events")
+    Sources.writePartitioned(df, s"$dir/events", Seq("event_type"))
+    val back = Sources.readParquet(spark, s"$dir/events")
+    val clicks = back.filter($"event_type" === "click")
+    // the partition predicate must land in PartitionFilters (pruned at
+    // planning), NOT PushedFilters (evaluated against row groups)
+    val scan = clicks.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan)
+    assert(clicks.count() ==
+      df.filter($"event_type" === "click").count())
+    // only the click directory's files are planned
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles }.sum
+    val planned = plannedFiles(clicks)
+    val all = plannedFiles(back)
+    assert(planned < all, s"planned=$planned all=$all")
+  }
+
   test("footerRowCount: exact counts from parquet metadata, no scan") {
     val expected = Map("region" -> 5L, "nation" -> 25L, "customer" -> 150L)
     expected.foreach { case (t, n) =>

@@ -50,6 +50,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamPairs.nonEmpty)
   }
 
+  test("stream-static enrichment join == batch join (broadcast dim, no stream shuffle)") {
+    val q = EventStreams.startEnrichedToMemory(spark, dir, "t_enriched")
+    q.awaitTermination()
+    val streamRows = spark.sql("SELECT c_mktsegment, cnt FROM t_enriched")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchRows = Catalog.table(spark, dir, "events")
+      .join(Catalog.table(spark, dir, "customer"),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamRows == batchRows)
+    assert(streamRows.nonEmpty)
+  }
+
   test("streaming dedup keeps exactly one row per distinct text") {
     val q = EventStreams.startDedupToMemory(spark, dir, "t_dedup")
     q.awaitTermination()
