@@ -261,7 +261,80 @@ object EventQueries {
       |  count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
 
+  // --- funnel_stages: ordered-sequence funnel --------------------------
+  // signup → first click AFTER the signup → first purchase AFTER that
+  // click, per user. Each stage is one groupBy(user_id) + one equi join
+  // on user_id with the stage-(n-1) times — never a self-join on the
+  // raw stream, never a cross of event pairs; at 100 TB all three
+  // stages co-partition on user_id so AQE reuses one exchange. Stage
+  // times compare at whole-second precision (Det scaladoc: events.ts
+  // is ns in parquet, engines read different precisions).
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tss").as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("tss") > col("t1"))
+      .groupBy("user_id").agg(min("tss").as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("tss") > col("t2"))
+      .groupBy("user_id").agg(min("tss").as("t3"))
+    s1.agg(count(lit(1)).as("users")).select(lit("stage1_signup").as("stage"), col("users"))
+      .union(s2.agg(count(lit(1)).as("users")).select(lit("stage2_click").as("stage"), col("users")))
+      .union(s3.agg(count(lit(1)).as("users")).select(lit("stage3_purchase").as("stage"), col("users")))
+      .orderBy("stage")
+  }
+
+  val funnelStagesSql: String =
+    """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS tss
+      |           FROM events),
+      |s1 AS (SELECT user_id, min(tss) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(tss) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND tss > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(tss) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND tss > t2 GROUP BY e.user_id)
+      |SELECT 'stage1_signup' AS stage, count(*) AS users FROM s1
+      |UNION ALL SELECT 'stage2_click', count(*) FROM s2
+      |UNION ALL SELECT 'stage3_purchase', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
+  // --- retention_cohorts: weekly cohort retention matrix ---------------
+  // Users cohorted by first-seen week × the weeks they were active.
+  // Two shuffles total (user_id for first-seen, then the tiny
+  // (cohort, offset) rollup); the user×week distinct pre-aggregates
+  // before the cohort join, so the join carries at most
+  // users × active-weeks rows, never raw events.
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val weeks = events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week
+      |            FROM weeks GROUP BY user_id)
+      |SELECT cohort_week,
+      |  CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+      |  count(*) AS users
+      |FROM weeks JOIN cohorts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_stages" -> (funnelStages _),
+    "retention_cohorts" -> (retentionCohorts _),
     "scd2_intervals" -> (scd2Intervals _),
     "regex_extract_props" -> (regexExtractProps _),
     "range_join_events" -> (rangeJoinEvents _),
@@ -272,6 +345,8 @@ object EventQueries {
     "session_window_native" -> (sessionWindowNative _))
 
   def oracle: Map[String, String] = Map(
+    "funnel_stages" -> funnelStagesSql,
+    "retention_cohorts" -> retentionCohortsSql,
     "scd2_intervals" -> scd2IntervalsSql,
     "regex_extract_props" -> regexExtractPropsSql,
     "range_join_events" -> rangeJoinEventsSql,

@@ -87,6 +87,33 @@ object SimilarityQueries {
       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
       |ORDER BY ida, idb""".stripMargin
 
+  // --- dedup_ngram_jaccard: trigram-shingle Jaccard near-dup ----------
+  // Word TRIGRAMS as the set basis (vs dedup_jaccard_docs's unigram
+  // tier): order-sensitive, so only true near-dups survive — the whole
+  // corpus can run un-sampled because the shingle index's df² cost is
+  // structurally flat (SimilarityFunctions.jaccardPairsNgram scaladoc).
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.jaccardPairsNgram(docs(s, dir), 3, 0.4)
+      .orderBy("ida", "idb")
+
+  val dedupNgramJaccardSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
+      |  FROM d WHERE len(l) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT ida, idb,
+      |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON ida = sa.doc_id
+      |JOIN sizes sb ON idb = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.4
+      |ORDER BY ida, idb""".stripMargin
+
   // --- brute-force cosine top-k (oracle tier) --------------------------
   def simTopkEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -376,10 +403,37 @@ object SimilarityQueries {
         countDistinct(col("tok")).as("exact_distinct"),
         approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
 
+  /** Count-min-sketch heavy hitters (rows-only sketch tier, like HLL):
+    * ONE pass builds the mergeable sketch (associative partial sketches
+    * per partition — the property that matters at 100 TB, where the
+    * exact per-token groupBy is a full-vocabulary shuffle and the
+    * sketch is a constant-size broadcast); the probe set then reads
+    * estimates out of it. Probes here are the exact top tokens so
+    * SimilaritySpec can pin the one-sided error (est >= exact,
+    * est <= exact + eps*N) — in production the probe set is whatever
+    * keys you care about, no exact pass needed. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.agg(
+      expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("sk"),
+      count(lit(1)).as("n_total"))
+    val exactTop = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val est = udf { (sk: Array[Byte], tok: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(tok)
+    }
+    exactTop.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_cnt"), est(col("sk"), col("tok")).as("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_jaccard_docs" -> (dedupJaccardDocs _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_editdist_pairs" -> (dedupEditdistPairs _),
     "dedup_components" -> (dedupComponents _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
@@ -398,6 +452,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> dedupExactDocsSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,
     "dedup_jaccard_docs" -> dedupJaccardDocsSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_editdist_pairs" -> dedupEditdistPairsSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_cosine_pairs" -> dedupCosinePairsSql,

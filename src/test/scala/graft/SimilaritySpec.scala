@@ -54,6 +54,48 @@ class SimilaritySpec extends SparkSpecBase {
     assert(plantedHits.length == planted)
   }
 
+  test("shingles: trigram set, order-sensitive, short-doc empty") {
+    val df = Seq(
+      (1L, "a b c d"),        // trigrams: "a b c", "b c d"
+      (2L, "d c b a"),        // reversed: disjoint trigram set from doc 1
+      (3L, "a b"),            // shorter than n -> empty
+      (4L, "x x x x")         // repeated token -> ONE distinct shingle
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) == Set("a b c", "b c d"))
+    assert(got(2L) == Set("d c b a".split(" ").sliding(3).map(_.mkString(" ")).toSeq: _*))
+    assert(got(1L).intersect(got(2L)).isEmpty)
+    assert(got(3L).isEmpty)
+    assert(got(4L) == Set("x x x"))
+  }
+
+  test("jaccardPairsNgram: near-dup scores high, same-topic reorder scores zero") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // 1-word edit
+      (3L, "dog lazy the over jumps fox brown quick the")  // same words, reordered
+    ).toDF("doc_id", "text")
+    val pairs = jaccardPairsNgram(df, 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) > 0.4)       // shares 5 of 7+7-5 trigrams
+    assert(!pairs.contains((1L, 3L)))   // reorder: zero shared trigrams
+  }
+
+  test("cms_heavy_hitters: one-sided count-min error bound holds") {
+    val rows = graft.queries.SimilarityQueries
+      .cmsHeavyHitters(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val nTotal = Catalog.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(split($"text", " ")).as("t")).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS under-estimated ${r.getString(0)}")
+      assert(est <= exact + (0.0001 * nTotal).ceil.toLong,
+        s"CMS over bound on ${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
   test("jaccardPairs: hot-token cap drops stopword-grade tokens from the index") {
     // "the" appears in every doc — uncapped it alone creates C(4,2)
     // intersection rows; capped at maxDf=3 it is dropped whole and
