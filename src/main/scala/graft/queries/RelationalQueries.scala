@@ -689,6 +689,83 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------------
 
+  // --- tpch_q3_shipping: TPC-H Q3 adapted to the fixture schema --------
+  // The classic 3-way join + top-k: customer(BUILDING) ⋈ orders ⋈
+  // lineitem, revenue per order. The planner's job here IS the test:
+  // customer filters to ~1/5 and broadcasts; lineitem never shuffles
+  // until the final per-order aggregate; TakeOrderedAndProject caps the
+  // sort at k. Fixture has no o_shippriority, so the output carries
+  // o_orderdate instead.
+  def tpchQ3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-15")
+    val revenue = Det.dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(4,2)") - Det.rate2(col("l_discount")))
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cutoff)
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cutoff)
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val tpchQ3ShippingSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       |  CAST(SUM($rev) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-06-15'
+       |  AND l_shipdate > TIMESTAMP '1998-06-15'
+       |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+  }
+
+  // --- tpch_q5_local_supplier: TPC-H Q5 adapted ------------------------
+  // Six-table snowflake: revenue by nation for ASIA where the supplier
+  // and customer share a nation (the "local supplier" predicate). All
+  // four dims broadcast; the two facts (orders, lineitem) each shuffle
+  // once on orderkey; the local-supplier equality is a residual on the
+  // supplier broadcast join, not an extra shuffle.
+  def tpchQ5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Det.dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(4,2)") - Det.rate2(col("l_discount")))
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val tpchQ5LocalSupplierSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+  }
+
   // --- subquery_correlated: EXISTS + correlated scalar subqueries ------
   // Through the SQL front-end on purpose: Catalyst DECORRELATES both the
   // EXISTS predicate and the two scalar subqueries into joins (a
@@ -768,6 +845,8 @@ object RelationalQueries {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q3_shipping" -> (tpchQ3Shipping _),
+    "tpch_q5_local_supplier" -> (tpchQ5LocalSupplier _),
     "subquery_correlated" -> (subqueryCorrelated _),
     "join_full_outer_days" -> (joinFullOuterDays _),
     "agg_filter_conditional" -> (aggFilterConditional _),
@@ -802,6 +881,8 @@ object RelationalQueries {
     "udaf_acctbal_moments" -> (udafAcctbalMoments _))
 
   def oracle: Map[String, String] = Map(
+    "tpch_q3_shipping" -> tpchQ3ShippingSql,
+    "tpch_q5_local_supplier" -> tpchQ5LocalSupplierSql,
     "subquery_correlated" -> subqueryCorrelatedSql,
     "join_full_outer_days" -> joinFullOuterDaysSql,
     "agg_filter_conditional" -> aggFilterConditionalSql,

@@ -375,7 +375,36 @@ object TextQueries {
       |  CAST(SUM(c) - count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
       |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- text_bpe_tokens: subword-style (BPE-ish) token counting --------
+  // Whitespace tokens vs a BPE-ish regex lexer ([a-z]+|[0-9]+|other
+  // char) — the standard cheap proxy for "how many subword tokens will
+  // the tokenizer emit" when budgeting a training corpus. Scan-local
+  // regex (codegen'd on Spark, RE2 on DuckDB; alternation order makes
+  // both lexers deterministic leftmost-first). chars_per_token is the
+  // usual compression-ratio quality signal.
+  def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "chars_per_token")
+      .orderBy("doc_id")
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(n_chars AS DOUBLE) /
+      |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+      |    AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens" -> (bpeTokens _),
     "text_repetition" -> (repetition _),
     "pipeline_corpus_clean" -> (corpusClean _),
     "text_bm25_topk" -> (bm25Topk _),
@@ -388,6 +417,7 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "text_bpe_tokens" -> bpeTokensSql,
     "text_repetition" -> repetitionSql,
     "pipeline_corpus_clean" -> corpusCleanSql,
     "text_bm25_topk" -> bm25TopkSql,

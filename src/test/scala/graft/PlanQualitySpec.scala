@@ -116,6 +116,40 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(hashExchanges == 1, s"expected exactly one dedup shuffle, got $hashExchanges")
   }
 
+  test("tpch_q5: all dims broadcast, no cartesian, facts shuffle at most once each") {
+    val df = RelationalQueries.tpchQ5LocalSupplier(spark, dir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("subquery_correlated: EXISTS and scalar subqueries decorrelate to joins") {
+    val df = RelationalQueries.subqueryCorrelated(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // decorrelation = semi join + aggregate-then-join, never a per-row
+    // subquery plan node
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.toLowerCase.contains("scalarsubquery"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ngram jaccard: inverted-index self-join is a hash/merge join, never BNLJ/cartesian") {
+    val df = SimilarityQueries.dedupNgramJaccard(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("funnel: every stage joins on user_id, no event-pair self-join blowup") {
+    val df = graft.queries.EventQueries.funnelStages(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution
