@@ -108,6 +108,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => LshBuckets(children(0),
         intLit(children(1), "offset"), intLit(children(2), "nPlanes"),
         intLit(children(3), "nTables")): Expression),
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
+      (children: Seq[Expression]) => ZOrder2(children(0), children(1)): Expression),
     (FunctionIdentifier("graft_editdist"),
       new ExpressionInfo(classOf[BoundedEditDistance].getName, "graft_editdist"),
       (children: Seq[Expression]) => BoundedEditDistance(children(0), children(1),
