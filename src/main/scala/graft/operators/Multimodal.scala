@@ -112,6 +112,64 @@ object Multimodal {
       }
   }
 
+  final case class AudioFeatures(
+      media_id: Long, n_samples: Long, n_windows: Int,
+      rms: Double, zcr: Double, peak: Int)
+
+  /** Little-endian PCM16 view of a byte blob (trailing odd byte
+    * dropped) — the audio analogue of the image path's decode: the
+    * INTERPRETATION is a documented stand-in for a real codec (this
+    * container ships no audio libraries; testdata has no real audio),
+    * while the windowing, feature math, partitioning, and typed output
+    * schema are the real production plumbing. */
+  def pcmSamples(bytes: Array[Byte]): Array[Short] = {
+    val n = bytes.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Per-clip audio features: RMS energy, zero-crossing rate, peak
+    * amplitude, fixed-size window count. Sequential index-order
+    * accumulation -> deterministic doubles on any partitioning (the
+    * per-clip loop never splits across tasks). */
+  def audioFeaturesOf(id: Long, bytes: Array[Byte], window: Int): AudioFeatures = {
+    val s = pcmSamples(bytes)
+    var sumSq = 0.0
+    var crossings = 0L
+    var peak = 0
+    var i = 0
+    while (i < s.length) {
+      val v = s(i).toInt
+      sumSq += v.toDouble * v.toDouble
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && ((s(i - 1) < 0 && v >= 0) || (s(i - 1) >= 0 && v < 0)))
+        crossings += 1
+      i += 1
+    }
+    val n = s.length
+    AudioFeatures(
+      id, n, if (n == 0) 0 else (n + window - 1) / window,
+      if (n == 0) 0.0 else math.sqrt(sumSq / n),
+      if (n <= 1) 0.0 else crossings.toDouble / (n - 1).toDouble,
+      peak)
+  }
+
+  /** Featurize a binary audio column per-partition — same batched
+    * `mapPartitions` shape as [[imageFeatures]]. */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String,
+                    window: Int = 256): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("media_bytes"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => audioFeaturesOf(r.media_id, r.media_bytes, window)))
+  }
+
   /** Real bilinear resize via `java.awt` (JDK-native, no external
     * library): decodable images draw into a w×h canvas with bilinear
     * interpolation and re-encode as PNG; non-image bytes pass through a

@@ -43,7 +43,19 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Audio features over the deterministic stand-in bytes: RMS,
+    * zero-crossing rate, peak, 256-sample window count. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    val withBin = Catalog.table(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
+    Multimodal.audioFeatures(withBin, "doc_id", "media_bytes").toDF()
+      .select("media_id", "n_samples", "n_windows", "rms", "zcr", "peak")
+      .orderBy("media_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio" -> (multimodalAudio _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_thumbs" -> (multimodalThumbs _))

@@ -74,6 +74,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows(1L) > 16)  // real PNG re-encode
   }
 
+  test("audioFeatures: PCM16 square wave and silence have closed-form features") {
+    def pcm(samples: Seq[Int]): Array[Byte] =
+      samples.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    // square wave alternating +/-1000: every adjacent pair crosses zero
+    val square = pcm(Seq.tabulate(512)(i => if (i % 2 == 0) 1000 else -1000))
+    val silence = pcm(Seq.fill(100)(0))
+    val df = Seq((1L, square), (2L, silence)).toDF("media_id", "media_bytes")
+    val got = Multimodal.audioFeatures(df, "media_id", "media_bytes", window = 256)
+      .collect().map(f => f.media_id -> f).toMap
+    val sq = got(1L)
+    assert(sq.n_samples == 512 && sq.n_windows == 2)
+    assert(math.abs(sq.rms - 1000.0) < 1e-9)
+    assert(math.abs(sq.zcr - 1.0) < 1e-9)
+    assert(sq.peak == 1000)
+    val si = got(2L)
+    assert(si.rms == 0.0 && si.zcr == 0.0 && si.peak == 0 && si.n_windows == 1)
+  }
+
   test("frameSample: strided fixed-size frames") {
     val df = Seq((7L, "x" * 300)).toDF("id", "txt")
       .select($"id", encode($"txt", "UTF-8").as("bin"))
