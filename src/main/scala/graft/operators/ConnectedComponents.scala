@@ -63,13 +63,19 @@ object ConnectedComponents {
       // the hop distance a minimum covers per round.
       val parents = propagated
         .select(col("id").as("pid"), col("component").as("pcomp"))
+      val prev = comp
       comp = propagated.join(parents, propagated("component") === col("pid"))
         .select(propagated("id"), col("pcomp").as("component"))
         .localCheckpoint(false)
       val s = labelSum(comp)
+      // labelSum materialized the new round's checkpoint, so the
+      // previous round's blocks are dead — free them now instead of
+      // holding O(rounds) copies of the label relation in storage.
+      graft.plans.Checkpoints.unpersist(prev)
       converged = s.compareTo(lastSum) == 0
       lastSum = s
     }
+    graft.plans.Checkpoints.unpersist(bidir)
     comp
   }
 

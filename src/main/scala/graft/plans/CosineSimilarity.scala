@@ -96,6 +96,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSignature(children(0),
         intLit(children(1), "nShingle"), intLit(children(2), "numHashes")): Expression),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children(0),
+        intLit(children(1), "n")): Expression),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children(0)): Expression),

@@ -57,6 +57,32 @@ object GraftHashes {
     new GenericArrayData(mins)
   }
 
+  /** DISTINCT hashes of the `n`-token shingles of `toks`, first-seen
+    * order (deterministic given the token array). The long-keyed basis
+    * for the exact inverted-index Jaccard tier: joining/sorting 8-byte
+    * hashes instead of 20-40 byte shingle STRINGS more than halves the
+    * self-join's shuffle and comparator cost, and the concat+hash loop
+    * here replaces an interpreted `transform` HOF pass per row. Set
+    * arithmetic over hashes equals set arithmetic over shingles absent
+    * an intra-pair collision (~|union|²/2⁶³ per pair — vanishing, and
+    * the DuckDB oracle would surface one as a hash mismatch). */
+  def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
+    val nTok = toks.numElements()
+    val nSh = nTok - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < nSh) {
+      seen.add(shingleHash(toks, i, n))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over the DISTINCT tokens of `toks`: per-bit ±1
     * votes over token hashes, bit set where votes are positive. One
     * pass, no shuffle (vs the explode + groupBy formulation). */
@@ -101,6 +127,25 @@ case class MinHashSignature(child: Expression, nShingle: Int, numHashes: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.GraftHashes.minhash($a, $nShingle, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hashes(tokens array<string>, n) -> array<long>` */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHashes.shingleHashes(a.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.GraftHashes.shingleHashes($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -80,6 +80,20 @@ class PlanQualitySpec extends SparkSpecBase {
       "candidate dedup must not carry embedding vectors")
   }
 
+  test("ANN IVF: no posexplode/crossJoin anywhere; only the two ranking windows") {
+    val df = SimilarityQueries.annIvfTopk(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the round-4 scale-killer: k-means averaging via posexplode +
+    // per-(centroid,dim) groupBy. Assignment is now a projection and
+    // averaging a per-dim partial sum — nothing in the plan explodes
+    // vectors (the probe explode is slice() of a k-length struct array).
+    assert(!p.contains("posexplode"), "IVF must not posexplode vectors")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows <= 2, s"expected only fp-rank + top-k windows, got $windows:\n${p.take(2000)}")
+  }
+
   test("editdist near-dup candidates come from the blocking-key hash join, never BNLJ/cartesian") {
     val df = SimilarityQueries.dedupEditdistPairs(spark, dir)
     df.collect()

@@ -238,7 +238,9 @@ class SimilaritySpec extends SparkSpecBase {
     val dir = "/root/testdata/sf0.01"
     val r = graft.queries.SimilarityQueries.annIvfRecall(spark, dir)
       .select("recall").as[Double].head()
-    assert(r >= 0.4, s"IVF recall degraded: $r")
+    // wide probe + fingerprint-ranked 256-candidate cap: measured 0.81
+    // at sf0.1, 0.8+ at sf0.01; 0.6 is the degradation alarm line
+    assert(r >= 0.6, s"IVF recall degraded: $r")
   }
 
   test("IVF: centroids form, index assigns, and exact duplicates are found") {
