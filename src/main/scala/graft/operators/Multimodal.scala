@@ -114,11 +114,78 @@ object Multimodal {
 
   final case class AudioFeatures(
       media_id: Long, n_samples: Long, n_windows: Int,
-      rms: Double, zcr: Double, peak: Int)
+      rms: Double, zcr: Double, peak: Int,
+      sample_rate: Int, codec: String)
+
+  /** Parsed RIFF/WAVE header for 16-bit PCM: channel count, sample
+    * rate, and the `data` chunk's position. */
+  final case class WavInfo(channels: Int, sampleRate: Int,
+                           dataOffset: Int, dataLen: Int)
+
+  /** O(1) sniff: RIFF magic + WAVE form type. */
+  def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Walk the RIFF chunk list (word-aligned) for `fmt ` + `data`.
+    * Returns Some only for uncompressed 16-bit PCM (audioFormat 1) with
+    * a sane header — anything else (float WAV, ADPCM, truncated or
+    * lying chunk sizes) falls back to the raw-PCM stand-in path, so
+    * the pipeline stays total over arbitrary blobs. Public format:
+    * RIFF-WAVE layout per the original Microsoft/IBM spec. */
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (!looksLikeWav(b)) return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None     // offset, len
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, pos, 4, "US-ASCII")
+      val size = le32(b, pos + 4)
+      if (size < 0) return None // unsigned overflow / corrupt header
+      id match {
+        case "fmt " if size >= 16 && pos + 8 + 16 <= b.length =>
+          fmt = Some((le16(b, pos + 10), le32(b, pos + 12), le16(b, pos + 22)))
+        case "data" =>
+          // tolerate a data size that overruns the blob (truncated file):
+          // clamp to what is actually present
+          data = Some((pos + 8, math.max(0, math.min(size, b.length - pos - 8))))
+        case _ =>
+      }
+      pos += 8 + size + (size & 1)
+    }
+    for {
+      (ch, rate, bits) <- fmt
+      (off, len) <- data
+      if bits == 16 && ch >= 1 && rate > 0
+    } yield WavInfo(ch, rate, off, len)
+  }
+
+  /** Channel-0 samples of a parsed PCM16 WAV (multi-channel clips are
+    * analyzed on their first channel — features stay per-clip scalars
+    * without a mixdown convention to document). */
+  def wavSamples(b: Array[Byte], w: WavInfo): Array[Short] = {
+    val stride = 2 * w.channels
+    val frames = w.dataLen / stride
+    val out = new Array[Short](frames)
+    var i = 0
+    while (i < frames) {
+      val p = w.dataOffset + i * stride
+      out(i) = (((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)).toShort
+      i += 1
+    }
+    out
+  }
 
   /** Little-endian PCM16 view of a byte blob (trailing odd byte
-    * dropped) — the audio analogue of the image path's decode: the
-    * INTERPRETATION is a documented stand-in for a real codec (this
+    * dropped) — the fallback interpretation for bytes that are not a
+    * parseable WAV: a documented stand-in for other codecs (this
     * container ships no audio libraries; testdata has no real audio),
     * while the windowing, feature math, partitioning, and typed output
     * schema are the real production plumbing. */
@@ -134,11 +201,18 @@ object Multimodal {
   }
 
   /** Per-clip audio features: RMS energy, zero-crossing rate, peak
-    * amplitude, fixed-size window count. Sequential index-order
-    * accumulation -> deterministic doubles on any partitioning (the
-    * per-clip loop never splits across tasks). */
+    * amplitude, fixed-size window count — computed over a REAL RIFF/WAV
+    * parse when the bytes are a 16-bit PCM WAV (header-declared sample
+    * rate and channel layout respected), over the raw-PCM16 stand-in
+    * otherwise. Sequential index-order accumulation -> deterministic
+    * doubles on any partitioning (the per-clip loop never splits across
+    * tasks). */
   def audioFeaturesOf(id: Long, bytes: Array[Byte], window: Int): AudioFeatures = {
-    val s = pcmSamples(bytes)
+    val parsed = parseWav(bytes)
+    val (s, rate, codec) = parsed match {
+      case Some(w) => (wavSamples(bytes, w), w.sampleRate, "wav-pcm16")
+      case None    => (pcmSamples(bytes), 0, "raw-pcm16")
+    }
     var sumSq = 0.0
     var crossings = 0L
     var peak = 0
@@ -156,7 +230,7 @@ object Multimodal {
       id, n, if (n == 0) 0 else (n + window - 1) / window,
       if (n == 0) 0.0 else math.sqrt(sumSq / n),
       if (n <= 1) 0.0 else crossings.toDouble / (n - 1).toDouble,
-      peak)
+      peak, rate, codec)
   }
 
   /** Featurize a binary audio column per-partition — same batched

@@ -188,7 +188,48 @@ object Subsetter {
     val norm = seeds.map { case (t, rows) =>
       t -> rows.select(graph.pks(t).map(col): _*).distinct().localCheckpoint(false)
     }
-    closureFrom(tables, graph, norm, norm, maxIters, materialize)
+    // WAVE 0 — parent demands straight from the seed ROWS. The seeds
+    // already carry every FK column, so re-deriving "the seed's FK
+    // values" through closureFrom's key-set semi-join (scan + shuffle
+    // of the child table per child group) is pure waste — and for
+    // childless-in-degree tables (lineitem, events: the FACT tables,
+    // i.e. the big scans) it was the only reason they were scanned by
+    // the closure at all. After this, closureFrom starts from the
+    // post-seed deltas and only semi-joins tables whose key sets the
+    // closure itself grew.
+    val demandsByParent = scala.collection.mutable.Map[String, Vector[DataFrame]]()
+    for ((child, fks) <- graph.fks.filter(fk =>
+           seeds.contains(fk.childTable) && tables.contains(fk.parentTable))
+           .groupBy(_.childTable)) {
+      val allCols = fks.flatMap(_.childCols).distinct
+      // multi-edge children share one projected pass (stage dedup
+      // materializes the lazy checkpoint once inside the closure job)
+      val proj =
+        if (fks.size > 1)
+          seeds(child).select(allCols.map(col): _*).localCheckpoint(false)
+        else seeds(child)
+      for (fk <- fks) {
+        val needed = proj
+          .select(fk.childCols.zip(fk.parentCols).map { case (c, p) =>
+            col(c).cast(tables(fk.parentTable).schema(p).dataType).as(p)
+          }: _*)
+          .na.drop()
+        demandsByParent(fk.parentTable) =
+          demandsByParent.getOrElse(fk.parentTable, Vector.empty) :+ needed
+      }
+    }
+    var keys: Map[String, DataFrame] = norm
+    val deltas = scala.collection.mutable.Map[String, DataFrame]()
+    demandsByParent.foreach { case (parent, ds) =>
+      val needed = ds.reduce(_ union _).distinct()
+      val fresh = (norm.get(parent) match {
+        case Some(k) => needed.join(k, graph.pks(parent), "left_anti")
+        case None    => needed
+      }).localCheckpoint(false)
+      keys += parent -> keys.get(parent).map(_.union(fresh)).getOrElse(fresh)
+      deltas(parent) = fresh
+    }
+    closureFrom(tables, graph, keys, deltas.toMap, maxIters, materialize)
   }
 
   /** Semi-naive closure: expand only from `deltas` (the keys that are
@@ -502,7 +543,7 @@ object Subsetter {
     // demand parents not yet in the subset) — `childRounds` controls how
     // deep the child-of-child expansion goes (the reference recurses but
     // its exists-guard + targets bound it in practice).
-    for (_ <- 1 to cfg.childRounds) {
+    for (pullRound <- 1 to cfg.childRounds) {
       // Bounded child pull per edge. The per-edge pulls are independent,
       // so their (eager) materializations run as CONCURRENT Spark jobs —
       // on a cluster this keeps executors busy instead of serializing
@@ -580,7 +621,14 @@ object Subsetter {
       // the pulled children's own first-hop demands are folded in above,
       // so the closure resumes from the PARENT deltas only — at 100 TB
       // that means no second scan of any child (fact) table.
-      keys = closureFrom(tables, graph, keys, deltas.toMap)
+      // Last round: the measure() job right after this loop is the
+      // single materializing consumer of the re-closure's lazy key
+      // sets — a separate closure-end barrier would read every set
+      // twice (the same fold the top-up loop already does). Earlier
+      // rounds keep the barrier: the next round's pull futures consume
+      // the sets CONCURRENTLY and would race the materialization.
+      keys = closureFrom(tables, graph, keys, deltas.toMap,
+        materialize = pullRound < cfg.childRounds)
     }
     phase("child-pull")
 

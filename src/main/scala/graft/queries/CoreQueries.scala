@@ -364,6 +364,86 @@ object CoreQueries {
       |SELECT 'b', c_custkey, c_name, c_nationkey FROM customer
       |ORDER BY schema_name, c_custkey""".stripMargin
 
+  // --- §3b: end-to-end subsetter postcondition, ORACLE-checked --------
+  // The flagship pipeline's output dumped to parquet once per session,
+  // then audited from BOTH engines over the same files: DuckDB
+  // recomputes the orphan counts and completeness targets itself, so
+  // the reference's two guarantees (zero orphaned FKs; every table at
+  // target when the source suffices) are driver-verified artifacts,
+  // not just scalatest assertions.
+  private object SubsetDump {
+    val root = "/root/repo/target/subset_oracle"
+    val fraction = 0.1
+    private val done = scala.collection.mutable.Set[String]()
+    def ensure(s: SparkSession, dir: String): Unit = synchronized {
+      if (done.contains(dir)) return
+      val counts = Catalog.tableNames.map(t =>
+        t -> graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")).toMap
+      val out = Subsetter.subset(Catalog.load(s, dir), FkGraph.default,
+        Subsetter.Config(fraction = fraction, force = Map("customer" -> Seq(1L, 42L))),
+        rowCounts = counts)
+      out.toSeq.sortBy(_._1).foreach { case (t, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$t")
+      }
+      done += dir
+    }
+    def table(s: SparkSession, t: String): DataFrame = s.read.parquet(s"$root/$t")
+    def glob(t: String): String = s"$root/$t/*.parquet"
+  }
+
+  /** Per-FK-edge orphan counts over the DUMPED subset — all zero iff
+    * the subsetter kept referential integrity (§2a row 16 applied to
+    * the pipeline's own output). The oracle recomputes each edge's
+    * orphans in DuckDB from the same parquet files. */
+  def subsetOrphans(s: SparkSession, dir: String): DataFrame = {
+    SubsetDump.ensure(s, dir)
+    val tables = Catalog.tableNames.map(t => t -> SubsetDump.table(s, t)).toMap
+    Subsetter.validateRI(tables, FkGraph.default)
+  }
+
+  val subsetOrphansSql: String = FkGraph.default.fks.map { fk =>
+    val conds = fk.childCols.zip(fk.parentCols)
+      .map { case (c, p) => s"p.$p = c.$c" }.mkString(" AND ")
+    val notNull = fk.childCols.map(c => s"c.$c IS NOT NULL").mkString(" AND ")
+    s"""SELECT '${fk.name}' AS edge, count(*) AS orphans
+       |FROM read_parquet('${SubsetDump.glob(fk.childTable)}') c
+       |WHERE $notNull AND NOT EXISTS (
+       |  SELECT 1 FROM read_parquet('${SubsetDump.glob(fk.parentTable)}') p WHERE $conds)""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
+  /** Per-table (rows, target, meets_target) over the dumped subset —
+    * the reference's completeness guarantee as data. The oracle gets
+    * `subset_rows` from the dump and recomputes `target` from the BASE
+    * tables with the same min-1/cap-n ceil formula, so a subsetter that
+    * under-fills any table (or a target formula drift) fails the
+    * driver's hash compare. Parent tables may legitimately exceed
+    * target (closure demands are never trimmed), hence >=. */
+  def subsetCounts(s: SparkSession, dir: String): DataFrame = {
+    SubsetDump.ensure(s, dir)
+    Catalog.tableNames.sorted.map { t =>
+      val n = graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")
+      val target = Subsetter.targetSize(n, SubsetDump.fraction)
+      SubsetDump.table(s, t).agg(count(lit(1)).as("subset_rows"))
+        .select(lit(t).as("table_name"), col("subset_rows"),
+          lit(target).as("target"),
+          (col("subset_rows") >= lit(target)).as("meets_target"))
+    }.reduce(_ union _).orderBy("table_name")
+  }
+
+  val subsetCountsSql: String = {
+    val branches = Catalog.tableNames.sorted.map { t =>
+      s"""SELECT '$t' AS table_name,
+         |  (SELECT count(*) FROM read_parquet('${SubsetDump.glob(t)}')) AS subset_rows,
+         |  (SELECT CASE WHEN count(*) <= 0 THEN 0
+         |     ELSE GREATEST(1, LEAST(count(*),
+         |       CAST(CEIL(CAST(count(*) AS DOUBLE) * ${SubsetDump.fraction}) AS BIGINT)))
+         |   END FROM $t) AS target""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
+    s"""SELECT table_name, subset_rows, target, subset_rows >= target AS meets_target
+       |FROM ($branches)
+       |ORDER BY table_name""".stripMargin
+  }
+
   // --- §3b: the whole pipeline (non-oracle; rows-only check) ----------
   // Full subset at fraction 0.1 with forced rows and child pull; the
   // RI property is scalatest-verified, the oracle-expressible pieces
@@ -396,6 +476,8 @@ object CoreQueries {
     "ri_validate" -> (riValidate _),
     "config_pseudo_fk" -> (configPseudoFk _),
     "multi_schema_union" -> (multiSchemaUnion _),
+    "subset_orphans" -> (subsetOrphans _),
+    "subset_counts" -> (subsetCounts _),
     "subset_star" -> (subsetStar _))
 
   def oracle: Map[String, String] = Map(
@@ -414,6 +496,8 @@ object CoreQueries {
     "forced_rows" -> forcedRowsSql,
     "ri_validate" -> riValidateSql,
     "config_pseudo_fk" -> configPseudoFkSql,
-    "multi_schema_union" -> multiSchemaUnionSql)
+    "multi_schema_union" -> multiSchemaUnionSql,
+    "subset_orphans" -> subsetOrphansSql,
+    "subset_counts" -> subsetCountsSql)
     // subset_star: non-SQL-expressible pipeline -> rows-only check
 }

@@ -43,14 +43,17 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  /** Audio features over the deterministic stand-in bytes: RMS,
-    * zero-crossing rate, peak, 256-sample window count. */
+  /** Audio features: real RIFF/WAV parse where the bytes are 16-bit
+    * PCM WAV, deterministic raw-PCM stand-in otherwise (the fixture's
+    * text-derived bytes all take the fallback; MultimodalSpec
+    * round-trips generated WAVs through the parser). */
   def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
     val withBin = Catalog.table(s, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
     Multimodal.audioFeatures(withBin, "doc_id", "media_bytes").toDF()
-      .select("media_id", "n_samples", "n_windows", "rms", "zcr", "peak")
+      .select("media_id", "n_samples", "n_windows", "rms", "zcr", "peak",
+        "sample_rate", "codec")
       .orderBy("media_id")
   }
 

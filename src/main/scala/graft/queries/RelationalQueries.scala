@@ -766,6 +766,61 @@ object RelationalQueries {
        |ORDER BY revenue DESC, n_name""".stripMargin
   }
 
+  // --- tpch_q18_big_orders: TPC-H Q18 adapted ---------------------------
+  // The HAVING-subquery top-k shape: the IN (... GROUP BY ... HAVING)
+  // subquery must decorrelate to ONE aggregate over lineitem followed
+  // by a semi join — not a per-row re-execution — and the final top-100
+  // must compile to TakeOrderedAndProject, not a global sort. Shared
+  // ANSI text runs unchanged in both engines; sum(l_quantity) is a
+  // double sum of integer-valued quantities, so it is exact and
+  // order-independent (Det §7).
+  def tpchQ18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ18BigOrdersSql)
+  }
+
+  val tpchQ18BigOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+      |  o_totalprice, SUM(l_quantity) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // --- tpch_q21_waiting_supplier: TPC-H Q21 adapted ---------------------
+  // The multi-EXISTS decorrelation shape: EXISTS and NOT EXISTS against
+  // the SAME fact table with different correlated predicates must
+  // become one left-semi and one left-anti join on l_orderkey — never a
+  // per-row subquery loop. The fixture has no commit/receipt dates, so
+  // "waiting" is adapted to returns: a supplier whose line was returned
+  // ('R') on a finished multi-supplier order where no OTHER supplier's
+  // line was returned.
+  def tpchQ21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ21WaitingSupplierSql)
+  }
+
+  val tpchQ21WaitingSupplierSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   // --- subquery_correlated: EXISTS + correlated scalar subqueries ------
   // Through the SQL front-end on purpose: Catalyst DECORRELATES both the
   // EXISTS predicate and the two scalar subqueries into joins (a
@@ -847,6 +902,8 @@ object RelationalQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3_shipping" -> (tpchQ3Shipping _),
     "tpch_q5_local_supplier" -> (tpchQ5LocalSupplier _),
+    "tpch_q18_big_orders" -> (tpchQ18BigOrders _),
+    "tpch_q21_waiting_supplier" -> (tpchQ21WaitingSupplier _),
     "subquery_correlated" -> (subqueryCorrelated _),
     "join_full_outer_days" -> (joinFullOuterDays _),
     "agg_filter_conditional" -> (aggFilterConditional _),
@@ -883,6 +940,8 @@ object RelationalQueries {
   def oracle: Map[String, String] = Map(
     "tpch_q3_shipping" -> tpchQ3ShippingSql,
     "tpch_q5_local_supplier" -> tpchQ5LocalSupplierSql,
+    "tpch_q18_big_orders" -> tpchQ18BigOrdersSql,
+    "tpch_q21_waiting_supplier" -> tpchQ21WaitingSupplierSql,
     "subquery_correlated" -> subqueryCorrelatedSql,
     "join_full_outer_days" -> joinFullOuterDaysSql,
     "agg_filter_conditional" -> aggFilterConditionalSql,

@@ -92,6 +92,45 @@ class MultimodalSpec extends SparkSpecBase {
     assert(si.rms == 0.0 && si.zcr == 0.0 && si.peak == 0 && si.n_windows == 1)
   }
 
+  test("WAV round-trip: javax.sound-written PCM16 WAV parses to the same samples") {
+    // generate a WAV with the JDK's own writer (independent of our
+    // parser): 16-bit signed PCM little-endian, mono, 8 kHz
+    def wav(samples: Array[Short], channels: Int, rate: Float): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val mono = Array.tabulate[Short](512)(i => if (i % 2 == 0) 1000 else -1000)
+    val monoWav = wav(mono, 1, 8000f)
+    assert(Multimodal.looksLikeWav(monoWav))
+    val info = Multimodal.parseWav(monoWav).get
+    assert(info.channels == 1 && info.sampleRate == 8000)
+    assert(Multimodal.wavSamples(monoWav, info).toSeq == mono.toSeq)
+    // stereo: channel-0 extraction skips the interleaved right channel
+    val stereo = Array.tabulate[Short](64)(i => if (i % 2 == 0) 300 else 9999)
+    val stInfo = Multimodal.parseWav(wav(stereo, 2, 44100f)).get
+    assert(stInfo.channels == 2 && stInfo.sampleRate == 44100)
+    assert(Multimodal.wavSamples(wav(stereo, 2, 44100f), stInfo).forall(_ == 300))
+    // end to end: features carry the header's rate + codec tag; raw
+    // blobs keep the stand-in path
+    val df = Seq((1L, monoWav), (2L, Array.tabulate[Byte](100)(_.toByte)))
+      .toDF("media_id", "media_bytes")
+    val got = Multimodal.audioFeatures(df, "media_id", "media_bytes", window = 256)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(1L).codec == "wav-pcm16" && got(1L).sample_rate == 8000)
+    assert(got(1L).n_samples == 512 && math.abs(got(1L).rms - 1000.0) < 1e-9)
+    assert(got(2L).codec == "raw-pcm16" && got(2L).sample_rate == 0)
+  }
+
   test("frameSample: strided fixed-size frames") {
     val df = Seq((7L, "x" * 300)).toDF("id", "txt")
       .select($"id", encode($"txt", "UTF-8").as("bin"))

@@ -138,6 +138,28 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
   }
 
+  test("tpch_q18: HAVING-subquery decorrelates to one aggregate + semi join; heap top-k") {
+    val df = RelationalQueries.tpchQ18BigOrders(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the IN (GROUP BY ... HAVING) subquery must become ONE aggregate
+    // over lineitem feeding a semi join — never a per-row re-execution
+    assert(p.contains("LeftSemi"), s"expected a semi join for the IN subquery:\n${p.take(1500)}")
+    assert(!p.contains("InSubqueryExec"), "IN subquery must decorrelate, not re-execute per row")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must be a heap, not a global sort")
+  }
+
+  test("tpch_q21: EXISTS/NOT EXISTS decorrelate to one semi + one anti join") {
+    val df = RelationalQueries.tpchQ21WaitingSupplier(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be a heap, not a global sort")
+  }
+
   test("subquery_correlated: EXISTS and scalar subqueries decorrelate to joins") {
     val df = RelationalQueries.subqueryCorrelated(spark, dir)
     df.collect()
