@@ -374,6 +374,13 @@ object CoreQueries {
   private object SubsetDump {
     val root = "/root/repo/target/subset_oracle"
     val fraction = 0.1
+    // The dump is SF-scoped (…/subset_oracle/sf0.01/<table>) so a Bench
+    // run at another SF between Verify and the driver's DuckDB compare
+    // cannot overwrite the files the (static) oracle SQL reads. The
+    // oracle pins the driver's correctness SF, sf0.01.
+    val oracleSf = "sf0.01"
+    private def sfDirName(dir: String): String =
+      new java.io.File(dir).getName
     private val done = scala.collection.mutable.Set[String]()
     def ensure(s: SparkSession, dir: String): Unit = synchronized {
       if (done.contains(dir)) return
@@ -383,12 +390,14 @@ object CoreQueries {
         Subsetter.Config(fraction = fraction, force = Map("customer" -> Seq(1L, 42L))),
         rowCounts = counts)
       out.toSeq.sortBy(_._1).foreach { case (t, df) =>
-        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$t")
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/${sfDirName(dir)}/$t")
       }
       done += dir
     }
-    def table(s: SparkSession, t: String): DataFrame = s.read.parquet(s"$root/$t")
-    def glob(t: String): String = s"$root/$t/*.parquet"
+    def table(s: SparkSession, dir: String, t: String): DataFrame =
+      s.read.parquet(s"$root/${sfDirName(dir)}/$t")
+    def glob(t: String): String = s"$root/$oracleSf/$t/*.parquet"
   }
 
   /** Per-FK-edge orphan counts over the DUMPED subset — all zero iff
@@ -397,7 +406,7 @@ object CoreQueries {
     * orphans in DuckDB from the same parquet files. */
   def subsetOrphans(s: SparkSession, dir: String): DataFrame = {
     SubsetDump.ensure(s, dir)
-    val tables = Catalog.tableNames.map(t => t -> SubsetDump.table(s, t)).toMap
+    val tables = Catalog.tableNames.map(t => t -> SubsetDump.table(s, dir, t)).toMap
     Subsetter.validateRI(tables, FkGraph.default)
   }
 
@@ -423,7 +432,7 @@ object CoreQueries {
     Catalog.tableNames.sorted.map { t =>
       val n = graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")
       val target = Subsetter.targetSize(n, SubsetDump.fraction)
-      SubsetDump.table(s, t).agg(count(lit(1)).as("subset_rows"))
+      SubsetDump.table(s, dir, t).agg(count(lit(1)).as("subset_rows"))
         .select(lit(t).as("table_name"), col("subset_rows"),
           lit(target).as("target"),
           (col("subset_rows") >= lit(target)).as("meets_target"))
