@@ -821,6 +821,222 @@ object RelationalQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  // --- tpch_q4_priority_exists: TPC-H Q4 adapted ------------------------
+  // Correlated EXISTS whose inner predicate compares an INNER column to
+  // an OUTER column (l_shipdate > o_orderdate): decorrelation must carry
+  // the inequality as a residual on a single semi join keyed on
+  // l_orderkey — the shape Q18/Q21 don't cover (their correlates are
+  // pure equalities). Fixture has no commit/receipt dates, so "late
+  // line" is adapted to shipped-after-order-date.
+  def tpchQ4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ4PriorityExistsSql)
+  }
+
+  val tpchQ4PriorityExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --- tpch_q7_volume_shipping: TPC-H Q7 adapted ------------------------
+  // Nation self-aliased TWICE (supplier's vs customer's nation) with a
+  // disjunctive pair predicate — the residual OR must ride the broadcast
+  // joins, never force a cartesian. Facts shuffle once each on orderkey;
+  // both nation copies broadcast. year() returns INT in Spark and BIGINT
+  // in DuckDB, so the shared text pins CAST(... AS INTEGER).
+  def tpchQ7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ7VolumeShippingSql)
+  }
+
+  val tpchQ7VolumeShippingSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  CAST(SUM(volume) AS DOUBLE) AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l_shipdate) AS INTEGER) AS l_year, $rev AS volume
+       |  FROM supplier
+       |  JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+       |) shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+  }
+
+  // --- tpch_q10_returned_items: TPC-H Q10 adapted -----------------------
+  // Revenue lost to returns, per customer, top 20: the classic
+  // fact-heavy join where the l_returnflag filter reaches the lineitem
+  // scan (PushedFilters), customer/nation broadcast, and the top-k is a
+  // heap (TakeOrderedAndProject), never a global sort.
+  def tpchQ10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Det.dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(4,2)") - Det.rate2(col("l_discount")))
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-10-01") && col("o_orderdate") < lit("1997-01-01"))
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val tpchQ10ReturnedItemsSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""SELECT c_custkey, c_name, n_name, CAST(SUM($rev) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+  }
+
+  // --- tpch_q13_custdist: TPC-H Q13 ------------------------------------
+  // Distribution-of-counts: LEFT OUTER join with an extra ON-clause
+  // predicate (which must NOT fall into WHERE — that would turn the
+  // outer join inner), then a second aggregate OVER the first. Customers
+  // with zero orders survive as c_count = 0 — the row the outer join
+  // exists to keep.
+  def tpchQ13Custdist(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ13CustdistSql)
+  }
+
+  val tpchQ13CustdistSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- tpch_q14_promo_revenue: TPC-H Q14 -------------------------------
+  // Conditional-ratio aggregate: CASE-gated decimal sum over a
+  // fact⋈dim join, one output row. All money math is decimal-exact
+  // until the final cast; the ratio divides two identical doubles, so
+  // IEEE gives the same bits in both engines (Det §7 — no ROUND).
+  def tpchQ14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ14PromoRevenueSql)
+  }
+
+  val tpchQ14PromoRevenueSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""SELECT promo_revenue, total_revenue,
+       |  CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct
+       |FROM (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev
+       |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+       |    CAST(SUM($rev) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01'
+       |) promo
+       |ORDER BY promo_revenue""".stripMargin
+  }
+
+  // --- tpch_q16_supplier_cnt: TPC-H Q16 adapted ------------------------
+  // The NOT IN shape: a null-aware anti join against the supplier
+  // exclusion list (DISTINCT suppliers per part attribute triple
+  // afterwards). NOT IN is semantically trickier than NOT EXISTS — one
+  // NULL in the subquery empties the result — so Spark plans it as a
+  // null-aware anti join, not a plain LeftAnti. Complaint filter adapted
+  // to negative account balance (fixture has no s_comment).
+  def tpchQ16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ16SupplierCntSql)
+  }
+
+  val tpchQ16SupplierCntSql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#4'
+      |  AND p_size IN (5, 10, 15, 20, 25, 30)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // --- tpch_q17_small_qty: TPC-H Q17 adapted ---------------------------
+  // Correlated scalar AVG subquery per part: must decorrelate to ONE
+  // aggregate over lineitem grouped by l_partkey joined back — never a
+  // per-row re-execution. Determinism: l_quantity is integer-valued, so
+  // the inner SUM is exact in any order; AVG is one IEEE division;
+  // CAST(0.2 AS DOUBLE) pins the literal to the same double in both
+  // engines (a bare 0.2 parses as DECIMAL with engine-specific scale
+  // rules).
+  def tpchQ17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ17SmallQtySql)
+  }
+
+  val tpchQ17SmallQtySql: String = {
+    import Det.sql._
+    s"""SELECT ${moneySum("l_extendedprice")} AS small_qty_revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand = 'Brand#4'
+       |  AND l_quantity < CAST(0.2 AS DOUBLE) *
+       |    (SELECT avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+       |ORDER BY small_qty_revenue""".stripMargin
+  }
+
+  // --- tpch_q22_global_sales: TPC-H Q22 adapted ------------------------
+  // Uncorrelated scalar aggregate subqueries + NOT EXISTS: customers
+  // with above-average balance and no URGENT orders, grouped by nation
+  // (the fixture's stand-in for Q22's phone country code; plain
+  // "no orders" is vacuous here — the fixture gives nearly every
+  // customer an order). The avg comparison is rewritten
+  // multiplication-only (bal * n_pos > sum_pos) so every predicate
+  // evaluates in exact decimal arithmetic — decimal DIVISION scale
+  // rules differ between engines, multiplication doesn't.
+  def tpchQ22GlobalSales(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ22GlobalSalesSql)
+  }
+
+  val tpchQ22GlobalSalesSql: String = {
+    import Det.sql._
+    s"""SELECT c_nationkey, count(*) AS numcust,
+       |  ${moneySum("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE ${dec2("c_acctbal")} *
+       |    (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+       |  > (SELECT SUM(${dec2("c_acctbal")}) FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderpriority = '1-URGENT')
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+  }
+
   // --- subquery_correlated: EXISTS + correlated scalar subqueries ------
   // Through the SQL front-end on purpose: Catalyst DECORRELATES both the
   // EXISTS predicate and the two scalar subqueries into joins (a
@@ -904,6 +1120,14 @@ object RelationalQueries {
     "tpch_q5_local_supplier" -> (tpchQ5LocalSupplier _),
     "tpch_q18_big_orders" -> (tpchQ18BigOrders _),
     "tpch_q21_waiting_supplier" -> (tpchQ21WaitingSupplier _),
+    "tpch_q4_priority_exists" -> (tpchQ4PriorityExists _),
+    "tpch_q7_volume_shipping" -> (tpchQ7VolumeShipping _),
+    "tpch_q10_returned_items" -> (tpchQ10ReturnedItems _),
+    "tpch_q13_custdist" -> (tpchQ13Custdist _),
+    "tpch_q14_promo_revenue" -> (tpchQ14PromoRevenue _),
+    "tpch_q16_supplier_cnt" -> (tpchQ16SupplierCnt _),
+    "tpch_q17_small_qty" -> (tpchQ17SmallQty _),
+    "tpch_q22_global_sales" -> (tpchQ22GlobalSales _),
     "subquery_correlated" -> (subqueryCorrelated _),
     "join_full_outer_days" -> (joinFullOuterDays _),
     "agg_filter_conditional" -> (aggFilterConditional _),
@@ -942,6 +1166,14 @@ object RelationalQueries {
     "tpch_q5_local_supplier" -> tpchQ5LocalSupplierSql,
     "tpch_q18_big_orders" -> tpchQ18BigOrdersSql,
     "tpch_q21_waiting_supplier" -> tpchQ21WaitingSupplierSql,
+    "tpch_q4_priority_exists" -> tpchQ4PriorityExistsSql,
+    "tpch_q7_volume_shipping" -> tpchQ7VolumeShippingSql,
+    "tpch_q10_returned_items" -> tpchQ10ReturnedItemsSql,
+    "tpch_q13_custdist" -> tpchQ13CustdistSql,
+    "tpch_q14_promo_revenue" -> tpchQ14PromoRevenueSql,
+    "tpch_q16_supplier_cnt" -> tpchQ16SupplierCntSql,
+    "tpch_q17_small_qty" -> tpchQ17SmallQtySql,
+    "tpch_q22_global_sales" -> tpchQ22GlobalSalesSql,
     "subquery_correlated" -> subqueryCorrelatedSql,
     "join_full_outer_days" -> joinFullOuterDaysSql,
     "agg_filter_conditional" -> aggFilterConditionalSql,

@@ -186,6 +186,69 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tpch_q4: EXISTS with inequality correlate is ONE semi join, not per-row") {
+    val df = RelationalQueries.tpchQ4PriorityExists(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // l_shipdate > o_orderdate must ride the orderkey semi join as a
+    // residual condition — never re-execute the subquery per outer row
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("InSubqueryExec"))
+  }
+
+  test("tpch_q16: NOT IN becomes a null-aware anti join; no subquery loop") {
+    // sf0.01: sf0.001 has no negative-balance supplier, so AQE folds the
+    // empty-build anti join away and there is no join to assert on
+    val df = RelationalQueries.tpchQ16SupplierCnt(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("InSubqueryExec"))
+  }
+
+  test("tpch_q17: correlated scalar AVG decorrelates to aggregate + join") {
+    val df = RelationalQueries.tpchQ17SmallQty(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // decorrelation = one per-partkey aggregate joined back; a
+    // scalar-subquery node here would mean per-row re-execution
+    assert(!p.toLowerCase.contains("scalarsubquery"), p.take(2000))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("tpch_q13: ON-clause predicate keeps the outer join outer") {
+    val df = RelationalQueries.tpchQ13Custdist(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the o_orderpriority filter lives in the join condition; pushing it
+    // below as a WHERE would silently turn LeftOuter into Inner
+    assert(p.contains("LeftOuter"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpch_q22: NOT EXISTS is an anti join; scalar aggregates run once") {
+    val df = RelationalQueries.tpchQ22GlobalSales(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpch_q7/q10: nation pair + returned items stay broadcast-shaped, heap top-k") {
+    val q7 = RelationalQueries.tpchQ7VolumeShipping(spark, dir)
+    q7.collect()
+    val p7 = q7.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoopJoin"))
+    val q10 = RelationalQueries.tpchQ10ReturnedItems(spark, dir)
+    q10.collect()
+    val p10 = q10.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p10.contains("TakeOrderedAndProject"), "top-20 must be a heap")
+    assert(!p10.contains("CartesianProduct") && !p10.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution
