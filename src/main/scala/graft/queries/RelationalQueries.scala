@@ -1037,6 +1037,273 @@ object RelationalQueries {
        |ORDER BY c_nationkey""".stripMargin
   }
 
+  // --- tpch_q2_min_cost_supp: TPC-H Q2 adapted --------------------------
+  // The correlated scalar MIN shape over a 4-table snowflake: the
+  // subquery re-joins supplier/nation/region per part, so decorrelation
+  // must produce ONE per-partkey MIN aggregate over the same join tree,
+  // joined back — never a per-row re-execution. Fixture has no partsupp,
+  // so "min supply cost" is adapted to min sale price (l_extendedprice)
+  // among EUROPE suppliers; the price equality compares exact decimals.
+  def tpchQ2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ2MinCostSuppSql)
+  }
+
+  val tpchQ2MinCostSuppSql: String = {
+    import Det.sql._
+    s"""SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+       |FROM part JOIN lineitem ON p_partkey = l_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE p_size IN (5, 15, 25, 35, 45) AND r_name = 'EUROPE'
+       |  AND ${dec2("l_extendedprice")} = (
+       |    SELECT MIN(${dec2("l2.l_extendedprice")})
+       |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+       |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, p_partkey, s_name LIMIT 100""".stripMargin
+  }
+
+  // --- tpch_q6_forecast_revenue: TPC-H Q6 -------------------------------
+  // The pushdown benchmark: a single scan whose three predicates must
+  // all reach the parquet reader (PushedFilters), one global aggregate,
+  // zero joins, zero shuffles beyond the final single-row reduce. At
+  // 100 TB this is THE bandwidth-bound query — any plan with more than
+  // scan + partial agg + final agg is wrong. Discount bounds compare in
+  // exact 2-dp decimal so both engines test the same values.
+  def tpchQ6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit(0.05).cast("decimal(4,2)")
+    val hi = lit(0.07).cast("decimal(4,2)")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        Det.rate2(col("l_discount")).between(lo, hi) &&
+        col("l_quantity") < 24.0)
+      .agg(
+        sum(Det.dec2(col("l_extendedprice")) * Det.rate2(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("revenue")
+  }
+
+  val tpchQ6ForecastRevenueSql: String = {
+    import Det.sql._
+    s"""SELECT CAST(SUM(${dec2("l_extendedprice")} * ${rate2("l_discount")}) AS DOUBLE) AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND ${rate2("l_discount")} BETWEEN CAST(0.05 AS DECIMAL(4,2)) AND CAST(0.07 AS DECIMAL(4,2))
+       |  AND l_quantity < 24.0
+       |ORDER BY revenue""".stripMargin
+  }
+
+  // --- tpch_q8_market_share: TPC-H Q8 adapted ----------------------------
+  // Eight-table snowflake with nation joined TWICE (customer's region
+  // gates the order, supplier's nation is the market-share numerator) and
+  // a CASE-gated decimal ratio per year. The numerator/denominator sums
+  // stay exact decimal; the single division per year is IEEE-identical
+  // across engines (Det §7).
+  def tpchQ8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ8MarketShareSql)
+  }
+
+  val tpchQ8MarketShareSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""SELECT o_year,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+       |           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |    $rev AS volume, n2.n_name AS supp_nation
+       |  FROM part JOIN lineitem ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'LARGE'
+       |) all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+  }
+
+  // --- tpch_q9_product_profit: TPC-H Q9 adapted --------------------------
+  // Profit by (supplier nation, order year) for a part-name LIKE family.
+  // The LIKE filter prunes part BEFORE the fact join (it reaches the
+  // part scan), supplier/nation broadcast, lineitem and orders each
+  // shuffle once on orderkey. Fixture has no partsupp, so profit drops
+  // the supplycost term: amount = extendedprice * (1 - discount).
+  def tpchQ9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val amount = Det.dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(4,2)") - Det.rate2(col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%widget%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val tpchQ9ProductProfitSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  CAST(SUM($rev) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+       |ORDER BY nation, o_year DESC""".stripMargin
+  }
+
+  // --- tpch_q11_important_parts: TPC-H Q11 adapted -----------------------
+  // HAVING against a GLOBAL scalar: per-part value must exceed a fraction
+  // of the whole (same-filtered) corpus value. The scalar subquery runs
+  // ONCE (uncorrelated) and broadcasts into the HAVING filter; both the
+  // per-group and global sums stay exact decimal, and the threshold is a
+  // decimal MULTIPLICATION (division scale rules differ across engines).
+  // Fixture has no partsupp, so "stock value" is adapted to revenue from
+  // NATION_3's suppliers.
+  def tpchQ11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ11ImportantPartsSql)
+  }
+
+  val tpchQ11ImportantPartsSql: String = {
+    import Det.sql._
+    s"""SELECT l_partkey AS ps_partkey,
+       |  CAST(SUM(${dec2("l_extendedprice")}) AS DOUBLE) AS value
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3'
+       |GROUP BY l_partkey
+       |HAVING SUM(${dec2("l_extendedprice")}) > (
+       |  SELECT SUM(${dec2("l_extendedprice")}) * CAST(0.001 AS DECIMAL(6,4))
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_3')
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+  }
+
+  // --- tpch_q12_late_lines: TPC-H Q12 adapted -----------------------------
+  // Priority-class line counts for late shipments: one fact-fact join on
+  // orderkey, conditional counters inside a single hash agg (no extra
+  // pass per CASE). Fixture has no commit/receipt dates or shipmode, so
+  // "late" is shipped >30 days after order date, grouped by linestatus.
+  def tpchQ12LateLines(s: SparkSession, dir: String): DataFrame = {
+    val hiPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAY") &&
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(hiPri, 1)).as("high_line_count"),
+        count(when(!hiPri, 1)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val tpchQ12LateLinesSql: String =
+    """SELECT l_linestatus,
+      |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+      |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // --- tpch_q15_top_supplier: TPC-H Q15 ----------------------------------
+  // The view-vs-its-own-MAX shape: a revenue aggregate referenced twice
+  // (once as the join input, once inside the scalar MAX). The equality
+  // compares the engine's OWN exact decimals, so ties are found exactly;
+  // only the output casts to double.
+  def tpchQ15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ15TopSupplierSql)
+  }
+
+  val tpchQ15TopSupplierSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no, SUM($rev) AS total_revenue_dec
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, CAST(total_revenue_dec AS DOUBLE) AS total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue_dec = (SELECT MAX(total_revenue_dec) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+  }
+
+  // --- tpch_q19_disjunctive_rev: TPC-H Q19 adapted ------------------------
+  // Three conjunctive brand/size/quantity branches OR'd together: the
+  // disjunction must stay a residual on the ONE partkey hash join (the
+  // rewritten-Q19 planner test — a naive planner cross-joins or runs the
+  // join three times). Part broadcasts; lineitem never shuffles.
+  def tpchQ19DisjunctiveRev(s: SparkSession, dir: String): DataFrame = {
+    def branch(brand: String, szHi: Int, qLo: Double, qHi: Double): Column =
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val rev = Det.dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(4,2)") - Det.rate2(col("l_discount")))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(branch("Brand#1", 10, 1.0, 11.0) ||
+        branch("Brand#2", 15, 10.0, 20.0) ||
+        branch("Brand#3", 20, 20.0, 30.0))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy("revenue")
+  }
+
+  val tpchQ19DisjunctiveRevSql: String = {
+    import Det.sql._
+    val rev = s"${dec2("l_extendedprice")} * (CAST(1 AS DECIMAL(4,2)) - ${rate2("l_discount")})"
+    s"""SELECT CAST(SUM($rev) AS DOUBLE) AS revenue, count(*) AS n_lines
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1.0 AND 11.0)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10.0 AND 20.0)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 20.0 AND 30.0)
+       |ORDER BY revenue""".stripMargin
+  }
+
+  // --- tpch_q20_promotion_supp: TPC-H Q20 adapted -------------------------
+  // Nested IN subqueries: suppliers (in a region) who moved >50 units of
+  // some red part in 1997. The inner IN prunes part, the outer IN is a
+  // grouped HAVING over lineitem — both must decorrelate to semi joins
+  // feeding ONE aggregate, never a loop. sum(l_quantity) is exact
+  // (integer-valued doubles).
+  def tpchQ20PromotionSupp(s: SparkSession, dir: String): DataFrame = {
+    Catalog.registerViews(s, dir)
+    s.sql(tpchQ20PromotionSuppSql)
+  }
+
+  val tpchQ20PromotionSuppSql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING SUM(l_quantity) > 50.0)
+      |ORDER BY s_name""".stripMargin
+
   // --- subquery_correlated: EXISTS + correlated scalar subqueries ------
   // Through the SQL front-end on purpose: Catalyst DECORRELATES both the
   // EXISTS predicate and the two scalar subqueries into joins (a
@@ -1128,6 +1395,15 @@ object RelationalQueries {
     "tpch_q16_supplier_cnt" -> (tpchQ16SupplierCnt _),
     "tpch_q17_small_qty" -> (tpchQ17SmallQty _),
     "tpch_q22_global_sales" -> (tpchQ22GlobalSales _),
+    "tpch_q2_min_cost_supp" -> (tpchQ2MinCostSupp _),
+    "tpch_q6_forecast_revenue" -> (tpchQ6ForecastRevenue _),
+    "tpch_q8_market_share" -> (tpchQ8MarketShare _),
+    "tpch_q9_product_profit" -> (tpchQ9ProductProfit _),
+    "tpch_q11_important_parts" -> (tpchQ11ImportantParts _),
+    "tpch_q12_late_lines" -> (tpchQ12LateLines _),
+    "tpch_q15_top_supplier" -> (tpchQ15TopSupplier _),
+    "tpch_q19_disjunctive_rev" -> (tpchQ19DisjunctiveRev _),
+    "tpch_q20_promotion_supp" -> (tpchQ20PromotionSupp _),
     "subquery_correlated" -> (subqueryCorrelated _),
     "join_full_outer_days" -> (joinFullOuterDays _),
     "agg_filter_conditional" -> (aggFilterConditional _),
@@ -1174,6 +1450,15 @@ object RelationalQueries {
     "tpch_q16_supplier_cnt" -> tpchQ16SupplierCntSql,
     "tpch_q17_small_qty" -> tpchQ17SmallQtySql,
     "tpch_q22_global_sales" -> tpchQ22GlobalSalesSql,
+    "tpch_q2_min_cost_supp" -> tpchQ2MinCostSuppSql,
+    "tpch_q6_forecast_revenue" -> tpchQ6ForecastRevenueSql,
+    "tpch_q8_market_share" -> tpchQ8MarketShareSql,
+    "tpch_q9_product_profit" -> tpchQ9ProductProfitSql,
+    "tpch_q11_important_parts" -> tpchQ11ImportantPartsSql,
+    "tpch_q12_late_lines" -> tpchQ12LateLinesSql,
+    "tpch_q15_top_supplier" -> tpchQ15TopSupplierSql,
+    "tpch_q19_disjunctive_rev" -> tpchQ19DisjunctiveRevSql,
+    "tpch_q20_promotion_supp" -> tpchQ20PromotionSuppSql,
     "subquery_correlated" -> subqueryCorrelatedSql,
     "join_full_outer_days" -> joinFullOuterDaysSql,
     "agg_filter_conditional" -> aggFilterConditionalSql,

@@ -249,6 +249,79 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p10.contains("CartesianProduct") && !p10.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tpch_q2: correlated MIN over the snowflake decorrelates to one aggregate + join") {
+    val df = RelationalQueries.tpchQ2MinCostSupp(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // decorrelation = per-partkey MIN aggregate joined back; a
+    // scalar-subquery node would re-run the 4-table join per outer row
+    assert(!p.toLowerCase.contains("scalarsubquery"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must be a heap")
+  }
+
+  test("tpch_q6: all three predicates reach the parquet scan; no join, no shuffle but the reduce") {
+    // the default 100-char metadata clip truncates the PushedFilters
+    // list mid-entry — widen it so the assertion sees the whole thing
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try {
+      val df = RelationalQueries.tpchQ6ForecastRevenue(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p.contains("Join"), "Q6 is a single-scan aggregate")
+      assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p.take(1500))
+      assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range must push down")
+      assert(p.contains("LessThan(l_quantity,24.0)"), "quantity bound must push down")
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
+  test("tpch_q11: global-scalar HAVING runs the subquery once, not per group") {
+    val df = RelationalQueries.tpchQ11ImportantParts(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the uncorrelated scalar stays a Subquery node EXECUTED ONCE
+    // (ReusedSubquery/Subquery scalar-subquery), never a per-row loop
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("tpch_q15: revenue CTE max-equality keeps hash joins; no cartesian") {
+    val df = RelationalQueries.tpchQ15TopSupplier(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpch_q19: the OR of brand/size/qty branches is a residual on ONE partkey join") {
+    val df = RelationalQueries.tpchQ19DisjunctiveRev(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val joins = p.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"expected exactly one partkey join, got $joins")
+  }
+
+  test("tpch_q20: nested INs decorrelate to semi joins; no subquery loop") {
+    val df = RelationalQueries.tpchQ20PromotionSupp(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("InSubqueryExec"))
+  }
+
+  test("tpch_q8/q9/q12: snowflake + profit + late-lines stay hash-join shaped") {
+    for (df <- Seq(
+        RelationalQueries.tpchQ8MarketShare(spark, dir),
+        RelationalQueries.tpchQ9ProductProfit(spark, dir),
+        RelationalQueries.tpchQ12LateLines(spark, dir))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution
