@@ -35,7 +35,12 @@ object PrefixSum {
       .drop("__mx")
     val wIn = Window.partitionBy("__shard").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wOff = Window.orderBy("__shard")
+    // The offset window ranges over nShards (≤32) aggregate rows — NOT
+    // the data — so a single partition is correct by construction. The
+    // constant partition key silences WindowExec's "no partition
+    // defined" warning, which should stay reserved for real data-scale
+    // single-partition regressions.
+    val wOff = Window.partitionBy(lit(0)).orderBy("__shard")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sharded.groupBy("__shard")
       .agg(sum(col(valueCol)).as("__stot"))
