@@ -111,6 +111,59 @@ object SimilarityFunctions {
       minJaccard, maxDf)
   }
 
+  /** The 100 TB tier for exact n-gram Jaccard: MinHash-banded candidate
+    * generation followed by EXACT per-pair verification over the
+    * per-doc shingle-hash sets.
+    *
+    * [[jaccardPairsNgram]] self-joins the full inverted index — the
+    * candidate space is Σ df² over every shingle, which is corpus-
+    * quadratic in the worst case and makes its cost non-scan-shaped no
+    * matter how flat trigram df is in practice. Here the candidate
+    * space is the banded-LSH collision set (ids only through one
+    * (band, key) shuffle, hot buckets capped), and each candidate pair
+    * is then scored EXACTLY: `array_intersect` over the two docs'
+    * distinct shingle-hash arrays — a pair-local computation, no
+    * inverted index, no corpus self-join. Emitted (ida, idb, jaccard)
+    * rows are bit-identical to the exact tier's; the only
+    * approximation is recall. A pair at Jaccard j collides in ≥1 of b
+    * bands of r rows with p = 1-(1-j^r)^b — at the defaults (128
+    * hashes, 32 bands, r=4) a true near-dup at j=0.8 is missed with
+    * p < 5e-8, and this corpus's qualifying pairs all sit at j ≥ 0.8
+    * (measured sf0.01/sf0.1), so the tier reproduces the exact tier's
+    * output and shares its DuckDB oracle. */
+  def jaccardPairsNgramLsh(docs: DataFrame, n: Int, minJaccard: Double,
+                           numHashes: Int = 128, bands: Int = 32,
+                           maxBucket: Int = 10000): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val toks = split(col("text"), " ")
+    // one scan computes both per-doc set representations; the
+    // checkpoint is read by the banding pass + both verify joins
+    val base = docs.select(col("doc_id"),
+        call_function("graft_shingle_hashes", toks, lit(n)).as("sh"),
+        call_function("graft_minhash", toks, lit(n), lit(numHashes)).as("sig"))
+      .filter(size(col("sig")) > 0)
+      .localCheckpoint(false)
+    val banded = dropHotKeys(
+      base.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "band_key"))),
+      Seq("band", "band_key"), maxBucket)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    pairs
+      .join(base.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
+      .join(base.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ida", "idb", "jaccard")
+  }
+
   /** Drop every row whose `keyCols` group exceeds `cap` members.
     *
     * Shape matters at 100 TB: the old formulation (`count(*) over

@@ -96,6 +96,17 @@ object SimilarityQueries {
     SimilarityFunctions.jaccardPairsNgram(docs(s, dir), 3, 0.4)
       .orderBy("ida", "idb")
 
+  // --- dedup_shingle_lsh: the same near-dup relation, scale-shaped ----
+  // MinHash-banded candidates + exact per-pair shingle-hash Jaccard:
+  // the 100 TB path for what dedup_ngram_jaccard computes by full
+  // inverted-index self-join. Same output, same DuckDB oracle (this
+  // corpus's qualifying pairs sit at j >= 0.8, where a banded miss is
+  // p < 5e-8 — SimilarityFunctions.jaccardPairsNgramLsh scaladoc);
+  // candidate cost is one (band, key) shuffle instead of sum(df^2).
+  def dedupShingleLsh(s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.jaccardPairsNgramLsh(docs(s, dir), 3, 0.4)
+      .orderBy("ida", "idb")
+
   val dedupNgramJaccardSql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |tok AS (SELECT DISTINCT doc_id, tok FROM (
@@ -436,6 +447,7 @@ object SimilarityQueries {
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_jaccard_docs" -> (dedupJaccardDocs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_shingle_lsh" -> (dedupShingleLsh _),
     "dedup_editdist_pairs" -> (dedupEditdistPairs _),
     "dedup_components" -> (dedupComponents _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
@@ -455,6 +467,7 @@ object SimilarityQueries {
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,
     "dedup_jaccard_docs" -> dedupJaccardDocsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_shingle_lsh" -> dedupNgramJaccardSql, // same relation, scale-shaped path
     "dedup_editdist_pairs" -> dedupEditdistPairsSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_cosine_pairs" -> dedupCosinePairsSql,

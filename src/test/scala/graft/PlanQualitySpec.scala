@@ -94,6 +94,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(windows <= 2, s"expected only fp-rank + top-k windows, got $windows:\n${p.take(2000)}")
   }
 
+  test("dedup_shingle_lsh: candidates ride the band-key hash join; verify joins carry ids, no index self-join") {
+    val df = SimilarityQueries.dedupShingleLsh(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the scale property: nothing in this plan explodes SHINGLES — the
+    // only explode is the per-doc band keys (bands per doc, constant),
+    // so no inverted-index relation exists to self-join
+    assert(!p.contains("graft_shingle_hashes(") ||
+      !p.linesIterator.exists(l => l.contains("Generate") && l.contains("graft_shingle_hashes")),
+      "shingle hashes must stay as per-doc arrays, never exploded")
+  }
+
   test("editdist near-dup candidates come from the blocking-key hash join, never BNLJ/cartesian") {
     val df = SimilarityQueries.dedupEditdistPairs(spark, dir)
     df.collect()

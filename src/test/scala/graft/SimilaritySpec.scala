@@ -70,6 +70,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(4L) == Set("x x x"))
   }
 
+  test("jaccardPairsNgramLsh: banded+exact-verify tier reproduces the exact tier") {
+    // the real corpus: identical (ida, idb, jaccard) rows — the scale
+    // tier's scores are exact per pair, and every qualifying pair
+    // (j >= 0.8 here) collides in at least one of the 32 bands
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Catalog.table(spark, dir, "documents")
+    val exact = jaccardPairsNgram(docs, 3, 0.4)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val lsh = jaccardPairsNgramLsh(docs, 3, 0.4)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    assert(lsh.toSeq == exact.toSeq)
+  }
+
   test("jaccardPairsNgram: near-dup scores high, same-topic reorder scores zero") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
