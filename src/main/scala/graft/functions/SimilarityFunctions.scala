@@ -235,6 +235,16 @@ object SimilarityFunctions {
       .filter(size(col("sig")) > 0) // docs with fewer than nShingle tokens
   }
 
+  /** The banded-signature relation (doc_id, sig, band, band_key) that
+    * both the batch LSH tier and the streaming near-dup twin key their
+    * bucket joins / keyed state on. Pure scan-local projections (native
+    * minhash kernel + band slicing) — legal inside a streaming plan. */
+  def bandedSignatures(docs: DataFrame, textCol: String, numHashes: Int,
+                       nShingle: Int, bands: Int): DataFrame =
+    minhashSignatures(docs, textCol, numHashes, nShingle)
+      .select(col("doc_id"), col("sig"),
+        posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "band_key")))
+
   /** Split a signature into `bands` equal chunks, each rendered as a
     * joinable string key. */
   private def bandKeys(sig: Column, bands: Int): Column = {

@@ -268,4 +268,83 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  // --- streaming NEAR-dup: MinHash-LSH with keyed bucket state ---------
+
+  final case class BandDoc(bkey: String, doc_id: Long, sig: Seq[Long])
+  final case class BucketMembers(members: Seq[(Long, Seq[Long])])
+  final case class NearDupPair(ida: Long, idb: Long, est_jaccard: Double)
+
+  /** Per-LSH-bucket comparator for `flatMapGroupsWithState`: state holds
+    * the (doc_id, signature) of every doc seen in this (band, band_key)
+    * bucket; each arriving doc emits a candidate pair against each
+    * existing member with the matching-signature-fraction estimate.
+    * Dedup-on-INGEST — the streaming twin of the batch LSH tier: a new
+    * document learns its near-duplicates the moment it lands, without
+    * re-scanning the corpus, and state is sharded by bucket key so it
+    * scales out like any keyed aggregation. `maxBucket` caps state per
+    * degenerate bucket (boilerplate shingles): past the cap, arrivals
+    * stop enrolling — the analogue of the batch tier's hot-bucket drop.
+    * Production would pair this with a state TTL (GroupStateTimeout);
+    * AvailableNow backfill keeps full state for batch parity. */
+  def nearDupBucket(key: String, docs: Iterator[BandDoc],
+                    state: GroupState[BucketMembers]): Iterator[NearDupPair] = {
+    val maxBucket = 10000
+    var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+    val out = Seq.newBuilder[NearDupPair]
+    docs.toSeq.sortBy(_.doc_id).foreach { d =>
+      if (members.size < maxBucket) {
+        members.foreach { case (id0, sig0) =>
+          if (id0 != d.doc_id) {
+            var m = 0
+            var i = 0
+            val n = sig0.length
+            while (i < n) { if (sig0(i) == d.sig(i)) m += 1; i += 1 }
+            out += NearDupPair(math.min(id0, d.doc_id),
+              math.max(id0, d.doc_id), m.toDouble / n.toDouble)
+          }
+        }
+        members = members :+ ((d.doc_id, d.sig))
+      }
+    }
+    state.update(BucketMembers(members))
+    out.result().iterator
+  }
+
+  /** Streaming near-dup pairs over the documents stream: the SAME
+    * signature + banding projections as the batch tier
+    * (`SimilarityFunctions.bandedSignatures` — scan-local native
+    * kernels), keyed state per bucket, then the estimate threshold. A
+    * pair colliding in several bands is emitted once per band
+    * (at-least-once candidate semantics — the estimate is identical in
+    * each, so downstream `dropDuplicates` or any idempotent sink
+    * absorbs them); the parity spec distincts both sides. */
+  def streamNearDupPairs(spark: SparkSession, dir: String,
+                         minEst: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val docs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    graft.functions.SimilarityFunctions
+      .bandedSignatures(docs, "text", numHashes = 32, nShingle = 3, bands = 8)
+      .select(concat_ws("|", col("band"), col("band_key")).as("bkey"),
+        col("doc_id"), col("sig"))
+      .as[BandDoc]
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(nearDupBucket)
+      .toDF()
+      .filter(col("est_jaccard") >= minEst)
+  }
+
+  def startNearDupToMemory(spark: SparkSession, dir: String,
+                           name: String): StreamingQuery =
+    streamNearDupPairs(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -74,6 +74,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.toSet.size == streamed.length) // no dup texts survived
   }
 
+  test("streaming minhash near-dup (keyed bucket state) == batch LSH pairs") {
+    val q = EventStreams.startNearDupToMemory(spark, dir, "t_neardup")
+    q.awaitTermination()
+    // at-least-once candidate emission (a pair can collide in several
+    // bands, each with the identical estimate) — distinct both sides
+    val streamed = spark.sql("SELECT ida, idb, est_jaccard FROM t_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchDocs = graft.Catalog.table(spark, dir, "documents")
+    val sigs = graft.functions.SimilarityFunctions
+      .minhashSignatures(batchDocs, "text", 32, nShingle = 3)
+    val batch = graft.functions.SimilarityFunctions.minhashLshPairs(sigs, bands = 8)
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming session_window (native operator) == batch session_window_native") {
     val q = EventStreams.startSessionWindowToMemory(spark, dir, "t_swin")
     q.awaitTermination()
