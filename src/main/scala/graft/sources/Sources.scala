@@ -46,6 +46,25 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Raw binary ingestion for the multimodal pipeline: one row per file
+    * — (path, modificationTime, length, content BINARY) — feeding the
+    * decode/feature stages in `operators.Multimodal`. Listing and reads
+    * parallelize across executors like any file source;
+    * `pathGlobFilter` bounds the scan to the wanted extension, and
+    * predicates on path/length prune before content is ever read. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
+  /** Line-per-row text ingestion (raw corpus files → one `value` STRING
+    * column; `wholetext` flips to file-per-row). The upstream shape for
+    * documents that arrive as plain text rather than parquet. */
+  def readText(spark: SparkSession, path: String,
+               wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
   /** JDBC passthrough — partitioned reads via (column, bounds,
     * numPartitions) keep a real-DB scan parallel. Exercised end-to-end
     * against embedded Derby in JdbcRoundTripSpec. */

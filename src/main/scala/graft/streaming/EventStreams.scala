@@ -269,6 +269,24 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming parquet sink with checkpointed exactly-once semantics:
+    * the dedup stream lands files under `outPath` with its offset WAL +
+    * file-sink manifest in `checkpointPath`. A restart from the same
+    * checkpoint re-reads nothing and re-emits nothing — the production
+    * path for landing a cleaned corpus incrementally (readers see only
+    * manifest-committed files, so a mid-batch crash never exposes
+    * partial output). */
+  def startDedupToParquet(spark: SparkSession, dir: String, outPath: String,
+                          checkpointPath: String): StreamingQuery =
+    streamDedupDocs(spark, dir)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // --- streaming NEAR-dup: MinHash-LSH with keyed bucket state ---------
 
   final case class BandDoc(bkey: String, doc_id: Long, sig: Seq[Long])

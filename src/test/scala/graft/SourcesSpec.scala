@@ -35,6 +35,27 @@ class SourcesSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), p)
   }
 
+  test("binaryFile + text sources: per-file binary rows, per-line text rows") {
+    val dir = Files.createTempDirectory("graft-bin").toString
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    Files.write(java.nio.file.Paths.get(dir, "a.png"), png)
+    Files.write(java.nio.file.Paths.get(dir, "b.txt"),
+      "line one\nline two\n".getBytes("UTF-8"))
+    // glob bounds the binary scan to the wanted extension
+    val bin = Sources.readBinaryFiles(spark, dir, "*.png")
+      .select("path", "length", "content").collect()
+    assert(bin.length == 1)
+    assert(bin.head.getAs[String]("path").endsWith("a.png"))
+    assert(bin.head.getAs[Long]("length") == png.length.toLong)
+    assert(bin.head.getAs[Array[Byte]]("content").sameElements(png))
+    val lines = Sources.readText(spark, s"$dir/b.txt")
+      .collect().map(_.getString(0)).toSet
+    assert(lines == Set("line one", "line two"))
+    val whole = Sources.readText(spark, s"$dir/b.txt", wholeFile = true)
+      .collect().map(_.getString(0))
+    assert(whole.length == 1 && whole.head.startsWith("line one\n"))
+  }
+
   test("partitioned parquet: directory pruning at planning time") {
     val dir = Files.createTempDirectory("graft-part").toString
     val df = Catalog.table(spark, "/root/testdata/sf0.001", "events")

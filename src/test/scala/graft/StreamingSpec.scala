@@ -74,6 +74,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.toSet.size == streamed.length) // no dup texts survived
   }
 
+  test("streaming parquet sink: checkpointed exactly-once across restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val q1 = EventStreams.startDedupToParquet(spark, dir, out, ckpt)
+    q1.awaitTermination()
+    val batchDistinct = graft.Catalog.table(spark, dir, "documents")
+      .select("text").distinct().count()
+    assert(spark.read.parquet(out).count() == batchDistinct)
+    // restart against the same checkpoint: offsets are committed, the
+    // manifest is sealed — nothing is re-read, nothing lands twice
+    val q2 = EventStreams.startDedupToParquet(spark, dir, out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == batchDistinct)
+  }
+
   test("streaming minhash near-dup (keyed bucket state) == batch LSH pairs") {
     val q = EventStreams.startNearDupToMemory(spark, dir, "t_neardup")
     q.awaitTermination()
