@@ -482,11 +482,33 @@ object Subsetter {
     * reaches its target count exactly whenever enough source rows
     * exist — hash sampling alone lands near the target only in
     * expectation. */
+  /** Second-run semantics of the reference — rdbms-subsetter pointed at
+    * a NON-EMPTY destination (its insert-dedup path, §2a row 9, in its
+    * real habitat): rows already in dest are kept, count toward
+    * targets, and satisfy closure demands; the result is the DELTA —
+    * per-table NEW rows such that dest ∪ delta is referentially closed
+    * and at-target. Set-at-a-time shape: dest keys seed the closure
+    * (zero fresh sampling up front — the completeness top-up fills
+    * exactly each table's shortfall), and materialization anti-joins
+    * dest keys back out. `dest` rows need only carry the PK columns. */
+  def subsetDelta(
+      tables: Map[String, DataFrame],
+      graph: FkGraph,
+      cfg: Config,
+      dest: Map[String, DataFrame],
+      rowCounts: Map[String, Long] = Map.empty): Map[String, DataFrame] = {
+    val destKeys = dest.map { case (t, df) =>
+      t -> df.select(graph.pks(t).map(col): _*).distinct()
+    }
+    subset(tables, graph, cfg, rowCounts, existing = destKeys)
+  }
+
   def subset(
       tables: Map[String, DataFrame],
       graph: FkGraph,
       cfg: Config,
-      rowCounts: Map[String, Long] = Map.empty): Map[String, DataFrame] = {
+      rowCounts: Map[String, Long] = Map.empty,
+      existing: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
 
     // dev profiling: GRAFT_SUBSET_TIMING=1 prints per-phase wall times
     val timing = sys.env.get("GRAFT_SUBSET_TIMING").contains("1")
@@ -517,7 +539,19 @@ object Subsetter {
       val pkCols = graph.pks(t)
       val forced = forcedPredicate(cfg, t, pkCols)
       val sampled =
-        if (tgt >= n) df
+        if (existing.nonEmpty) {
+          // delta mode: dest rows ARE the seed; the top-up loop fills
+          // each table's shortfall exactly (same law either way), so a
+          // fresh up-front sample would only double-pull
+          val kept = existing.get(t) match {
+            case Some(k) => df.join(k, pkCols, "left_semi")
+            case None    => df.filter(lit(false))
+          }
+          forced match {
+            case Some(pred) => kept.union(df.filter(pred))
+            case None       => kept
+          }
+        } else if (tgt >= n) df
         else {
           // Bias the binomial sample ~3σ UNDER target: an undershoot is
           // exactly what the top-up (step 6) repairs — to an exact
@@ -701,9 +735,13 @@ object Subsetter {
       phase(s"topup-$round")
     }
 
-    // 7. materialize rows
+    // 7. materialize rows (delta mode: only rows NOT already in dest)
     keys.collect { case (t, k) if tables.contains(t) =>
-      t -> tables(t).join(k, graph.pks(t), "left_semi")
+      val rows = tables(t).join(k, graph.pks(t), "left_semi")
+      t -> (existing.get(t) match {
+        case Some(e) => rows.join(e, graph.pks(t), "left_anti")
+        case None    => rows
+      })
     }
   }
 

@@ -130,6 +130,35 @@ class SubsetterSpec extends SparkSpecBase {
     assert(out("leaf").count() >= 1 && out("mid").count() >= 1 && out("grand").count() >= 1)
   }
 
+  test("subsetDelta: second run into a non-empty dest inserts only the referentially-closed gap") {
+    val (tables, graph) = tinyGraph
+    val dest = Subsetter.subset(tables, graph, Subsetter.Config(fraction = 0.4))
+      .map { case (t, df) => t -> df.localCheckpoint() } // freeze the first run
+    val delta = Subsetter.subsetDelta(tables, graph,
+      Subsetter.Config(fraction = 1.0), dest)
+    for (t <- tables.keys) {
+      // disjoint: nothing re-inserted
+      assert(delta(t).join(dest(t), graph.pks(t), "left_semi").count() == 0L,
+        s"$t delta overlaps dest")
+    }
+    val merged = tables.keys.map(t => t -> dest(t).union(delta(t))).toMap
+    val orphans = Subsetter.validateRI(merged, graph)
+      .select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L), "dest ∪ delta must be referentially closed")
+    // fraction 1.0: the union reaches the full source on every table
+    for (t <- tables.keys)
+      assert(merged(t).count() == tables(t).count(), s"$t not grown to target")
+  }
+
+  test("subsetDelta: already-at-target dest yields an empty delta") {
+    val (tables, graph) = tinyGraph
+    val dest = tables // dest == full source
+    val delta = Subsetter.subsetDelta(tables, graph,
+      Subsetter.Config(fraction = 1.0), dest)
+    for (t <- tables.keys)
+      assert(delta(t).count() == 0L, s"$t delta should be empty")
+  }
+
   test("validateRI: detects orphans on broken data") {
     val child = Seq((1L, 99L)).toDF("cid", "pid") // 99 has no parent
     val parent = Seq((20L, "p")).toDF("pid", "pname")
