@@ -468,6 +468,36 @@ object CoreQueries {
     }.reduce(_ union _).orderBy("table_name")
   }
 
+  // --- subset_delta: incremental refresh into a non-empty dest --------
+  // The reference's second-run semantics end to end at query scale:
+  // subset at f=0.05, refresh to f=0.1, and emit the per-table audit —
+  // dest/delta/overlap row counts plus the orphan count of dest UNION
+  // delta. SELF-VALIDATING output: overlap_rows and orphans must read 0
+  // on every row (asserted in SubsetterSpec; rows-only here — the
+  // pipeline is not SQL-expressible).
+  def subsetDeltaAudit(s: SparkSession, dir: String): DataFrame = {
+    val counts = Catalog.tableNames.map(t =>
+      t -> graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")).toMap
+    val tables = Catalog.load(s, dir)
+    val dest = Subsetter.subset(tables, FkGraph.default,
+      Subsetter.Config(fraction = 0.05), rowCounts = counts)
+      .map { case (t, df) => t -> df.localCheckpoint(false) }
+    val delta = Subsetter.subsetDelta(tables, FkGraph.default,
+      Subsetter.Config(fraction = 0.1), dest, rowCounts = counts)
+    val merged = dest.map { case (t, df) => t -> df.union(delta(t)) }
+    val orphanCount = Subsetter.validateRI(merged, FkGraph.default)
+      .agg(sum(col("orphans")).as("orphans"))
+    dest.toSeq.sortBy(_._1).map { case (tn, d) =>
+      d.agg(count(lit(1)).as("dest_rows"))
+        .crossJoin(delta(tn).agg(count(lit(1)).as("delta_rows")))
+        .crossJoin(delta(tn).join(d, FkGraph.default.pks(tn), "left_semi")
+          .agg(count(lit(1)).as("overlap_rows")))
+        .crossJoin(orphanCount)
+        .select(lit(tn).as("table_name"), col("dest_rows"),
+          col("delta_rows"), col("overlap_rows"), col("orphans"))
+    }.reduce(_ union _).orderBy("table_name")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "count_exact" -> (countExact _),
     "target_sizes" -> (targetSizes _),
@@ -487,7 +517,8 @@ object CoreQueries {
     "multi_schema_union" -> (multiSchemaUnion _),
     "subset_orphans" -> (subsetOrphans _),
     "subset_counts" -> (subsetCounts _),
-    "subset_star" -> (subsetStar _))
+    "subset_star" -> (subsetStar _),
+    "subset_delta" -> (subsetDeltaAudit _))
 
   def oracle: Map[String, String] = Map(
     "count_exact" -> countExactSql,

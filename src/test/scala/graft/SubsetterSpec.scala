@@ -159,6 +159,16 @@ class SubsetterSpec extends SparkSpecBase {
       assert(delta(t).count() == 0L, s"$t delta should be empty")
   }
 
+  test("subset_delta audit query: zero overlap, zero orphans, real growth on the fixture") {
+    val rows = graft.queries.CoreQueries
+      .subsetDeltaAudit(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("overlap_rows") == 0L), "delta must not re-insert")
+    assert(rows.forall(_.getAs[Long]("orphans") == 0L), "dest ∪ delta must stay closed")
+    assert(rows.exists(_.getAs[Long]("delta_rows") > 0L), "f 0.05 → 0.1 must grow")
+  }
+
   test("validateRI: detects orphans on broken data") {
     val child = Seq((1L, 99L)).toDF("cid", "pid") // 99 has no parent
     val parent = Seq((20L, "p")).toDF("pid", "pname")
