@@ -496,11 +496,13 @@ object Subsetter {
       graph: FkGraph,
       cfg: Config,
       dest: Map[String, DataFrame],
-      rowCounts: Map[String, Long] = Map.empty): Map[String, DataFrame] = {
+      rowCounts: Map[String, Long] = Map.empty,
+      assumeDestClosed: Boolean = true): Map[String, DataFrame] = {
     val destKeys = dest.map { case (t, df) =>
       t -> df.select(graph.pks(t).map(col): _*).distinct()
     }
-    subset(tables, graph, cfg, rowCounts, existing = destKeys)
+    subset(tables, graph, cfg, rowCounts, existing = destKeys,
+      existingClosed = assumeDestClosed)
   }
 
   def subset(
@@ -508,7 +510,8 @@ object Subsetter {
       graph: FkGraph,
       cfg: Config,
       rowCounts: Map[String, Long] = Map.empty,
-      existing: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+      existing: Map[String, DataFrame] = Map.empty,
+      existingClosed: Boolean = false): Map[String, DataFrame] = {
 
     // dev profiling: GRAFT_SUBSET_TIMING=1 prints per-phase wall times
     val timing = sys.env.get("GRAFT_SUBSET_TIMING").contains("1")
@@ -569,8 +572,28 @@ object Subsetter {
     }.toMap
 
     phase("seed")
-    // 3. parent closure to fixpoint
-    var keys = parentClosure(tables, graph, seeds)
+    // 3. parent closure to fixpoint. When the caller vouches that
+    // `existing` is already referentially closed (subsetDelta's default
+    // — the reference's second run likewise assumes dest validity and
+    // just inserts), the initial closure is a no-op by construction:
+    // every wave-0 demand would anti-join to empty. Skip straight to
+    // the existing key sets; everything ADDED later (child pull,
+    // top-up) still re-closes incrementally.
+    var keys =
+      if (existing.nonEmpty && existingClosed &&
+          cfg.force.isEmpty && cfg.forceComposite.isEmpty) {
+        // (forced rows would re-open the closure question, so the fast
+        // path requires no forcing)
+        val k = seeds.map { case (t, rows) =>
+          t -> rows.select(graph.pks(t).map(col): _*).distinct()
+            .localCheckpoint(false)
+        }
+        // one materialization barrier: the child-pull futures consume
+        // these sets CONCURRENTLY and must not race the lazy checkpoint
+        if (k.nonEmpty)
+          k.values.map(_.select(lit(1).as("__m"))).reduce(_ union _).count()
+        k
+      } else parentClosure(tables, graph, seeds)
     phase("closure")
 
     // 4–5. bounded child pull, then re-close parents (children may

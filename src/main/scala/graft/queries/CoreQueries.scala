@@ -482,8 +482,13 @@ object CoreQueries {
     val dest = Subsetter.subset(tables, FkGraph.default,
       Subsetter.Config(fraction = 0.05), rowCounts = counts)
       .map { case (t, df) => t -> df.localCheckpoint(false) }
+    // checkpoint dest AND delta: the audit reads each ~27 times (three
+    // count branches per table + one validateRI subtree per FK edge),
+    // and un-checkpointed lineage would replay the semi/anti joins per
+    // branch — measured 41 s vs ~15 s for the two pipelines themselves
     val delta = Subsetter.subsetDelta(tables, FkGraph.default,
       Subsetter.Config(fraction = 0.1), dest, rowCounts = counts)
+      .map { case (t, df) => t -> df.localCheckpoint(false) }
     val merged = dest.map { case (t, df) => t -> df.union(delta(t)) }
     val orphanCount = Subsetter.validateRI(merged, FkGraph.default)
       .agg(sum(col("orphans")).as("orphans"))
