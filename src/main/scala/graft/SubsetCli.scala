@@ -103,16 +103,33 @@ object SubsetCli {
       .mkString("\n")
 
   /** Run the subset and write each table to `<dest>/<table>.parquet`.
-    * Returns per-table written row counts. */
+    * Returns per-table written row counts (totals, incl. pre-existing).
+    *
+    * Reference parity on a NON-EMPTY destination: rdbms-subsetter run
+    * twice keeps what dest already has and inserts only missing rows
+    * (its per-row existence check). Here that is detected by dest
+    * table files being present → `subsetDelta` computes the disjoint,
+    * referentially-closed gap and APPENDS it; an empty dest gets the
+    * full first-run subset. */
   def run(spark: SparkSession, args: CliArgs): Map[String, Long] = {
     val tables = Catalog.load(spark, args.src)
     val counts = Catalog.tableNames.map(t =>
       t -> Sources.footerRowCount(spark, s"${args.src}/$t.parquet")).toMap
     val graph = FkGraph.default.copy(
       fks = FkGraph.default.fks ++ args.extraFks)
-    val out = Subsetter.subset(tables, graph, args.cfg, rowCounts = counts)
+    val destExisting: Map[String, DataFrame] = Catalog.tableNames
+      .filter(t => new java.io.File(s"${args.dest}/$t.parquet").exists())
+      .map(t => t -> spark.read.parquet(s"${args.dest}/$t.parquet")).toMap
+    val out =
+      if (destExisting.isEmpty)
+        Subsetter.subset(tables, graph, args.cfg, rowCounts = counts)
+      else
+        Subsetter.subsetDelta(tables, graph, args.cfg, destExisting,
+          rowCounts = counts)
     out.toSeq.sortBy(_._1).map { case (t, df) =>
-      Sources.writeParquet(df, s"${args.dest}/$t.parquet")
+      if (destExisting.contains(t))
+        df.write.mode("append").parquet(s"${args.dest}/$t.parquet")
+      else Sources.writeParquet(df, s"${args.dest}/$t.parquet")
       t -> Sources.footerRowCount(spark, s"${args.dest}/$t.parquet")
     }.toMap
   }

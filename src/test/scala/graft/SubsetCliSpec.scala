@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Subsetter
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
@@ -54,6 +55,31 @@ class SubsetCliSpec extends SparkSpecBase {
     val rendered = SubsetCli.renderPlan(rows)
     assert(rendered.contains("region") && rendered.contains("-> "))
     assert(rendered.linesIterator.size == rows.size)
+  }
+
+  test("second run into a non-empty dest appends only the gap; RI holds on the total") {
+    val dest = Files.createTempDirectory("graft-subset-redest").toString
+    val src = "/root/testdata/sf0.001"
+    val first = SubsetCli.run(spark, SubsetCli.parse(Seq(src, dest, "0.05")))
+    val second = SubsetCli.run(spark, SubsetCli.parse(Seq(src, dest, "0.1")))
+    // totals grew to (at least) the f=0.1 targets and never shrank
+    for ((t, n1) <- first) assert(second(t) >= n1, s"$t shrank")
+    for (t <- Catalog.tableNames) {
+      val srcN = graft.sources.Sources.footerRowCount(spark, s"$src/$t.parquet")
+      assert(second(t) >= Subsetter.targetSize(srcN, 0.1), s"$t below target")
+    }
+    // nothing re-inserted: no full row appears twice after the append
+    // (PK-distinctness would be wrong here — lineitem's declared key,
+    // l_orderkey, is non-unique by design: key-closed subsetting keeps
+    // every line of a kept order)
+    for (t <- Catalog.tableNames) {
+      val df = spark.read.parquet(s"$dest/$t.parquet")
+      assert(df.count() == df.distinct().count(),
+        s"$t has duplicate rows after the second run")
+    }
+    val orphans = SubsetCli.validateDest(spark, dest, Catalog.tableNames.toSet)
+      .select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L))
   }
 
   test("subset sf0.001 -> destination parquet: RI holds on the written copy") {
