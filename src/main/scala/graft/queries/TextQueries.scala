@@ -403,7 +403,47 @@ object TextQueries {
       |    AS chars_per_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- text_decontaminate: benchmark-overlap contamination check ------
+  // The training-data decontamination step: flag corpus documents that
+  // share distinct word-trigrams with an evaluation set (here the
+  // deterministic doc_id % 50 == 0 slice stands in for a benchmark
+  // suite). Scale shape: the eval shingle-hash set is SMALL by nature
+  // (benchmarks are), so it broadcasts and the corpus side filters
+  // SCAN-LOCALLY via a broadcast semi join — no corpus shuffle at all;
+  // only the (rare) hits shuffle into the per-doc count, map-side
+  // combined. Hashes stand in for shingle strings exactly as in
+  // jaccardPairsNgram (collision odds ~2^-63, surfaced by the oracle).
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val sh = docs(s, dir).select(col("doc_id"),
+      explode(call_function("graft_shingle_hashes",
+        split(col("text"), " "), lit(3))).as("tok"))
+    val ev = sh.filter(col("doc_id") % 50 === 0).select("tok").distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(ev), Seq("tok"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingle hashes are per-doc distinct
+      .filter(col("n_shared") >= 2)
+      .withColumn("contaminated", col("n_shared") >= 8)
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
+      |  FROM d WHERE len(l) >= 3)),
+      |ev AS (SELECT DISTINCT tok FROM tok WHERE doc_id % 50 = 0)
+      |SELECT t.doc_id, count(*) AS n_shared, count(*) >= 8 AS contaminated
+      |FROM tok t JOIN ev ON t.tok = ev.tok
+      |WHERE t.doc_id % 50 <> 0
+      |GROUP BY t.doc_id
+      |HAVING count(*) >= 2
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate" -> (decontaminate _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_repetition" -> (repetition _),
     "pipeline_corpus_clean" -> (corpusClean _),
@@ -417,6 +457,7 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "text_decontaminate" -> decontaminateSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_repetition" -> repetitionSql,
     "pipeline_corpus_clean" -> corpusCleanSql,

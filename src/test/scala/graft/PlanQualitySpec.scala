@@ -108,6 +108,23 @@ class PlanQualitySpec extends SparkSpecBase {
       "shingle hashes must stay as per-doc arrays, never exploded")
   }
 
+  test("text_decontaminate: eval set broadcasts; corpus filters scan-locally, only hits shuffle") {
+    val df = graft.queries.TextQueries.decontaminate(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
+    // two shuffles are legitimate: the EVAL set's distinct (tok — tiny
+    // by nature) and the per-doc count of the (rare) hits (doc_id).
+    // The corpus shingle relation itself must never shuffle: every
+    // exchange key is one of those two.
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size <= 2, s"got ${exchanges.size} shuffles:\n${exchanges.mkString("\n")}")
+    assert(exchanges.exists(_.contains("doc_id")), "hits agg shuffle missing")
+    assert(exchanges.forall(l => l.contains("doc_id") || l.contains("tok")),
+      s"unexpected corpus shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("editdist near-dup candidates come from the blocking-key hash join, never BNLJ/cartesian") {
     val df = SimilarityQueries.dedupEditdistPairs(spark, dir)
     df.collect()
