@@ -442,7 +442,54 @@ object TextQueries {
       |HAVING count(*) >= 2
       |ORDER BY doc_id""".stripMargin
 
+  // --- text_pii_scrub: PII redaction over the corpus ------------------
+  // The corpus-cleanup PII pass (emails + phone numbers → placeholder
+  // tokens) as a pure scan-local projection — zero shuffle, zero joins;
+  // at 100 TB this runs at scan bandwidth inside whole-stage codegen.
+  // The synthetic corpus carries no real PII, so the query PLANTS a
+  // deterministic email+phone on every 20th doc (mirrored in the
+  // oracle); the md5 of the scrubbed text asserts byte-identical
+  // redaction across engines, not just matching counts. Patterns stay
+  // in the dialect intersection of Java regex and RE2 (character
+  // classes + bounded quantifiers; no lookaround).
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+    val phonePat = "[+][0-9]-[0-9]{3}-[0-9]{4}"
+    val planted = concat(col("text"),
+      when(col("doc_id") % 20 === 0,
+        concat(lit(" reach me at user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-0100 thanks"))).otherwise(lit("")))
+    docs(s, dir).select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")).as("scrub_md5"))
+      .filter(col("n_emails") + col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 20 = 0
+      |      THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100 thanks'
+      |      ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '[+][0-9]-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+      |      '[+][0-9]-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+      |FROM p
+      |WHERE len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+'))
+      |    + len(regexp_extract_all(t, '[+][0-9]-[0-9]{3}-[0-9]{4}')) > 0
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> (piiScrub _),
     "text_decontaminate" -> (decontaminate _),
     "text_bpe_tokens" -> (bpeTokens _),
     "text_repetition" -> (repetition _),
@@ -457,6 +504,7 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "text_pii_scrub" -> piiScrubSql,
     "text_decontaminate" -> decontaminateSql,
     "text_bpe_tokens" -> bpeTokensSql,
     "text_repetition" -> repetitionSql,
