@@ -278,11 +278,12 @@ object TextQueries {
   private val CleanMinUniq = 0.35
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")
 
-  def corpusClean(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val planted = d.filter(col("doc_id") % 10 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(1000000L))
-    val feat = d.union(planted).select(
+  /** The cleanup gates (token floor, uniq ratio, langid agreement) as a
+    * pure scan-local projection chain — shared by the batch pipeline
+    * and its streaming twin (projections run unchanged under
+    * readStream). Emits the gated rows with their feature columns. */
+  private[graft] def cleanKept(d: DataFrame): DataFrame = {
+    val feat = d.select(
       col("doc_id"), col("lang"), col("text"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.uniqRatio(col("text")).as("uniq_ratio"))
@@ -292,9 +293,16 @@ object TextQueries {
     val pred = LangOrder.foldRight(lit("und")) { (l, els) =>
       when(col(s"s_$l") === m, lit(l)).otherwise(els)
     }
-    val kept = scored.withColumn("pred", pred)
+    scored.withColumn("pred", pred)
       .filter(col("n_tokens") >= CleanMinTokens &&
         col("uniq_ratio") >= CleanMinUniq && col("pred") === col("lang"))
+  }
+
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val kept = cleanKept(d.union(planted))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("text")).orderBy(col("doc_id"))
     kept.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -356,6 +356,35 @@ object EventStreams {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Streaming corpus cleanup — the north-star pipeline ON INGEST: the
+    * exact gate chain of the batch `pipeline_corpus_clean`
+    * (`TextQueries.cleanKept`: token floor, uniq ratio, langid
+    * agreement — scan-local projections, unchanged under readStream)
+    * followed by streaming exact dedup. The batch pipeline keeps the
+    * MIN-doc_id row per text; a stream necessarily keeps the FIRST
+    * ARRIVAL — same kept-TEXT set, keeper id may differ — so the
+    * parity spec compares text sets. At scale the gates drop most rows
+    * before the only stateful operator, which is exactly where you
+    * want the knife at 100 TB/day ingest. */
+  def streamCorpusClean(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.TextQueries.cleanKept(
+      spark.readStream
+        .schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir))
+      .dropDuplicates("text")
+      .select("doc_id", "lang", "text", "n_tokens", "uniq_ratio")
+
+  def startCorpusCleanToMemory(spark: SparkSession, dir: String,
+                               name: String): StreamingQuery =
+    streamCorpusClean(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def startNearDupToMemory(spark: SparkSession, dir: String,
                            name: String): StreamingQuery =
     streamNearDupPairs(spark, dir)

@@ -90,6 +90,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == batchDistinct)
   }
 
+  test("streaming corpus cleanup (gates + dedup on ingest) == batch gate text set") {
+    val q = EventStreams.startCorpusCleanToMemory(spark, dir, "t_clean")
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT text FROM t_clean")
+      .collect().map(_.getString(0))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSet.size == streamed.length, "dup texts survived the stream")
+    // batch recomputation of the same gates over the same file: the
+    // kept TEXT set must agree (keeper doc_id legitimately differs —
+    // min-id in batch, first-arrival in the stream)
+    val batchKept = graft.queries.TextQueries
+      .cleanKept(graft.Catalog.table(spark, dir, "documents"))
+      .select("text").distinct().collect().map(_.getString(0)).toSet
+    assert(streamed.toSet == batchKept)
+  }
+
   test("streaming minhash near-dup (keyed bucket state) == batch LSH pairs") {
     val q = EventStreams.startNearDupToMemory(spark, dir, "t_neardup")
     q.awaitTermination()
