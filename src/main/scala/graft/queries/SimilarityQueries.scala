@@ -294,6 +294,65 @@ object SimilarityQueries {
       |SELECT id AS doc_id, min(lab) AS component
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // --- dedup_keeper_quality: near-dup groups → quality keeper ---------
+  // The step AFTER grouping that a real cleanup pipeline runs: inside
+  // each near-dup component, keep the best copy — here "longest text
+  // wins, ties to the smallest doc_id" (the common keep-the-longest
+  // production rule; n_chars is a fixture column so both engines rank
+  // identically). Composition: trigram-Jaccard pairs (the oracle tier)
+  // → pointer-jumping components → ids-only slim window for the argmax.
+  // Only multi-doc groups emit (singletons need no keeper decision).
+  def dedupKeeperQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = SimilarityFunctions.jaccardPairsNgram(d, 3, 0.4)
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val nodes = d.select(col("doc_id").as("id"))
+    val comp = graft.operators.ConnectedComponents.components(nodes, pairs)
+      .join(d.select(col("doc_id").as("id"), col("n_chars")), "id")
+    val byComp = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    val pick = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("id"))
+    comp
+      .withColumn("n_docs", count(lit(1)).over(byComp))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("n_docs") >= 2 && col("rn") === 1)
+      .select(col("component"), col("id").as("keeper"), col("n_docs"))
+      .orderBy("component")
+  }
+
+  val dedupKeeperQualitySql: String =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, string_split(text, ' ') AS l, n_chars FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
+      |  FROM d WHERE len(l) >= 3)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+      |          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ida, idb FROM inter
+      |  JOIN sizes sa ON ida = sa.doc_id
+      |  JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.4),
+      |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+      |          UNION ALL SELECT idb, ida FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM d
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT r.id, min(r.lab) AS component FROM reach r GROUP BY r.id),
+      |ranked AS (
+      |  SELECT c.component, c.id,
+      |    count(*) OVER (PARTITION BY c.component) AS n_docs,
+      |    row_number() OVER (PARTITION BY c.component
+      |                       ORDER BY doc.n_chars DESC, c.id) AS rn
+      |  FROM comp c JOIN documents doc ON c.id = doc.doc_id)
+      |SELECT component, id AS keeper, n_docs
+      |FROM ranked WHERE n_docs >= 2 AND rn = 1
+      |ORDER BY component""".stripMargin
+
   /** Same top-k as sim_topk_embeddings but through the native Catalyst
     * `graft_cosine` expression (fused single-loop codegen — see
     * graft.plans.CosineSimilarity). Bitwise-identical accumulation
@@ -450,6 +509,7 @@ object SimilarityQueries {
     "dedup_shingle_lsh" -> (dedupShingleLsh _),
     "dedup_editdist_pairs" -> (dedupEditdistPairs _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_keeper_quality" -> (dedupKeeperQuality _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "sim_topk_embeddings" -> (simTopkEmbeddings _),
     "sim_topk_native" -> (simTopkNative _),
@@ -470,6 +530,7 @@ object SimilarityQueries {
     "dedup_shingle_lsh" -> dedupNgramJaccardSql, // same relation, scale-shaped path
     "dedup_editdist_pairs" -> dedupEditdistPairsSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_keeper_quality" -> dedupKeeperQualitySql,
     "dedup_cosine_pairs" -> dedupCosinePairsSql,
     "sim_topk_embeddings" -> simTopkEmbeddingsSql,
     "sim_topk_native" -> simTopkEmbeddingsSql) // same oracle: bitwise-equal path
