@@ -20,11 +20,29 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_PASSES=1 restores single-pass timing.
   */
 object Bench {
+  /** Aggregate steal jiffies from /proc/stat (field 8 of the `cpu`
+    * line). The bench's own weather report: this VM suffers
+    * intermittent multi-second CPU-steal stalls, and a round's official
+    * number has been ~2× contaminated before (BENCH_r05 167 s vs 93.7 s
+    * quiet — see BASELINE.md). Recording the steal delta across the run
+    * lets a reader reject a contaminated artifact without re-running:
+    * at 100 jiffies/s/cpu, `steal_delta` ≫ a few hundred means host
+    * neighbors ate a material slice of the measured wall time. */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+"))
+        .filter(_.length > 8).map(_(8).toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    val steal0 = stealJiffies()
 
     // A throwing query must NOT bench as ~0 s and silently pass: record
     // per-query success and surface it in the JSON line.
@@ -53,14 +71,25 @@ object Bench {
 
     val passes =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    // steal jiffies at each pass boundary → per-pass deltas in the JSON
+    val passSteal = scala.collection.mutable.ArrayBuffer[Long]()
+    var stealMark = steal0
+    def markSteal(): Unit = {
+      val s = stealJiffies()
+      passSteal += (if (s >= 0 && stealMark >= 0) s - stealMark else -1L)
+      stealMark = s
+    }
     val cold = selected.map { case (name, fn) => name -> once(fn) }
+    markSteal()
     val results =
       if (warmup) {
         // per-query min across timed passes (pass-level interleaving —
         // run the whole suite, then again — so a sustained host stall
         // can't cover both samples of one query)
         val timed = (1 to passes).map { _ =>
-          selected.map { case (name, fn) => name -> once(fn) }
+          val r = selected.map { case (name, fn) => name -> once(fn) }
+          markSteal()
+          r
         }
         selected.map { case (name, _) =>
           val samples = timed.map(_(name))
@@ -71,6 +100,9 @@ object Bench {
     val coldTotal = if (cold.nonEmpty) cold.values.map(_._1).sum else 0.0
     val allOk = results.values.forall(_._2) && cold.values.forall(_._2)
     val failed = (results.filterNot(_._2._2).keySet ++ cold.filterNot(_._2._2).keySet).toSeq.sorted
+    val stealEnd = stealJiffies()
+    val stealDelta = if (steal0 >= 0 && stealEnd >= 0) stealEnd - steal0 else -1L
+    val stealPassesJson = passSteal.mkString("[", ",", "]")
 
     def r2(v: Double) = math.round(v * 100) / 100.0
 
@@ -93,6 +125,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cold_queries":$cs,"ok":$oks,"all_ok":$allOk,""" +
+        s""""steal_delta":$stealDelta,"steal_passes":$stealPassesJson,""" +
         s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
@@ -103,6 +136,7 @@ object Bench {
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""n_queries":${results.size},"all_ok":$allOk,""" +
         (if (failed.nonEmpty) s""""failed":${failed.mkString("[\"", "\",\"", "\"]")},""" else "") +
+        s""""steal_delta":$stealDelta,"steal_passes":$stealPassesJson,""" +
         s""""cold_value":${r2(coldTotal)},"warmup":$warmup,"sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
   }

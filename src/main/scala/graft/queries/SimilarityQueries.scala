@@ -299,12 +299,17 @@ object SimilarityQueries {
   // each near-dup component, keep the best copy — here "longest text
   // wins, ties to the smallest doc_id" (the common keep-the-longest
   // production rule; n_chars is a fixture column so both engines rank
-  // identically). Composition: trigram-Jaccard pairs (the oracle tier)
-  // → pointer-jumping components → ids-only slim window for the argmax.
-  // Only multi-doc groups emit (singletons need no keeper decision).
+  // identically). Composition: trigram-Jaccard pairs through the BANDED
+  // scale tier (MinHash-LSH candidates + exact per-pair verify — the
+  // 100 TB path; it emits bit-identical pairs to the inverted-index
+  // tier on this corpus, whose qualifying pairs all sit at j ≥ 0.8
+  // where the 32×4 banding misses with p < 5e-8 — property pinned in
+  // SimilaritySpec) → pointer-jumping components → ids-only slim window
+  // for the argmax. Only multi-doc groups emit (singletons need no
+  // keeper decision).
   def dedupKeeperQuality(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val pairs = SimilarityFunctions.jaccardPairsNgram(d, 3, 0.4)
+    val pairs = SimilarityFunctions.jaccardPairsNgramLsh(d, 3, 0.4)
       .select(col("ida").as("src"), col("idb").as("dst"))
     val nodes = d.select(col("doc_id").as("id"))
     val comp = graft.operators.ConnectedComponents.components(nodes, pairs)
@@ -466,6 +471,108 @@ object SimilarityQueries {
       .orderBy("keep_id")
   }
 
+  // --- dedup_exact_normalized: canonicalize THEN digest ---------------
+  // The production default before exact dedup (CCNet/RefinedWeb-style):
+  // lowercase, strip punctuation, collapse runs of whitespace, trim —
+  // then group by a digest of the CANONICAL text. Raw exact dedup
+  // misses trivially-reformatted copies (case flips, double spaces,
+  // trailing "!!"); normalization merges them. The fixture corpus is
+  // already clean lowercase, so the query PLANTS messy variants (the
+  // text_pii_scrub pattern): every 9th doc re-enters under a shifted id
+  // as an UPPERCASED, double-spaced, punctuation-suffixed rendering —
+  // a raw-text groupBy would merge none of them (spec-asserted).
+  // Scale shape: normalization is a scan-local codegen'd projection;
+  // the one shuffle carries the 16-byte md5 digest, not the text.
+  def dedupExactNormalized(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val messy = d.filter(col("doc_id") % 9 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(3000000L))
+      .withColumn("text",
+        concat(regexp_replace(upper(col("text")), " ", "  "), lit(" !!")))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    d.union(messy)
+      .select(col("doc_id"), md5(norm).as("norm_md5"))
+      .groupBy("norm_md5")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .filter(col("dup_cnt") > 1)
+      .select("norm_md5", "keep_id", "dup_cnt")
+      .orderBy("keep_id")
+  }
+
+  val dedupExactNormalizedSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, replace(upper(text), ' ', '  ') || ' !!'
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |n AS (SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |           ' +', ' ', 'g'))) AS norm_md5
+      |  FROM d)
+      |SELECT norm_md5, min(doc_id) AS keep_id, count(*) AS dup_cnt
+      |FROM n GROUP BY norm_md5 HAVING count(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
+  // --- dedup_paragraphs: sub-document (paragraph) dedup ---------------
+  // Boilerplate paragraphs repeat ACROSS documents whose full texts are
+  // unique, so document-granularity dedup never sees them; production
+  // corpus cleanup dedups at the paragraph level. The fixture corpus is
+  // single-line, so the query first SYNTHESIZES paragraphed text
+  // deterministically (mirrored in the oracle): the token stream breaks
+  // into 8-token paragraphs joined by blank lines, and every 5th / 7th
+  // doc gains a fixed boilerplate footer paragraph (the planted
+  // cross-document dup; short tail paragraphs also collide naturally).
+  // The OPERATOR is everything after ptext: split on blank lines,
+  // posexplode, digest each paragraph, group by digest — per group the
+  // occurrence/document counts and the earliest (doc, para) keeper,
+  // encoded as one exact BIGINT (doc_id*1e6 + para_no) so the argmin is
+  // a portable MIN, one aggregation pass, one 16-byte-key shuffle.
+  def dedupParagraphs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val paras = transform(sequence(lit(1), size(toks), lit(8)),
+      i => concat_ws(" ", slice(toks, i, lit(8))))
+    val ptext = concat(
+      concat_ws("\n\n", paras),
+      when(col("doc_id") % 5 === 0,
+        lit("\n\nsubscribe to our newsletter for daily updates")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("\n\nall rights reserved contact us for permissions")).otherwise(lit("")))
+    docs(s, dir)
+      .select(col("doc_id"), posexplode(split(ptext, "\n\n")).as(Seq("para_no", "para")))
+      .select(col("doc_id"), col("para_no"), md5(col("para")).as("para_md5"))
+      .groupBy("para_md5")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * lit(1000000L) + col("para_no")).as("keep"))
+      .filter(col("n_occ") > 1)
+      .select(col("para_md5"), col("n_occ"), col("n_docs"),
+        expr("keep div 1000000").as("keep_doc"),
+        pmod(col("keep"), lit(1000000L)).cast("long").as("keep_para"))
+      .orderBy("para_md5")
+  }
+
+  val dedupParagraphsSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |p AS (SELECT doc_id,
+      |  array_to_string(list_transform(generate_series(1, len(l), 8),
+      |    i -> array_to_string(list_slice(l, i, i + 7), ' ')), chr(10) || chr(10))
+      |  || CASE WHEN doc_id % 5 = 0
+      |       THEN chr(10) || chr(10) || 'subscribe to our newsletter for daily updates'
+      |       ELSE '' END
+      |  || CASE WHEN doc_id % 7 = 0
+      |       THEN chr(10) || chr(10) || 'all rights reserved contact us for permissions'
+      |       ELSE '' END AS ptext
+      |  FROM d),
+      |e AS (SELECT doc_id, string_split(ptext, chr(10) || chr(10)) AS parr FROM p),
+      |x AS (SELECT doc_id, i - 1 AS para_no, md5(parr[i]) AS para_md5
+      |      FROM (SELECT doc_id, parr, unnest(generate_series(1, len(parr))) AS i FROM e))
+      |SELECT para_md5, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+      |  CAST(min(doc_id * 1000000 + para_no) // 1000000 AS BIGINT) AS keep_doc,
+      |  CAST(min(doc_id * 1000000 + para_no) % 1000000 AS BIGINT) AS keep_para
+      |FROM x GROUP BY para_md5 HAVING count(*) > 1
+      |ORDER BY para_md5""".stripMargin
+
   /** HLL / exact distinct side-by-side (approx_count_distinct is
     * engine-specific → rows-only). */
   def hllDistinctTokens(s: SparkSession, dir: String): DataFrame =
@@ -503,6 +610,8 @@ object SimilarityQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "dedup_exact_docs" -> (dedupExactDocs _),
+    "dedup_exact_normalized" -> (dedupExactNormalized _),
+    "dedup_paragraphs" -> (dedupParagraphs _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_jaccard_docs" -> (dedupJaccardDocs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -524,6 +633,8 @@ object SimilarityQueries {
 
   def oracle: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,
+    "dedup_exact_normalized" -> dedupExactNormalizedSql,
+    "dedup_paragraphs" -> dedupParagraphsSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,
     "dedup_jaccard_docs" -> dedupJaccardDocsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -108,6 +108,21 @@ class PlanQualitySpec extends SparkSpecBase {
       "shingle hashes must stay as per-doc arrays, never exploded")
   }
 
+  test("dedup_keeper_quality rides the banded tier: no inverted-index self-join") {
+    val df = SimilarityQueries.dedupKeeperQuality(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // same scale property as dedup_shingle_lsh: shingle hashes stay as
+    // per-doc arrays (pair-local array_intersect verify); the only
+    // explode is the constant-width band keys, so no inverted-index
+    // relation exists for the keeper pipeline to self-join
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Generate") && l.contains("graft_shingle_hashes")),
+      "keeper must not explode shingles into an inverted index")
+  }
+
   test("text_decontaminate: eval set broadcasts; corpus filters scan-locally, only hits shuffle") {
     val df = graft.queries.TextQueries.decontaminate(spark, dir)
     df.collect()

@@ -84,6 +84,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("fixture property the LSH-tier oracle reuse relies on: qualifying pairs sit at j >= 0.8") {
+    // dedup_shingle_lsh and dedup_keeper_quality reuse the EXACT tier's
+    // DuckDB oracle because every pair the 0.4/0.5 thresholds qualify
+    // actually sits at j >= 0.8, where 32 bands of r=4 miss with
+    // p < 5e-8. A pair in [0.4, 0.8) would make that mapping
+    // probabilistic (band-miss ~13% at j=0.5) — if corpus drift ever
+    // introduces one, THIS test fails deterministically instead of the
+    // driver's oracle failing intermittently. (Measured: min qualifying
+    // j is 0.889 at sf0.001, 0.90 at sf0.01, 0.80 at sf0.1.)
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Catalog.table(spark, dir, "documents")
+    val minJ = jaccardPairsNgram(docs, 3, 0.4)
+      .agg(min($"jaccard")).as[Double].head()
+    assert(minJ >= 0.8,
+      s"qualifying pair at j=$minJ < 0.8: the shared-oracle mapping for " +
+        "the banded tier is no longer deterministic — re-derive thresholds")
+  }
+
   test("jaccardPairsNgram: near-dup scores high, same-topic reorder scores zero") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
@@ -246,6 +264,41 @@ class SimilaritySpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect()
     assert(byDigest.forall(_._3 == 1L), "xxhash64 collision sentinel tripped")
     assert(byDigest.map(r => (r._1, r._2)).toSet == byText)
+  }
+
+  test("normalized dedup merges messy variants that raw exact dedup misses") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.Catalog.table(spark, dir, "documents")
+    // the same planted union the query builds: uppercased, double-spaced,
+    // punctuation-suffixed copies of every 9th doc under shifted ids
+    val messy = d.filter($"doc_id" % 9 === 0)
+      .withColumn("doc_id", $"doc_id" + 3000000L)
+      .withColumn("text", concat(regexp_replace(upper($"text"), " ", "  "), lit(" !!")))
+    val union = d.union(messy)
+    val rawGroups = union.groupBy("text").count().filter($"count" > 1).count()
+    assert(rawGroups == 0L, "raw exact dedup must NOT merge the messy variants")
+    val got = graft.queries.SimilarityQueries.dedupExactNormalized(spark, dir)
+      .select("keep_id", "dup_cnt").as[(Long, Long)].collect()
+    val expected = d.filter($"doc_id" % 9 === 0).count()
+    assert(got.length == expected, s"one group per planted variant: $expected")
+    // keeper is always the original (min id); every group is {orig, messy}
+    assert(got.forall { case (keep, cnt) => keep < 3000000L && cnt == 2L })
+  }
+
+  test("paragraph dedup finds the planted boilerplate footer across documents") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.Catalog.table(spark, dir, "documents")
+    val got = graft.queries.SimilarityQueries.dedupParagraphs(spark, dir)
+      .select("para_md5", "n_docs", "keep_doc")
+      .as[(String, Long, Long)].collect()
+    val bpMd5 = spark.range(1)
+      .select(md5(lit("subscribe to our newsletter for daily updates")))
+      .as[String].head()
+    val n5 = d.filter($"doc_id" % 5 === 0).count()
+    val bp = got.find(_._1 == bpMd5)
+    assert(bp.isDefined, "planted boilerplate paragraph must form a dup group")
+    assert(bp.get._2 == n5, s"boilerplate must span all ${n5} planted docs")
+    assert(bp.get._3 == 0L, "keeper is the earliest doc (doc 0 is %5==0)")
   }
 
   test("IVF recall@10 vs brute force on the real corpus") {
