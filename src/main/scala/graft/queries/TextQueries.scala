@@ -496,7 +496,126 @@ object TextQueries {
       |    + len(regexp_extract_all(t, '[+][0-9]-[0-9]{3}-[0-9]{4}')) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --- text_domain_stats: per-domain doc counts + cap -----------------
+  // Web-corpus pipelines filter and dedup by URL host (per-domain
+  // document caps are a standard crawl-cleanup gate). The fixture's
+  // events.props JSON carries no url field, so the query PLANTS one
+  // deterministically (the text_pii_scrub pattern, mirrored in the
+  // oracle): each event gains a props JSON with a url whose host index
+  // is floor(sqrt(event_id % 169)) — 13 domains with a skewed (2k+1)
+  // size profile, so the cap genuinely splits them. The OPERATOR is
+  // everything after the plant: get_json_object pulls the url out of
+  // the JSON, a regexp extracts the host, and one map-side-combined
+  // groupBy emits per-domain counts, the capped kept-count, and the
+  // over-cap flag. Scale shape: JSON + regexp are scan-local codegen;
+  // the only shuffle carries one (host, partials) row per partition.
+  private val DomainCap = 500L
+
+  def domainStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.table(s, dir, "events")
+    val jprops = concat(lit("{\"url\":\"https://site-"),
+      floor(sqrt(pmod(col("event_id"), lit(169L)).cast("double"))).cast("long").cast("string"),
+      lit(".example.com/p/"), col("event_id").cast("string"), lit("\"}"))
+    ev.select(col("event_id"), col("user_id"), jprops.as("jprops"))
+      .withColumn("url", get_json_object(col("jprops"), "$.url"))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("kept", least(col("n_docs"), lit(DomainCap)))
+      .withColumn("over_cap", col("n_docs") > DomainCap)
+      .orderBy("domain")
+  }
+
+  val domainStatsSql: String =
+    s"""WITH p AS (
+       |  SELECT event_id, user_id,
+       |    '{"url":"https://site-' || CAST(CAST(floor(sqrt(event_id % 169)) AS BIGINT) AS VARCHAR)
+       |      || '.example.com/p/' || CAST(event_id AS VARCHAR) || '"}' AS jprops
+       |  FROM events),
+       |u AS (SELECT event_id, user_id,
+       |        json_extract_string(jprops, '$$.url') AS url FROM p),
+       |h AS (SELECT event_id, user_id,
+       |        regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u)
+       |SELECT domain, count(*) AS n_docs, count(DISTINCT user_id) AS n_users,
+       |  LEAST(count(*), $DomainCap) AS kept,
+       |  count(*) > $DomainCap AS over_cap
+       |FROM h GROUP BY domain ORDER BY domain""".stripMargin
+
+  // --- text_perplexity: n-gram LM quality scoring ---------------------
+  // The standard model-based corpus-quality filter: a word-bigram
+  // language model with add-one smoothing is trained on a corpus slice
+  // (every 10th doc), and every document is scored by its negative
+  // log-likelihood under that model. Training counts collapse to at
+  // most |vocab|² rows (the fixture vocabulary is ~31 words; real
+  // corpora bound this with count pruning), so they collect to the
+  // driver and re-enter the plan as LITERAL maps — the broadcast
+  // pattern of the IVF centroids — making scoring a pure scan-local
+  // projection: per-doc bigrams via a codegen'd HOF, two map lookups
+  // per bigram, zero joins, zero corpus shuffle (PlanQualitySpec).
+  // Determinism per SURVEY §7: each bigram's log-prob is quantized to
+  // an exact BIGINT (round(ln(p)·10⁶)) BEFORE summing, so the per-doc
+  // sum is order-independent and hash-matches DuckDB exactly; ln is the
+  // only transcendental (the text_bm25_topk precedent).
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = split(col("text"), " ")
+    val bigramsCol = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val train = d.filter(col("doc_id") % 10 === 0)
+    val c2 = train.select(explode(bigramsCol).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val c1 = c2.groupBy(_._1.takeWhile(_ != ' '))
+      .map { case (w, m) => w -> m.map(_._2).sum }
+    val vocabN = train.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w"))).head.getLong(0)
+    val bgMap = typedlit(c2.toMap)
+    val w1Map = typedlit(c1)
+    val nll = aggregate(bigramsCol, lit(0L), (acc, b) => {
+      val cbg = coalesce(element_at(bgMap, b), lit(0L))
+      val cw1 = coalesce(element_at(w1Map, substring_index(b, " ", 1)), lit(0L))
+      acc - round(log((cbg.cast("double") + lit(1.0)) /
+        (cw1.cast("double") + lit(vocabN.toDouble))) * lit(1000000.0), 0).cast("long")
+    })
+    d.select(col("doc_id"),
+        size(bigramsCol).cast("long").as("n_pairs"),
+        nll.as("nll_q6"))
+      .orderBy("doc_id")
+  }
+
+  val perplexitySql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tr AS (SELECT l FROM d WHERE doc_id % 10 = 0),
+      |v AS (SELECT count(DISTINCT w) AS nv FROM (SELECT unnest(l) AS w FROM tr)),
+      |tbg AS (SELECT l[i] || ' ' || l[i+1] AS b
+      |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+      |              FROM tr WHERE len(l) >= 2)),
+      |c2 AS (SELECT b, count(*) AS c FROM tbg GROUP BY 1),
+      |c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c
+      |       FROM c2 GROUP BY 1),
+      |pairs AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b, l[i] AS w1
+      |          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+      |                FROM d WHERE len(l) >= 2)),
+      |terms AS (SELECT p.doc_id,
+      |    CAST(round(ln((COALESCE(c2.c, 0) + 1.0) /
+      |                  (COALESCE(c1.c, 0) + v.nv)) * 1000000, 0) AS BIGINT) AS q
+      |  FROM pairs p
+      |  LEFT JOIN c2 ON p.b = c2.b
+      |  LEFT JOIN c1 ON p.w1 = c1.w1
+      |  CROSS JOIN v),
+      |agg AS (SELECT doc_id, count(*) AS n_pairs,
+      |          CAST(-sum(q) AS BIGINT) AS nll_q6 FROM terms GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(a.n_pairs, 0) AS n_pairs,
+      |  COALESCE(a.nll_q6, 0) AS nll_q6
+      |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_domain_stats" -> (domainStats _),
+    "text_perplexity" -> (perplexity _),
     "text_pii_scrub" -> (piiScrub _),
     "text_decontaminate" -> (decontaminate _),
     "text_bpe_tokens" -> (bpeTokens _),
@@ -512,6 +631,8 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "text_domain_stats" -> domainStatsSql,
+    "text_perplexity" -> perplexitySql,
     "text_pii_scrub" -> piiScrubSql,
     "text_decontaminate" -> decontaminateSql,
     "text_bpe_tokens" -> bpeTokensSql,

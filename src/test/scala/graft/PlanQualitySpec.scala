@@ -123,6 +123,18 @@ class PlanQualitySpec extends SparkSpecBase {
       "keeper must not explode shingles into an inverted index")
   }
 
+  test("text_perplexity: scoring is scan-local — literal count maps, zero corpus shuffle") {
+    val df = graft.queries.TextQueries.perplexity(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // training counts collected driver-side re-enter as literals, so the
+    // returned plan is scan → project → sort: the only exchange is the
+    // final ORDER BY's range partitioning, never a hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"perplexity scoring must not shuffle the corpus:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "scoring must be join-free (map literals)")
+  }
+
   test("text_decontaminate: eval set broadcasts; corpus filters scan-locally, only hits shuffle") {
     val df = graft.queries.TextQueries.decontaminate(spark, dir)
     df.collect()
