@@ -456,16 +456,140 @@ object CoreQueries {
   // --- §3b: the whole pipeline (non-oracle; rows-only check) ----------
   // Full subset at fraction 0.1 with forced rows and child pull; the
   // RI property is scalatest-verified, the oracle-expressible pieces
-  // are covered by the queries above.
+  // are covered by the queries above. The pipeline output is SubsetDump's
+  // materialization — the session runs the subsetter once and every
+  // audit query (this one, subset_orphans, subset_counts) reads the same
+  // dumped parquet instead of re-running the closure (round-5 cost
+  // finding: three audits each rebuilding the same subset).
   def subsetStar(s: SparkSession, dir: String): DataFrame = {
-    val counts = Catalog.tableNames.map(t =>
-      t -> graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")).toMap
-    val out = Subsetter.subset(Catalog.load(s, dir), FkGraph.default,
-      Subsetter.Config(fraction = 0.1, force = Map("customer" -> Seq(1L, 42L))),
-      rowCounts = counts)
-    out.toSeq.sortBy(_._1).map { case (tn, df) =>
-      df.agg(count(lit(1)).as("rows")).select(lit(tn).as("table_name"), col("rows"))
+    SubsetDump.ensure(s, dir)
+    Catalog.tableNames.sorted.map { tn =>
+      SubsetDump.table(s, dir, tn).agg(count(lit(1)).as("rows"))
+        .select(lit(tn).as("table_name"), col("rows"))
     }.reduce(_ union _).orderBy("table_name")
+  }
+
+  // --- subset_delta dumps: dest (f=0.05) + delta (refresh to f=0.1) ---
+  // The incremental-refresh twin of SubsetDump: ONE dest subset at
+  // f=0.05 is materialized per session, read BACK from parquet (the
+  // real second-run habitat — dest arrives as files, exactly like
+  // SubsetCli's append mode), and the delta to f=0.1 is computed
+  // against it and materialized next to it. All three delta audits
+  // (subset_delta, subset_delta_orphans, subset_delta_counts) and the
+  // DuckDB oracle read these same files — the round-5 fix for the
+  // audit rebuilding a fresh f=0.05 pipeline inside every query call.
+  private object DeltaDump {
+    val root = "/root/repo/target/subset_delta_oracle"
+    val destFraction = 0.05
+    val fraction = 0.1
+    // SF-scoped like SubsetDump: the oracle SQL pins the driver's
+    // correctness SF so a Bench run at another SF can't overwrite the
+    // files the (static) SQL reads.
+    val oracleSf = "sf0.01"
+    private def sfDirName(dir: String): String =
+      new java.io.File(dir).getName
+    private val done = scala.collection.mutable.Set[String]()
+    def ensure(s: SparkSession, dir: String): Unit = synchronized {
+      if (done.contains(dir)) return
+      val sf = sfDirName(dir)
+      val counts = Catalog.tableNames.map(t =>
+        t -> graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")).toMap
+      val tables = Catalog.load(s, dir)
+      val dest = Subsetter.subset(tables, FkGraph.default,
+        Subsetter.Config(fraction = destFraction), rowCounts = counts)
+      dest.toSeq.sortBy(_._1).foreach { case (t, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$sf/dest/$t")
+      }
+      // dest re-read from its files: the delta's anti-joins run against
+      // the materialized parquet, never the live pipeline lineage
+      val destRead = Catalog.tableNames.map(t =>
+        t -> s.read.parquet(s"$root/$sf/dest/$t")).toMap
+      val delta = Subsetter.subsetDelta(tables, FkGraph.default,
+        Subsetter.Config(fraction = fraction), destRead, rowCounts = counts)
+      delta.toSeq.sortBy(_._1).foreach { case (t, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$sf/delta/$t")
+      }
+      done += dir
+    }
+    def dest(s: SparkSession, dir: String, t: String): DataFrame =
+      s.read.parquet(s"$root/${sfDirName(dir)}/dest/$t")
+    def delta(s: SparkSession, dir: String, t: String): DataFrame =
+      s.read.parquet(s"$root/${sfDirName(dir)}/delta/$t")
+    def destGlob(t: String): String = s"$root/$oracleSf/dest/$t/*.parquet"
+    def deltaGlob(t: String): String = s"$root/$oracleSf/delta/$t/*.parquet"
+  }
+
+  /** Per-FK-edge orphan counts over dest ∪ delta — the reference's RI
+    * postcondition applied to the SECOND run's merged output. DuckDB
+    * recomputes every edge's orphans from the same dumped files, so a
+    * delta that demanded a parent the dest never had (or vice versa)
+    * fails the driver's hash compare, not just a scalatest assertion. */
+  def subsetDeltaOrphans(s: SparkSession, dir: String): DataFrame = {
+    DeltaDump.ensure(s, dir)
+    val merged = Catalog.tableNames.map(t =>
+      t -> DeltaDump.dest(s, dir, t).unionByName(DeltaDump.delta(s, dir, t))).toMap
+    Subsetter.validateRI(merged, FkGraph.default)
+  }
+
+  val subsetDeltaOrphansSql: String = FkGraph.default.fks.map { fk =>
+    val conds = fk.childCols.zip(fk.parentCols)
+      .map { case (c, p) => s"p.$p = c.$c" }.mkString(" AND ")
+    val notNull = fk.childCols.map(c => s"c.$c IS NOT NULL").mkString(" AND ")
+    s"""SELECT '${fk.name}' AS edge, count(*) AS orphans
+       |FROM read_parquet(['${DeltaDump.destGlob(fk.childTable)}',
+       |                   '${DeltaDump.deltaGlob(fk.childTable)}']) c
+       |WHERE $notNull AND NOT EXISTS (
+       |  SELECT 1 FROM read_parquet(['${DeltaDump.destGlob(fk.parentTable)}',
+       |                              '${DeltaDump.deltaGlob(fk.parentTable)}']) p
+       |  WHERE $conds)""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+
+  /** Per-table delta bookkeeping, ORACLE-checked: dest and delta row
+    * counts, their PK overlap (MUST be 0 — the delta is the disjoint
+    * gap), the merged total, and the f=0.1 target recomputed from the
+    * BASE tables — `meets_target` asserts the refresh topped every
+    * table up to the second run's target (≥: closure demands are never
+    * trimmed). DuckDB recomputes every column from the dumps + base. */
+  def subsetDeltaCounts(s: SparkSession, dir: String): DataFrame = {
+    DeltaDump.ensure(s, dir)
+    Catalog.tableNames.sorted.map { t =>
+      val n = graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")
+      val target = Subsetter.targetSize(n, DeltaDump.fraction)
+      val pk = FkGraph.default.pks(t)
+      val dest = DeltaDump.dest(s, dir, t)
+      val delta = DeltaDump.delta(s, dir, t)
+      dest.agg(count(lit(1)).as("dest_rows"))
+        .crossJoin(delta.agg(count(lit(1)).as("delta_rows")))
+        .crossJoin(delta.join(dest, pk, "left_semi")
+          .agg(count(lit(1)).as("overlap_rows")))
+        .select(lit(t).as("table_name"), col("dest_rows"), col("delta_rows"),
+          col("overlap_rows"),
+          (col("dest_rows") + col("delta_rows")).as("total_rows"),
+          lit(target).as("target"),
+          (col("dest_rows") + col("delta_rows") >= lit(target)).as("meets_target"))
+    }.reduce(_ union _).orderBy("table_name")
+  }
+
+  val subsetDeltaCountsSql: String = {
+    val branches = Catalog.tableNames.sorted.map { t =>
+      val pk = FkGraph.default.pks(t)
+      val conds = pk.map(c => s"y.$c = x.$c").mkString(" AND ")
+      s"""SELECT '$t' AS table_name,
+         |  (SELECT count(*) FROM read_parquet('${DeltaDump.destGlob(t)}')) AS dest_rows,
+         |  (SELECT count(*) FROM read_parquet('${DeltaDump.deltaGlob(t)}')) AS delta_rows,
+         |  (SELECT count(*) FROM read_parquet('${DeltaDump.deltaGlob(t)}') x
+         |   WHERE EXISTS (SELECT 1 FROM read_parquet('${DeltaDump.destGlob(t)}') y
+         |                 WHERE $conds)) AS overlap_rows,
+         |  (SELECT CASE WHEN count(*) <= 0 THEN 0
+         |     ELSE GREATEST(1, LEAST(count(*),
+         |       CAST(CEIL(CAST(count(*) AS DOUBLE) * ${DeltaDump.fraction}) AS BIGINT)))
+         |   END FROM $t) AS target""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
+    s"""SELECT table_name, dest_rows, delta_rows, overlap_rows,
+       |  dest_rows + delta_rows AS total_rows, target,
+       |  dest_rows + delta_rows >= target AS meets_target
+       |FROM ($branches)
+       |ORDER BY table_name""".stripMargin
   }
 
   // --- subset_delta: incremental refresh into a non-empty dest --------
@@ -474,22 +598,16 @@ object CoreQueries {
   // dest/delta/overlap row counts plus the orphan count of dest UNION
   // delta. SELF-VALIDATING output: overlap_rows and orphans must read 0
   // on every row (asserted in SubsetterSpec; rows-only here — the
-  // pipeline is not SQL-expressible).
+  // pipeline itself is not SQL-expressible, but its two postconditions
+  // ARE, as subset_delta_orphans / subset_delta_counts below). Both
+  // pipelines run ONCE per session via DeltaDump (round-5 cost fix:
+  // this audit used to rebuild the f=0.05 dest on every call — 23.7 s
+  // quiet-window; reading the dump makes re-runs parquet-scan cheap).
   def subsetDeltaAudit(s: SparkSession, dir: String): DataFrame = {
-    val counts = Catalog.tableNames.map(t =>
-      t -> graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")).toMap
-    val tables = Catalog.load(s, dir)
-    val dest = Subsetter.subset(tables, FkGraph.default,
-      Subsetter.Config(fraction = 0.05), rowCounts = counts)
-      .map { case (t, df) => t -> df.localCheckpoint(false) }
-    // checkpoint dest AND delta: the audit reads each ~27 times (three
-    // count branches per table + one validateRI subtree per FK edge),
-    // and un-checkpointed lineage would replay the semi/anti joins per
-    // branch — measured 41 s vs ~15 s for the two pipelines themselves
-    val delta = Subsetter.subsetDelta(tables, FkGraph.default,
-      Subsetter.Config(fraction = 0.1), dest, rowCounts = counts)
-      .map { case (t, df) => t -> df.localCheckpoint(false) }
-    val merged = dest.map { case (t, df) => t -> df.union(delta(t)) }
+    DeltaDump.ensure(s, dir)
+    val dest = Catalog.tableNames.map(t => t -> DeltaDump.dest(s, dir, t)).toMap
+    val delta = Catalog.tableNames.map(t => t -> DeltaDump.delta(s, dir, t)).toMap
+    val merged = dest.map { case (t, df) => t -> df.unionByName(delta(t)) }
     val orphanCount = Subsetter.validateRI(merged, FkGraph.default)
       .agg(sum(col("orphans")).as("orphans"))
     dest.toSeq.sortBy(_._1).map { case (tn, d) =>
@@ -523,7 +641,9 @@ object CoreQueries {
     "subset_orphans" -> (subsetOrphans _),
     "subset_counts" -> (subsetCounts _),
     "subset_star" -> (subsetStar _),
-    "subset_delta" -> (subsetDeltaAudit _))
+    "subset_delta" -> (subsetDeltaAudit _),
+    "subset_delta_orphans" -> (subsetDeltaOrphans _),
+    "subset_delta_counts" -> (subsetDeltaCounts _))
 
   def oracle: Map[String, String] = Map(
     "count_exact" -> countExactSql,
@@ -543,6 +663,10 @@ object CoreQueries {
     "config_pseudo_fk" -> configPseudoFkSql,
     "multi_schema_union" -> multiSchemaUnionSql,
     "subset_orphans" -> subsetOrphansSql,
-    "subset_counts" -> subsetCountsSql)
-    // subset_star: non-SQL-expressible pipeline -> rows-only check
+    "subset_counts" -> subsetCountsSql,
+    "subset_delta_orphans" -> subsetDeltaOrphansSql,
+    "subset_delta_counts" -> subsetDeltaCountsSql)
+    // subset_star, subset_delta: non-SQL-expressible pipelines ->
+    // rows-only checks; their postconditions are oracle-checked by the
+    // subset_* / subset_delta_* queries above
 }
