@@ -120,13 +120,38 @@ object SubsetCli {
     val destExisting: Map[String, DataFrame] = Catalog.tableNames
       .filter(t => new java.io.File(s"${args.dest}/$t.parquet").exists())
       .map(t => t -> spark.read.parquet(s"${args.dest}/$t.parquet")).toMap
+    // A PARTIAL dest (some tables' files missing — a crashed or
+    // interrupted first run; tables are written sequentially) is NOT
+    // referentially closed: present tables' keys demand parents in the
+    // missing tables. Assuming closure there would skip the wave-0
+    // parent walk and the merged dest could silently carry orphans —
+    // so closure is only assumed when EVERY table's file exists, and a
+    // partial dest runs the full closure over its keys (correct, just
+    // not the fast path) with a loud warning.
+    val destComplete = destExisting.size == Catalog.tableNames.size
+    if (destExisting.nonEmpty && !destComplete)
+      System.err.println(
+        s"[subset] WARNING: partial destination (${destExisting.size}/" +
+          s"${Catalog.tableNames.size} tables present — interrupted run?); " +
+          "treating existing rows as UNCLOSED and re-walking parent closure")
     val out =
       if (destExisting.isEmpty)
         Subsetter.subset(tables, graph, args.cfg, rowCounts = counts)
       else
         Subsetter.subsetDelta(tables, graph, args.cfg, destExisting,
-          rowCounts = counts)
-    out.toSeq.sortBy(_._1).map { case (t, df) =>
+          rowCounts = counts, assumeDestClosed = destComplete)
+    // Materialize every delta BEFORE the first append: the lazy plans
+    // anti-join against the same dest directory being appended to (safe
+    // only because the file listing was snapshotted at read time), and
+    // a crash mid-loop must not leave later tables' plans reading
+    // earlier tables' fresh appends. localCheckpoint (eager) pins every
+    // delta to its pre-write snapshot; a crash between writes then
+    // leaves a partially-APPLIED delta, which the partial-dest guard
+    // above handles on the next run by re-walking closure.
+    val materialized = out.toSeq.sortBy(_._1).map { case (t, df) =>
+      t -> (if (destExisting.contains(t)) df.localCheckpoint() else df)
+    }
+    materialized.map { case (t, df) =>
       if (destExisting.contains(t))
         df.write.mode("append").parquet(s"${args.dest}/$t.parquet")
       else Sources.writeParquet(df, s"${args.dest}/$t.parquet")

@@ -302,7 +302,15 @@ object EventStreams {
     * re-scanning the corpus, and state is sharded by bucket key so it
     * scales out like any keyed aggregation. `maxBucket` caps state per
     * degenerate bucket (boilerplate shingles): past the cap, arrivals
-    * stop enrolling — the analogue of the batch tier's hot-bucket drop.
+    * stop enrolling AND stop comparing — nothing further is emitted
+    * from that bucket. This deliberately DIVERGES from the batch tier's
+    * `dropHotKeys`, which drops an over-cap bucket ENTIRELY (including
+    * its first `maxBucket` members' pairs): an append-mode stream
+    * cannot retract pairs it already emitted, so the closest safe
+    * semantic is freeze-at-cap. Stream==batch parity therefore holds
+    * exactly only while every bucket stays under the cap — a property
+    * of this corpus that StreamingSpec pins as a fixture assertion, so
+    * drift fails the spec rather than the parity test intermittently.
     * Production would pair this with a state TTL (GroupStateTimeout);
     * AvailableNow backfill keeps full state for batch parity. */
   def nearDupBucket(key: String, docs: Iterator[BandDoc],

@@ -82,6 +82,28 @@ class SubsetCliSpec extends SparkSpecBase {
     assert(orphans.forall(_ == 0L))
   }
 
+  test("partial dest (interrupted first run) is treated as unclosed; merged result has no orphans") {
+    // Simulate a first run that crashed mid-write: only SOME tables'
+    // files exist in dest (here: the child-heavy ones, whose keys
+    // demand parents in the MISSING tables). The next run must not
+    // assume closure — it re-walks the parent closure over the partial
+    // dest's keys, so the merged dest is referentially complete.
+    val dest = Files.createTempDirectory("graft-subset-partial").toString
+    val src = "/root/testdata/sf0.001"
+    val full = Subsetter.subset(Catalog.load(spark, src), FkGraph.default,
+      Subsetter.Config(fraction = 0.05))
+    // write ONLY orders+lineitem: their keys demand customer/part/
+    // supplier parents that no dest file provides
+    for (t <- Seq("orders", "lineitem"))
+      graft.sources.Sources.writeParquet(full(t), s"$dest/$t.parquet")
+    val written = SubsetCli.run(spark, SubsetCli.parse(Seq(src, dest, "0.1")))
+    assert(written.keySet == Catalog.tableNames.toSet)
+    val orphans = SubsetCli.validateDest(spark, dest, Catalog.tableNames.toSet)
+      .select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L),
+      "partial dest must be re-closed, not assumed referentially complete")
+  }
+
   test("subset sf0.001 -> destination parquet: RI holds on the written copy") {
     val dest = Files.createTempDirectory("graft-subset-dest").toString
     val args = SubsetCli.parse(Seq("/root/testdata/sf0.001", dest, "0.1",
