@@ -528,18 +528,40 @@ object SimilarityQueries {
   // occurrence/document counts and the earliest (doc, para) keeper,
   // encoded as one exact BIGINT (doc_id*1e6 + para_no) so the argmin is
   // a portable MIN, one aggregation pass, one 16-byte-key shuffle.
-  def dedupParagraphs(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic paragraphed-text synthesis shared by the paragraph
+    * operators (the fixture corpus is single-line): 8-token paragraphs
+    * joined by blank lines, plus planted boilerplate footers on every
+    * 5th / 7th doc. Mirrored verbatim in the DuckDB oracles. */
+  private def paragraphedText: org.apache.spark.sql.Column = {
     val toks = split(col("text"), " ")
     val paras = transform(sequence(lit(1), size(toks), lit(8)),
       i => concat_ws(" ", slice(toks, i, lit(8))))
-    val ptext = concat(
+    concat(
       concat_ws("\n\n", paras),
       when(col("doc_id") % 5 === 0,
         lit("\n\nsubscribe to our newsletter for daily updates")).otherwise(lit("")),
       when(col("doc_id") % 7 === 0,
         lit("\n\nall rights reserved contact us for permissions")).otherwise(lit("")))
+  }
+
+  private val paragraphedTextSql: String =
+    """p AS (SELECT doc_id,
+      |  array_to_string(list_transform(generate_series(1, len(l), 8),
+      |    i -> array_to_string(list_slice(l, i, i + 7), ' ')), chr(10) || chr(10))
+      |  || CASE WHEN doc_id % 5 = 0
+      |       THEN chr(10) || chr(10) || 'subscribe to our newsletter for daily updates'
+      |       ELSE '' END
+      |  || CASE WHEN doc_id % 7 = 0
+      |       THEN chr(10) || chr(10) || 'all rights reserved contact us for permissions'
+      |       ELSE '' END AS ptext
+      |  FROM d),
+      |e AS (SELECT doc_id, string_split(ptext, chr(10) || chr(10)) AS parr FROM p),
+      |x AS (SELECT doc_id, i - 1 AS para_no, parr[i] AS para, md5(parr[i]) AS para_md5
+      |      FROM (SELECT doc_id, parr, unnest(generate_series(1, len(parr))) AS i FROM e))""".stripMargin
+
+  def dedupParagraphs(s: SparkSession, dir: String): DataFrame = {
     docs(s, dir)
-      .select(col("doc_id"), posexplode(split(ptext, "\n\n")).as(Seq("para_no", "para")))
+      .select(col("doc_id"), posexplode(split(paragraphedText, "\n\n")).as(Seq("para_no", "para")))
       .select(col("doc_id"), col("para_no"), md5(col("para")).as("para_md5"))
       .groupBy("para_md5")
       .agg(count(lit(1)).as("n_occ"),
@@ -552,26 +574,64 @@ object SimilarityQueries {
       .orderBy("para_md5")
   }
 
+  // NOTE: built by concatenation, not interpolation-into-stripMargin —
+  // the shared CTE's `||` continuation lines would lose their first
+  // pipe to a second stripMargin pass.
   val dedupParagraphsSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |p AS (SELECT doc_id,
-      |  array_to_string(list_transform(generate_series(1, len(l), 8),
-      |    i -> array_to_string(list_slice(l, i, i + 7), ' ')), chr(10) || chr(10))
-      |  || CASE WHEN doc_id % 5 = 0
-      |       THEN chr(10) || chr(10) || 'subscribe to our newsletter for daily updates'
-      |       ELSE '' END
-      |  || CASE WHEN doc_id % 7 = 0
-      |       THEN chr(10) || chr(10) || 'all rights reserved contact us for permissions'
-      |       ELSE '' END AS ptext
-      |  FROM d),
-      |e AS (SELECT doc_id, string_split(ptext, chr(10) || chr(10)) AS parr FROM p),
-      |x AS (SELECT doc_id, i - 1 AS para_no, md5(parr[i]) AS para_md5
-      |      FROM (SELECT doc_id, parr, unnest(generate_series(1, len(parr))) AS i FROM e))
-      |SELECT para_md5, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
-      |  CAST(min(doc_id * 1000000 + para_no) // 1000000 AS BIGINT) AS keep_doc,
-      |  CAST(min(doc_id * 1000000 + para_no) % 1000000 AS BIGINT) AS keep_para
-      |FROM x GROUP BY para_md5 HAVING count(*) > 1
-      |ORDER BY para_md5""".stripMargin
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),\n" +
+      paragraphedTextSql + "\n" +
+      """SELECT para_md5, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(min(doc_id * 1000000 + para_no) // 1000000 AS BIGINT) AS keep_doc,
+        |  CAST(min(doc_id * 1000000 + para_no) % 1000000 AS BIGINT) AS keep_para
+        |FROM x GROUP BY para_md5 HAVING count(*) > 1
+        |ORDER BY para_md5""".stripMargin
+
+  // --- text_paragraph_clean: the cleanup ARTIFACT -----------------------
+  // dedup_paragraphs reports the dup groups; this emits what a corpus
+  // pipeline actually ships — every document REASSEMBLED with only the
+  // globally-first occurrence of each paragraph kept (later copies of
+  // boilerplate drop out). Kept paragraphs re-join in original order
+  // and the md5 of the cleaned text asserts byte-identical
+  // reconstruction across engines. Scale shape: one shuffle keyed by
+  // the 16-byte digest (the global-first window), one reassembly
+  // shuffle keyed by doc_id — paragraphs travel exactly twice, and the
+  // window state per digest is the occurrence list, never the corpus.
+  def paragraphClean(s: SparkSession, dir: String): DataFrame = {
+    val exploded = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(paragraphedText, "\n\n")).as(Seq("para_no", "para")))
+      .withColumn("para_md5", md5(col("para")))
+    val firstOcc = Window.partitionBy(col("para_md5"))
+      .orderBy(col("doc_id"), col("para_no"))
+    val kept = exploded
+      .withColumn("rn", row_number().over(firstOcc))
+      .filter(col("rn") === 1)
+    val keptAgg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws("\n\n",
+        transform(array_sort(collect_list(struct(col("para_no"), col("para")))),
+          x => x.getField("para")))).as("clean_md5"))
+    exploded.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val paragraphCleanSql: String =
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),\n" +
+      paragraphedTextSql + ",\n" +
+      """r AS (SELECT *, row_number() OVER (PARTITION BY para_md5
+        |                                   ORDER BY doc_id, para_no) AS rn FROM x),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |        md5(string_agg(para, chr(10) || chr(10) ORDER BY para_no)) AS clean_md5
+        |      FROM r WHERE rn = 1 GROUP BY doc_id),
+        |t AS (SELECT doc_id, count(*) AS n_paras FROM x GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_paras,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.clean_md5, md5('')) AS clean_md5
+        |FROM t LEFT JOIN k ON t.doc_id = k.doc_id
+        |ORDER BY t.doc_id""".stripMargin
 
   /** HLL / exact distinct side-by-side (approx_count_distinct is
     * engine-specific → rows-only). */
@@ -612,6 +672,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_paragraphs" -> (dedupParagraphs _),
+    "text_paragraph_clean" -> (paragraphClean _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_jaccard_docs" -> (dedupJaccardDocs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -635,6 +696,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> dedupExactDocsSql,
     "dedup_exact_normalized" -> dedupExactNormalizedSql,
     "dedup_paragraphs" -> dedupParagraphsSql,
+    "text_paragraph_clean" -> paragraphCleanSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,
     "dedup_jaccard_docs" -> dedupJaccardDocsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -542,6 +542,42 @@ object TextQueries {
        |  count(*) > $DomainCap AS over_cap
        |FROM h GROUP BY domain ORDER BY domain""".stripMargin
 
+  // --- text_domain_survivors: the cap ENFORCED ------------------------
+  // text_domain_stats reports which domains exceed the cap; this emits
+  // the survivor rows a pipeline actually keeps — the first `cap`
+  // events per domain in event_id order (deterministic: event_id is
+  // unique). One window keyed by the domain; at 100 TB the rank only
+  // needs ids + the host key to travel, and a heavily-skewed domain is
+  // exactly the row-count the cap bounds. Smaller cap than the stats
+  // query (50) so the survivor set is a real subset at every SF.
+  private val SurvivorCap = 50
+
+  def domainSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.table(s, dir, "events")
+    val host = concat(lit("site-"),
+      floor(sqrt(pmod(col("event_id"), lit(169L)).cast("double"))).cast("long").cast("string"),
+      lit(".example.com"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("event_id"))
+    ev.select(col("event_id"), host.as("domain"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= SurvivorCap)
+      .select(col("domain"), col("event_id"), col("rnk").cast("long").as("rnk"))
+      .orderBy("domain", "event_id")
+  }
+
+  val domainSurvivorsSql: String =
+    s"""WITH h AS (SELECT event_id,
+       |  'site-' || CAST(CAST(floor(sqrt(event_id % 169)) AS BIGINT) AS VARCHAR)
+       |    || '.example.com' AS domain
+       |  FROM events),
+       |r AS (SELECT domain, event_id,
+       |        CAST(row_number() OVER (PARTITION BY domain ORDER BY event_id) AS BIGINT) AS rnk
+       |      FROM h)
+       |SELECT domain, event_id, rnk FROM r
+       |WHERE rnk <= $SurvivorCap
+       |ORDER BY domain, event_id""".stripMargin
+
   // --- text_perplexity: n-gram LM quality scoring ---------------------
   // The standard model-based corpus-quality filter: a word-bigram
   // language model with add-one smoothing is trained on a corpus slice
@@ -615,6 +651,7 @@ object TextQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_stats" -> (domainStats _),
+    "text_domain_survivors" -> (domainSurvivors _),
     "text_perplexity" -> (perplexity _),
     "text_pii_scrub" -> (piiScrub _),
     "text_decontaminate" -> (decontaminate _),
@@ -632,6 +669,7 @@ object TextQueries {
 
   def oracle: Map[String, String] = Map(
     "text_domain_stats" -> domainStatsSql,
+    "text_domain_survivors" -> domainSurvivorsSql,
     "text_perplexity" -> perplexitySql,
     "text_pii_scrub" -> piiScrubSql,
     "text_decontaminate" -> decontaminateSql,

@@ -301,6 +301,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(bp.get._3 == 0L, "keeper is the earliest doc (doc 0 is %5==0)")
   }
 
+  test("paragraph clean drops later copies of boilerplate, keeps first doc intact") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.SimilarityQueries.paragraphClean(spark, dir)
+      .select("doc_id", "n_paras", "n_kept")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 0 is the globally-first occurrence of both planted footers:
+    // every paragraph it has survives
+    assert(got(0L)._1 == got(0L)._2, "doc 0 must keep all paragraphs")
+    // every LATER %35 doc carries both footers already seen in doc 0 —
+    // at least those two paragraphs drop
+    val later35 = got.keys.filter(id => id > 0 && id % 35 == 0)
+    assert(later35.nonEmpty)
+    later35.foreach { id =>
+      assert(got(id)._2 <= got(id)._1 - 2, s"doc $id must drop both footers")
+    }
+    // cleanup never invents paragraphs
+    assert(got.values.forall { case (n, k) => k <= n })
+  }
+
   test("IVF recall@10 vs brute force on the real corpus") {
     val dir = "/root/testdata/sf0.01"
     val r = graft.queries.SimilarityQueries.annIvfRecall(spark, dir)
