@@ -129,6 +129,43 @@ object TextQueries {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- text_shard_plan: content-hash sharding for training output -----
+  // The last step before a corpus ships: deterministic assignment of
+  // every document to one of N output shards, plus the per-shard
+  // balance stats an operator reviews before the write. The shard key
+  // is the CONTENT fingerprint (the portable rolling hash
+  // text_fingerprint already oracle-checks — always in [0, 1e9+7), so
+  // mod-N needs no sign care in either engine), not the doc_id: re-ids
+  // and re-ingests land a document in the same shard. Scale shape: the
+  // fingerprint and mod are scan-local; the only shuffle is N-row
+  // map-side-combined stats (and a real write would just
+  // repartition(N, shard) — same key, same plan).
+  private val NumShards = 16
+
+  def shardPlan(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        pmod(TextFunctions.fingerprint(col("text")), lit(NumShards.toLong)).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+
+  val shardPlanSql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(text, ' '),
+       |        w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) % $NumShards AS shard
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM f GROUP BY shard ORDER BY shard""".stripMargin
+
   // --- text_chunks: overlapping fixed-size token windows --------------
   // The training-data chunking shape: 32-token windows every 24 tokens
   // (8-token overlap), one output row per chunk. Pure scan-local HOF
@@ -652,6 +689,7 @@ object TextQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_stats" -> (domainStats _),
     "text_domain_survivors" -> (domainSurvivors _),
+    "text_shard_plan" -> (shardPlan _),
     "text_perplexity" -> (perplexity _),
     "text_pii_scrub" -> (piiScrub _),
     "text_decontaminate" -> (decontaminate _),
@@ -670,6 +708,7 @@ object TextQueries {
   def oracle: Map[String, String] = Map(
     "text_domain_stats" -> domainStatsSql,
     "text_domain_survivors" -> domainSurvivorsSql,
+    "text_shard_plan" -> shardPlanSql,
     "text_perplexity" -> perplexitySql,
     "text_pii_scrub" -> piiScrubSql,
     "text_decontaminate" -> decontaminateSql,

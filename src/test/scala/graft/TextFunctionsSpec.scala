@@ -42,4 +42,16 @@ class TextFunctionsSpec extends SparkSpecBase {
     val df = Seq("zzz qqq www").toDF("text")
     assert(df.select(langId($"text")).as[String].head() == "en")
   }
+
+  test("shard plan: every shard populated, content-hash balance is sane") {
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.queries.TextQueries.shardPlan(spark, dir)
+      .select("shard", "n_docs").as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L until 16L).toSet, "all 16 shards assigned")
+    // fingerprint-mod sharding of 500 docs: expect rough uniformity —
+    // no shard empty, none hoarding (>4x the fair share flags a broken
+    // or degenerate hash, not randomness)
+    val fair = got.values.sum / 16.0
+    assert(got.values.forall(n => n > 0 && n < fair * 4), got.toString)
+  }
 }
