@@ -531,8 +531,9 @@ object SimilarityQueries {
   /** Deterministic paragraphed-text synthesis shared by the paragraph
     * operators (the fixture corpus is single-line): 8-token paragraphs
     * joined by blank lines, plus planted boilerplate footers on every
-    * 5th / 7th doc. Mirrored verbatim in the DuckDB oracles. */
-  private def paragraphedText: org.apache.spark.sql.Column = {
+    * 5th / 7th doc. Mirrored verbatim in the DuckDB oracles; also used
+    * by the streaming paragraph-dedup twin (graft.streaming). */
+  private[graft] def paragraphedText: org.apache.spark.sql.Column = {
     val toks = split(col("text"), " ")
     val paras = transform(sequence(lit(1), size(toks), lit(8)),
       i => concat_ws(" ", slice(toks, i, lit(8))))

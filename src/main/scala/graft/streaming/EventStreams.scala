@@ -364,6 +364,62 @@ object EventStreams {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  // --- streaming PARAGRAPH dedup: boilerplate dies on ingest -----------
+
+  final case class ParaOcc(para_md5: String, doc_id: Long, para_no: Int)
+
+  /** Per-digest first-occurrence keeper for `flatMapGroupsWithState`:
+    * state is one Boolean per paragraph digest — the first arrival
+    * (min (doc_id, para_no) within the incoming group, deterministic
+    * under AvailableNow where a whole group arrives in one batch)
+    * emits, everything later is boilerplate and dies on ingest. The
+    * streaming twin of `text_paragraph_clean`'s global-first window:
+    * state is 1 bit + key per DISTINCT paragraph, not per occurrence,
+    * so a 100 TB/day ingest holds state proportional to the unique
+    * paragraph count — and a production deployment would bound even
+    * that with a state TTL. */
+  def paraFirstOccurrence(key: String, occs: Iterator[ParaOcc],
+                          state: GroupState[Boolean]): Iterator[ParaOcc] = {
+    if (state.exists) Iterator.empty
+    else {
+      val first = occs.minBy(o => (o.doc_id, o.para_no))
+      state.update(true)
+      Iterator.single(first)
+    }
+  }
+
+  /** Streaming paragraph survivors over the documents stream: the SAME
+    * deterministic paragraph synthesis + digest as the batch operators
+    * (`SimilarityQueries.paragraphedText`), keyed state per digest.
+    * StreamingSpec proves the survivor (digest, doc, para) set equals
+    * the batch global-first window's. */
+  def streamParagraphSurvivors(spark: SparkSession, dir: String): Dataset[ParaOcc] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"),
+        posexplode(split(graft.queries.SimilarityQueries.paragraphedText, "\n\n"))
+          .as(Seq("para_no", "para")))
+      .select(md5(col("para")).as("para_md5"), col("doc_id"),
+        col("para_no").cast("int").as("para_no"))
+      .as[ParaOcc]
+      .groupByKey(_.para_md5)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(paraFirstOccurrence)
+  }
+
+  def startParagraphSurvivorsToMemory(spark: SparkSession, dir: String,
+                                      name: String): StreamingQuery =
+    streamParagraphSurvivors(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming corpus cleanup — the north-star pipeline ON INGEST: the
     * exact gate chain of the batch `pipeline_corpus_clean`
     * (`TextQueries.cleanKept`: token floor, uniq ratio, langid

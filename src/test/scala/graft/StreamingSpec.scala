@@ -138,6 +138,29 @@ class StreamingSpec extends SparkSpecBase {
         "semantics diverge — align dropHotKeys/freeze-at-cap before trusting parity")
   }
 
+  test("streaming paragraph dedup (keyed digest state) == batch global-first window") {
+    val q = EventStreams.startParagraphSurvivorsToMemory(spark, dir, "t_paras")
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT para_md5, doc_id, para_no FROM t_paras")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // batch comparator: text_paragraph_clean's kept set — the
+    // globally-first (doc_id, para_no) occurrence of each digest
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para_md5")).orderBy(col("doc_id"), col("para_no"))
+    val batch = graft.Catalog.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(graft.queries.SimilarityQueries.paragraphedText, "\n\n"))
+          .as(Seq("para_no", "para")))
+      .select(md5(col("para")).as("para_md5"), col("doc_id"),
+        col("para_no").cast("int").as("para_no"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("para_md5", "doc_id", "para_no")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streaming paragraph survivors must equal the batch global-first set")
+  }
+
   test("streaming session_window (native operator) == batch session_window_native") {
     val q = EventStreams.startSessionWindowToMemory(spark, dir, "t_swin")
     q.awaitTermination()
