@@ -545,7 +545,7 @@ object SimilarityQueries {
         lit("\n\nall rights reserved contact us for permissions")).otherwise(lit("")))
   }
 
-  private val paragraphedTextSql: String =
+  private[graft] val paragraphedTextSqlCtes: String =
     """p AS (SELECT doc_id,
       |  array_to_string(list_transform(generate_series(1, len(l), 8),
       |    i -> array_to_string(list_slice(l, i, i + 7), ' ')), chr(10) || chr(10))
@@ -580,7 +580,7 @@ object SimilarityQueries {
   // pipe to a second stripMargin pass.
   val dedupParagraphsSql: String =
     "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),\n" +
-      paragraphedTextSql + "\n" +
+      paragraphedTextSqlCtes + "\n" +
       """SELECT para_md5, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
         |  CAST(min(doc_id * 1000000 + para_no) // 1000000 AS BIGINT) AS keep_doc,
         |  CAST(min(doc_id * 1000000 + para_no) % 1000000 AS BIGINT) AS keep_para
@@ -621,7 +621,7 @@ object SimilarityQueries {
 
   val paragraphCleanSql: String =
     "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),\n" +
-      paragraphedTextSql + ",\n" +
+      paragraphedTextSqlCtes + ",\n" +
       """r AS (SELECT *, row_number() OVER (PARTITION BY para_md5
         |                                   ORDER BY doc_id, para_no) AS rn FROM x),
         |k AS (SELECT doc_id, count(*) AS n_kept,

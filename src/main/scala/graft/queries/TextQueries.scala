@@ -377,6 +377,131 @@ object TextQueries {
        |FROM dedup WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  // --- pipeline_corpus_clean2: the FULL round-6 cleanup composition ----
+  // Production order, one declarative plan: (1) canonicalize text
+  // (lower/strip-punct/collapse-ws — merges the planted messy %9
+  // variants), (2) normalized exact dedup (min-doc_id survivor per
+  // canonical digest), (3) quality gates (token floor, uniq ratio,
+  // langid agreement — scan-local), (4) bigram-LM perplexity gate
+  // (literal-map scoring; keep nll_q6 <= gate·n_pairs, exact BIGINT
+  // comparison), (5) paragraph cleanup (global-first window over the
+  // SURVIVOR set, reassembled md5). Every stage is individually
+  // oracle-checked elsewhere; this asserts the COMPOSITION end to end.
+  // Shuffle ledger at scale: digest window + paragraph digest window +
+  // doc_id reassembly — three keyed shuffles for a five-stage pipeline;
+  // the gates and scoring ride the scan.
+  private val PplGateQ6 = 3700000L
+
+  def corpusClean2(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val messy = d.filter(col("doc_id") % 9 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(3000000L))
+      .withColumn("text",
+        concat(regexp_replace(upper(col("text")), " ", "  "), lit(" !!")))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val canon = d.union(messy)
+      .select(col("doc_id"), col("lang"), norm.as("text"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm_md5")).orderBy(col("doc_id"))
+    val deduped = canon.withColumn("norm_md5", md5(col("text")))
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .select("doc_id", "lang", "text")
+    val (nPairs, nll) = perplexityCols(s, dir)
+    val gated = cleanKept(deduped)
+      .withColumn("n_pairs", nPairs)
+      .withColumn("nll_q6", nll)
+      .filter(col("nll_q6") <= lit(PplGateQ6) * col("n_pairs"))
+    val exploded = gated
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll_q6"),
+        posexplode(split(SimilarityQueries.paragraphedText, "\n\n"))
+          .as(Seq("para_no", "para")))
+      .withColumn("para_md5", md5(col("para")))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("para_md5")).orderBy(col("doc_id"), col("para_no"))
+    exploded
+      .withColumn("prn", row_number().over(wFirst)).filter(col("prn") === 1)
+      .groupBy("doc_id", "lang", "n_tokens", "nll_q6")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n\n",
+          transform(array_sort(collect_list(struct(col("para_no"), col("para")))),
+            x => x.getField("para")))).as("clean_md5"))
+      .select("doc_id", "lang", "n_tokens", "nll_q6", "n_kept", "clean_md5")
+      .orderBy("doc_id")
+  }
+
+  val corpusClean2Sql: String = {
+    val t = "string_split(text, ' ')"
+    val scoreExprs = LangOrder.map { l =>
+      val words = TextFunctions.langStopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter($t, w -> w IN ($words))) AS INTEGER) AS s_$l"
+    }.mkString(",\n  ")
+    val m = LangOrder.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val caseChain = LangOrder.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, lang, replace(upper(text), ' ', '  ') || ' !!'
+       |  FROM documents WHERE doc_id % 9 = 0
+       |), canon AS (
+       |  SELECT doc_id, lang,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |         ' +', ' ', 'g')) AS text
+       |  FROM all_docs
+       |), dd AS (
+       |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM canon
+       |), survivors AS (SELECT doc_id, lang, text FROM dd WHERE rn = 1
+       |), feat AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len($t) AS INTEGER) AS n_tokens,
+       |    CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE) AS uniq_ratio,
+       |  $scoreExprs
+       |  FROM survivors
+       |), withm AS (SELECT *, $m AS m FROM feat),
+       |kept AS (
+       |  SELECT doc_id, lang, text, n_tokens FROM withm
+       |  WHERE n_tokens >= $CleanMinTokens AND uniq_ratio >= $CleanMinUniq
+       |    AND (CASE $caseChain ELSE 'und' END) = lang
+       |), d2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |tr AS (SELECT l FROM d2 WHERE doc_id % 10 = 0),
+       |v AS (SELECT count(DISTINCT w) AS nv FROM (SELECT unnest(l) AS w FROM tr)),
+       |tbg AS (SELECT l[i] || ' ' || l[i+1] AS b
+       |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+       |              FROM tr WHERE len(l) >= 2)),
+       |c2 AS (SELECT b, count(*) AS c FROM tbg GROUP BY 1),
+       |c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c
+       |       FROM c2 GROUP BY 1),
+       |kl AS (SELECT doc_id, string_split(text, ' ') AS l FROM kept),
+       |pairs AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b, l[i] AS w1
+       |          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+       |                FROM kl WHERE len(l) >= 2)),
+       |terms AS (SELECT p.doc_id,
+       |    CAST(round(ln((COALESCE(c2.c, 0) + 1.0) /
+       |                  (COALESCE(c1.c, 0) + v.nv)) * 1000000, 0) AS BIGINT) AS q
+       |  FROM pairs p
+       |  LEFT JOIN c2 ON p.b = c2.b
+       |  LEFT JOIN c1 ON p.w1 = c1.w1
+       |  CROSS JOIN v),
+       |agg AS (SELECT doc_id, count(*) AS n_pairs,
+       |          CAST(-sum(q) AS BIGINT) AS nll_q6 FROM terms GROUP BY 1),
+       |ppl AS (
+       |  SELECT k.doc_id, k.lang, k.text, k.n_tokens, a.nll_q6
+       |  FROM kept k JOIN agg a ON k.doc_id = a.doc_id
+       |  WHERE a.nll_q6 <= $PplGateQ6 * a.n_pairs
+       |), d AS (SELECT doc_id, string_split(text, ' ') AS l FROM ppl),
+       |""".stripMargin +
+      SimilarityQueries.paragraphedTextSqlCtes + ",\n" +
+      """r AS (SELECT *, row_number() OVER (PARTITION BY para_md5
+        |                                   ORDER BY doc_id, para_no) AS prn FROM x),
+        |k2 AS (SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(para, chr(10) || chr(10) ORDER BY para_no)) AS clean_md5
+        |       FROM r WHERE prn = 1 GROUP BY doc_id)
+        |SELECT p.doc_id, p.lang, p.n_tokens, p.nll_q6, k2.n_kept, k2.clean_md5
+        |FROM ppl p JOIN k2 ON p.doc_id = k2.doc_id
+        |ORDER BY p.doc_id""".stripMargin
+  }
+
   // --- text_repetition: Gopher-style repetition quality signal --------
   // Per-doc token totals, distinct count, and the hottest token's count
   // (max run over the SORTED token array) — all via codegen'd HOFs on
@@ -630,7 +755,12 @@ object TextQueries {
   // an exact BIGINT (round(ln(p)·10⁶)) BEFORE summing, so the per-doc
   // sum is order-independent and hash-matches DuckDB exactly; ln is the
   // only transcendental (the text_bm25_topk precedent).
-  def perplexity(s: SparkSession, dir: String): DataFrame = {
+  /** The (n_pairs, nll_q6) scoring columns of the bigram LM, trained on
+    * the every-10th-doc slice of `dir`'s RAW corpus. Applicable to any
+    * DataFrame with a `text` column (the pipeline composition scores
+    * canonicalized survivors with the same model). */
+  private def perplexityCols(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val d = docs(s, dir)
     val toks = split(col("text"), " ")
     val bigramsCol = when(size(toks) >= 2,
@@ -644,7 +774,7 @@ object TextQueries {
     val c1 = c2.groupBy(_._1.takeWhile(_ != ' '))
       .map { case (w, m) => w -> m.map(_._2).sum }
     val vocabN = train.select(explode(toks).as("w"))
-      .agg(countDistinct(col("w"))).head.getLong(0)
+      .agg(countDistinct(col("w"))).head().getLong(0)
     val bgMap = typedlit(c2.toMap)
     val w1Map = typedlit(c1)
     val nll = aggregate(bigramsCol, lit(0L), (acc, b) => {
@@ -653,9 +783,13 @@ object TextQueries {
       acc - round(log((cbg.cast("double") + lit(1.0)) /
         (cw1.cast("double") + lit(vocabN.toDouble))) * lit(1000000.0), 0).cast("long")
     })
-    d.select(col("doc_id"),
-        size(bigramsCol).cast("long").as("n_pairs"),
-        nll.as("nll_q6"))
+    (size(bigramsCol).cast("long"), nll)
+  }
+
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    val (nPairs, nll) = perplexityCols(s, dir)
+    docs(s, dir)
+      .select(col("doc_id"), nPairs.as("n_pairs"), nll.as("nll_q6"))
       .orderBy("doc_id")
   }
 
@@ -696,6 +830,7 @@ object TextQueries {
     "text_bpe_tokens" -> (bpeTokens _),
     "text_repetition" -> (repetition _),
     "pipeline_corpus_clean" -> (corpusClean _),
+    "pipeline_corpus_clean2" -> (corpusClean2 _),
     "text_bm25_topk" -> (bm25Topk _),
     "text_chunks" -> (chunks _),
     "text_pack_bins" -> (packBins _),
@@ -715,6 +850,7 @@ object TextQueries {
     "text_bpe_tokens" -> bpeTokensSql,
     "text_repetition" -> repetitionSql,
     "pipeline_corpus_clean" -> corpusCleanSql,
+    "pipeline_corpus_clean2" -> corpusClean2Sql,
     "text_bm25_topk" -> bm25TopkSql,
     "text_chunks" -> chunksSql,
     "text_pack_bins" -> packBinsSql,

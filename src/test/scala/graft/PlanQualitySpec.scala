@@ -135,6 +135,22 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "scoring must be join-free (map literals)")
   }
 
+  test("pipeline_corpus_clean2: five stages, shuffles only on digest/doc keys") {
+    val df = graft.queries.TextQueries.corpusClean2(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // canonicalization, gates, and LM scoring all ride the scan; the
+    // only hash exchanges are the two digest windows (normalized dedup,
+    // paragraph global-first) and the per-doc reassembly aggregate
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l =>
+      l.contains("norm_md5") || l.contains("para_md5") || l.contains("doc_id")),
+      s"unexpected shuffle key:\n${exchanges.mkString("\n")}")
+  }
+
   test("text_decontaminate: eval set broadcasts; corpus filters scan-locally, only hits shuffle") {
     val df = graft.queries.TextQueries.decontaminate(spark, dir)
     df.collect()
