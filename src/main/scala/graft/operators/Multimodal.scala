@@ -112,6 +112,62 @@ object Multimodal {
       }
   }
 
+  final case class MediaDigest(media_id: Long, content_md5: String, decoded: Boolean)
+
+  /** Canonical CONTENT digest of a media blob: for decodable images,
+    * md5 over (width, height, row-major ARGB raster) — so the same
+    * picture dedups across containers (PNG vs BMP vs GIF) and across
+    * metadata/compression differences that change the file bytes but
+    * not the pixels (MultimodalSpec proves the PNG/BMP cross-container
+    * case). Non-decodable blobs digest their raw bytes, which keeps the
+    * digest total over arbitrary binaries AND makes it equal to
+    * `md5(text)` for utf8-text-derived fixtures — the hook the
+    * multimodal_dedup oracle uses. */
+  def pixelDigest(bytes: Array[Byte]): (String, Boolean) = {
+    val img =
+      if (!looksLikeImage(bytes)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(d: Array[Byte]): String = d.map(b => f"$b%02x").mkString
+    if (img == null) {
+      md.update(bytes)
+      (hex(md.digest()), false)
+    } else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val head = java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
+      md.update(head.array())
+      val row = java.nio.ByteBuffer.allocate(4 * w)
+      var y = 0
+      while (y < h) {
+        row.clear()
+        var x = 0
+        while (x < w) { row.putInt(img.getRGB(x, y)); x += 1 }
+        md.update(row.array())
+        y += 1
+      }
+      (hex(md.digest()), true)
+    }
+  }
+
+  /** Content-digest a binary media column per-partition (one digest
+    * instance per row, streamed — no shuffle; the dedup groupBy that
+    * follows shuffles 16-byte digests, never the media). */
+  def contentDigests(df: DataFrame, idCol: String, binCol: String): Dataset[MediaDigest] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("media_bytes"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (d, ok) = pixelDigest(r.media_bytes)
+          MediaDigest(r.media_id, d, ok)
+        }
+      }
+  }
+
   final case class AudioFeatures(
       media_id: Long, n_samples: Long, n_windows: Int,
       rms: Double, zcr: Double, peak: Int,

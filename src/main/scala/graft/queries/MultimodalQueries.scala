@@ -57,11 +57,52 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Media dedup by CONTENT digest: the binary column groups on the
+    * decoded-raster md5 (raw-byte md5 for non-decodable blobs), so the
+    * same picture dedups across containers — the multimodal member of
+    * the dedup family. The fixture's text-derived blobs all take the
+    * raw-byte path, which equals DuckDB's `md5(text)` — so unlike the
+    * other multimodal queries this one IS oracle-checked end to end;
+    * the decoded path (PNG vs BMP of one raster → same digest) is
+    * MultimodalSpec-proven. Dups are planted (every 25th doc's bytes
+    * re-enter under a shifted id — the dedup_exact_docs pattern).
+    * Scale: digest is scan-local mapPartitions; the groupBy shuffles
+    * 16-byte digests, never the media bytes. */
+  def multimodalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.table(s, dir, "documents")
+    def bin(df: DataFrame) =
+      df.select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
+    val planted = bin(d.filter(col("doc_id") % 25 === 0))
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Multimodal.contentDigests(bin(d).union(planted), "doc_id", "media_bytes").toDF()
+      .groupBy("content_md5")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("dup_cnt"),
+        max(col("decoded")).as("any_decoded"))
+      .filter(col("dup_cnt") > 1)
+      .select("content_md5", "keep_id", "dup_cnt", "any_decoded")
+      .orderBy("keep_id")
+  }
+
+  val multimodalDedupSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0)
+      |SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+      |  count(*) AS dup_cnt, FALSE AS any_decoded
+      |FROM d GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_thumbs" -> (multimodalThumbs _))
 
-  def oracle: Map[String, String] = Map.empty // Dataset pipeline: rows-only
+  // Dataset pipelines are rows-only EXCEPT the dedup: raw-byte digests
+  // of utf8-derived blobs equal DuckDB's md5(text), so the whole
+  // grouping is oracle-expressible.
+  def oracle: Map[String, String] = Map(
+    "multimodal_dedup" -> multimodalDedupSql)
 }

@@ -33,6 +33,47 @@ class MultimodalSpec extends SparkSpecBase {
     assert(viaSpark.mean_intensity == expectedMean)
   }
 
+  test("pixelDigest: same raster dedups across PNG/BMP containers; raw bytes don't") {
+    def raster(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 37 + y * 101) % 256
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val img = raster(6, 4)
+    val pngB = enc(img, "png")
+    val bmpB = enc(img, "bmp")
+    assert(!java.util.Arrays.equals(pngB, bmpB), "containers differ on disk")
+    val (dPng, okPng) = Multimodal.pixelDigest(pngB)
+    val (dBmp, okBmp) = Multimodal.pixelDigest(bmpB)
+    assert(okPng && okBmp, "both containers decode")
+    assert(dPng == dBmp, "content digest sees the raster, not the container")
+    // a different raster gets a different digest
+    val (dOther, _) = Multimodal.pixelDigest(enc(raster(6, 5), "png"))
+    assert(dOther != dPng)
+    // non-image bytes digest raw — equals MessageDigest md5 of the blob
+    val raw = "not an image".getBytes("UTF-8")
+    val (dRaw, okRaw) = Multimodal.pixelDigest(raw)
+    assert(!okRaw)
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest(raw).map(b => f"$b%02x").mkString
+    assert(dRaw == expect)
+    // through the distributed pipeline: PNG and BMP of one raster group
+    val df = Seq((1L, pngB), (2L, bmpB), (3L, raw)).toDF("id", "bin")
+    val got = Multimodal.contentDigests(df, "id", "bin").collect()
+      .groupBy(_.content_md5).view.mapValues(_.map(_.media_id).sorted.toSeq).toMap
+    assert(got(dPng) == Seq(1L, 2L))
+    assert(got(dRaw) == Seq(3L))
+  }
+
   test("imageFeatures: deterministic fallback decode for non-image bytes") {
     val df = Seq((1L, "abcd"), (2L, "a" * 100)).toDF("id", "txt")
       .select($"id", encode($"txt", "UTF-8").as("bin"))
