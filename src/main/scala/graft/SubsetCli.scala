@@ -27,7 +27,8 @@ object SubsetCli {
       dest: String,
       cfg: Subsetter.Config,
       yes: Boolean = false,
-      extraFks: Seq[Fk] = Nil)
+      extraFks: Seq[Fk] = Nil,
+      validateOnly: Boolean = false)
 
   /** Parse a `--config` JSON file of extra (pseudo-)FK edges — the
     * reference's `--config` constraints JSON (`Db.__init__` config
@@ -55,10 +56,12 @@ object SubsetCli {
     val Seq(src, dest, fractionS) = argv.take(3)
     var cfg = Subsetter.Config(fraction = fractionS.toDouble)
     var yes = false
+    var validateOnly = false
     var extraFks: Seq[Fk] = Nil
     var rest = argv.drop(3).toList
     while (rest.nonEmpty) rest = rest match {
       case "--yes" :: tl => yes = true; tl
+      case "--validate" :: tl => validateOnly = true; tl
       case "--config" :: path :: tl => extraFks = parseConfigFks(path); tl
       case "--logarithmic" :: tl => cfg = cfg.copy(logarithmic = true); tl
       case "--children" :: n :: tl => cfg = cfg.copy(children = n.toInt); tl
@@ -80,7 +83,26 @@ object SubsetCli {
         cfg = cfg.copy(force = forced, forceComposite = forcedComp); tl
       case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
     }
-    CliArgs(src, dest, cfg, yes, extraFks)
+    CliArgs(src, dest, cfg, yes, extraFks, validateOnly)
+  }
+
+  /** `--validate` mode: audit an EXISTING destination without touching
+    * it — the reference's postcondition check as a standalone command
+    * (e.g. after an interrupted run, before trusting a dest for delta
+    * mode). Prints per-edge orphan counts for the tables present and
+    * returns the total; tables with no file are reported, since a
+    * partial dest cannot be assumed closed (see `run`'s guard). */
+  def validateOnly(spark: SparkSession, dest: String): Long = {
+    val present = Catalog.tableNames
+      .filter(t => new java.io.File(s"$dest/$t.parquet").exists()).toSet
+    val missing = Catalog.tableNames.filterNot(present)
+    if (missing.nonEmpty)
+      println(s"missing tables (dest is PARTIAL): ${missing.sorted.mkString(", ")}")
+    if (present.isEmpty) { println("empty destination"); return 0L }
+    val byEdge = validateDest(spark, dest, present)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    byEdge.sortBy(_._1).foreach { case (e, n) => println(f"$e%-40s $n%8d orphans") }
+    byEdge.map(_._2).sum
   }
 
   /** Pre-run plan: (table, source rows, target rows) for every included
@@ -173,6 +195,11 @@ object SubsetCli {
     val spark = GraftSession.local("graft-subset")
     spark.sparkContext.setLogLevel("WARN")
     try {
+      if (args.validateOnly) {
+        val orphans = validateOnly(spark, args.dest)
+        println(s"referential integrity: $orphans orphans")
+        if (orphans != 0L) sys.exit(2) else return
+      }
       // reference parity: show the per-table plan, then confirm unless
       // --yes. A non-interactive stdin (null readLine) aborts rather
       // than assuming consent.

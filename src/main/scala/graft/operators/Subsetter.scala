@@ -815,6 +815,13 @@ object Subsetter {
       joined.agg(orphanCounts.head, orphanCounts.tail: _*)
         .select(expr(s"stack(${fks.size}, $stackArgs) AS (edge, orphans)"))
     }
-    perChild.reduce(_ union _).orderBy("edge")
+    // a PARTIAL table map can leave no edge with both sides present
+    // (e.g. `--validate` on a dest holding only a parentless slice):
+    // that's vacuously orphan-free, not a crash
+    if (perChild.isEmpty) {
+      val spark = tables.values.head.sparkSession
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("edge", "orphans")
+    } else perChild.reduce(_ union _).orderBy("edge")
   }
 }

@@ -104,6 +104,26 @@ class SubsetCliSpec extends SparkSpecBase {
       "partial dest must be re-closed, not assumed referentially complete")
   }
 
+  test("--validate mode parses; validateOnly audits a dest standalone") {
+    assert(SubsetCli.parse(Seq("/s", "/d", "0.1", "--validate")).validateOnly)
+    assert(!SubsetCli.parse(Seq("/s", "/d", "0.1")).validateOnly)
+    val dest = Files.createTempDirectory("graft-validate-only").toString
+    val src = "/root/testdata/sf0.001"
+    SubsetCli.run(spark, SubsetCli.parse(Seq(src, dest, "0.1")))
+    assert(SubsetCli.validateOnly(spark, dest) == 0L, "clean dest audits clean")
+    // inject an orphan: a lineitem row whose l_orderkey no order has
+    val orphanRow = spark.read.parquet(s"$dest/lineitem.parquet")
+      .limit(1).withColumn("l_orderkey", lit(999999999L))
+    orphanRow.write.mode("append").parquet(s"$dest/lineitem.parquet")
+    assert(SubsetCli.validateOnly(spark, dest) > 0L, "injected orphan detected")
+    // partial dest: still audits what's present, reports the rest
+    val partial = Files.createTempDirectory("graft-validate-partial").toString
+    spark.read.parquet(s"$dest/orders.parquet").write.parquet(s"$partial/orders.parquet")
+    // orders' FK edges need customer, which is missing -> only edges with
+    // both sides present are audited; no crash, total is 0
+    assert(SubsetCli.validateOnly(spark, partial) == 0L)
+  }
+
   test("subset sf0.001 -> destination parquet: RI holds on the written copy") {
     val dest = Files.createTempDirectory("graft-subset-dest").toString
     val args = SubsetCli.parse(Seq("/root/testdata/sf0.001", dest, "0.1",
