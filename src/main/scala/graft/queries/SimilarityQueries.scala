@@ -171,10 +171,12 @@ object SimilarityQueries {
         nTables = CosTables, planesPerTable = CosPlanes, dim = 64, minCos = CosTau)
       .orderBy("ida", "idb")
 
-  val dedupCosinePairsSql: String = {
-    // Mirror of lshBucket: per hash table t, bucket = Σ_j [fold(e·plane_{t*8+j}) > 0] << j
-    // with the exact planeComponent double literals (Double.toString
-    // round-trips, so DuckDB parses the identical IEEE value).
+  /** Shared CTE chain of the cosine near-dup pipeline (v, k, cand, s) —
+    * mirror of lshBucket: per hash table t, bucket = Σ_j
+    * [fold(e·plane_{t*8+j}) > 0] << j with the exact planeComponent
+    * double literals (Double.toString round-trips, so DuckDB parses the
+    * identical IEEE value). Used by the pairs query and the keeper. */
+  private def cosinePairsCtes: String = {
     def planeDot(j: Int): String =
       Det.sqlFoldChain(i => s"(e[$i] * ${SimilarityFunctions.planeComponent(j, i - 1)})", 64)
     def bucketExpr(t: Int): String =
@@ -187,7 +189,7 @@ object SimilarityQueries {
     val dot = Det.sqlFoldChain(i => s"(va.e[$i] * vb.e[$i])", 64)
     val na = Det.sqlFoldChain(i => s"(va.e[$i] * va.e[$i])", 64)
     val nb = Det.sqlFoldChain(i => s"(vb.e[$i] * vb.e[$i])", 64)
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |k AS (
        |  $tableSelects),
        |cand AS (
@@ -196,9 +198,65 @@ object SimilarityQueries {
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |s AS (
        |  SELECT ida, idb, $dot / (sqrt($na) * sqrt($nb)) AS score
-       |  FROM cand JOIN v va ON va.vec_id = ida JOIN v vb ON vb.vec_id = idb)
-       |SELECT ida, idb, score FROM s WHERE score >= $CosTau
-       |ORDER BY ida, idb""".stripMargin
+       |  FROM cand JOIN v va ON va.vec_id = ida JOIN v vb ON vb.vec_id = idb)""".stripMargin
+  }
+
+  val dedupCosinePairsSql: String =
+    "WITH " + cosinePairsCtes + "\n" +
+      s"""SELECT ida, idb, score FROM s WHERE score >= $CosTau
+         |ORDER BY ida, idb""".stripMargin
+
+  // --- dedup_cosine_keeper: keeper selection for the EMBEDDING modality
+  // The same post-grouping step dedup_keeper_quality runs for text,
+  // applied to vector near-dups: cosine pairs (the oracle-checked
+  // candidate-then-verify tier) → pointer-jumping components → keep the
+  // LARGEST-norm vector per multi-vec group (ties to the smallest
+  // vec_id) — "keep the most informative copy" for embeddings, with the
+  // norm computed as the same sequential fold both engines already
+  // hash-match in the cosine scores. Shuffles carry ids + one double.
+  def dedupCosineKeeper(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val pairs = SimilarityFunctions.cosineLshPairs(e,
+        nTables = CosTables, planesPerTable = CosPlanes, dim = 64, minCos = CosTau)
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val nodes = e.select(col("vec_id").as("id"))
+    val de = SimilarityFunctions.toDoubleArr(col("embedding"))
+    val withNorm = e.select(col("vec_id").as("id"),
+      SimilarityFunctions.dot(de, de).as("norm2"))
+    val comp = graft.operators.ConnectedComponents.components(nodes, pairs)
+      .join(withNorm, "id")
+    val byComp = Window.partitionBy("component")
+    val pick = Window.partitionBy("component")
+      .orderBy(col("norm2").desc, col("id"))
+    comp
+      .withColumn("n_vecs", count(lit(1)).over(byComp))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("n_vecs") >= 2 && col("rn") === 1)
+      .select(col("component"), col("id").as("keeper"), col("n_vecs"))
+      .orderBy("component")
+  }
+
+  val dedupCosineKeeperSql: String = {
+    val ne = Det.sqlFoldChain(i => s"(e[$i] * e[$i])", 64)
+    "WITH RECURSIVE " + cosinePairsCtes + ",\n" +
+      s"""pairs AS (SELECT ida, idb FROM s WHERE score >= $CosTau),
+         |edges AS (SELECT ida AS src, idb AS dst FROM pairs
+         |          UNION ALL SELECT idb, ida FROM pairs),
+         |reach(id, lab) AS (
+         |  SELECT vec_id, vec_id FROM v
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |norms AS (SELECT vec_id AS id, $ne AS norm2 FROM v),
+         |ranked AS (
+         |  SELECT c.component, c.id,
+         |    count(*) OVER (PARTITION BY c.component) AS n_vecs,
+         |    row_number() OVER (PARTITION BY c.component
+         |                       ORDER BY n.norm2 DESC, c.id) AS rn
+         |  FROM comp c JOIN norms n ON c.id = n.id)
+         |SELECT component, id AS keeper, n_vecs
+         |FROM ranked WHERE n_vecs >= 2 AND rn = 1
+         |ORDER BY component""".stripMargin
   }
 
   // --- edit-distance near-dup (banded candidates + exact verify) ------
@@ -682,6 +740,7 @@ object SimilarityQueries {
     "dedup_components" -> (dedupComponents _),
     "dedup_keeper_quality" -> (dedupKeeperQuality _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
+    "dedup_cosine_keeper" -> (dedupCosineKeeper _),
     "sim_topk_embeddings" -> (simTopkEmbeddings _),
     "sim_topk_native" -> (simTopkNative _),
     "dedup_minhash_docs" -> (dedupMinhashDocs _),
@@ -706,6 +765,7 @@ object SimilarityQueries {
     "dedup_components" -> dedupComponentsSql,
     "dedup_keeper_quality" -> dedupKeeperQualitySql,
     "dedup_cosine_pairs" -> dedupCosinePairsSql,
+    "dedup_cosine_keeper" -> dedupCosineKeeperSql,
     "sim_topk_embeddings" -> simTopkEmbeddingsSql,
     "sim_topk_native" -> simTopkEmbeddingsSql) // same oracle: bitwise-equal path
     // minhash/simhash/ann/hll: engine-specific hashes or sketches ->
