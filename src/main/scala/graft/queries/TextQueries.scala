@@ -377,6 +377,44 @@ object TextQueries {
        |FROM dedup WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  // --- text_quality_thresholds: per-language gate calibration ----------
+  // Operationalizes the quality features: exact p10/p50/p90 of the
+  // uniq-ratio and stopword-ratio per language — the numbers you read
+  // before setting a per-lang cleanup gate (a global threshold
+  // over-filters low-resource languages; per-lang quantiles are the
+  // standard fix). Exact `percentile` (not approx) so DuckDB's
+  // quantile_cont hash-matches bitwise (the agg_percentile_exact
+  // precedent). One map-side-combined groupBy on 5 language keys.
+  def qualityThresholds(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("lang"),
+        TextFunctions.uniqRatio(col("text")).as("uq"),
+        TextFunctions.stopwordRatio(col("text"), stop).as("sr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        expr("percentile(uq, 0.1)").as("uniq_p10"),
+        expr("percentile(uq, 0.5)").as("uniq_p50"),
+        expr("percentile(uq, 0.9)").as("uniq_p90"),
+        expr("percentile(sr, 0.5)").as("stop_p50"),
+        expr("percentile(sr, 0.9)").as("stop_p90"))
+      .orderBy("lang")
+
+  val qualityThresholdsSql: String = {
+    val t = "string_split(text, ' ')"
+    s"""WITH f AS (SELECT lang,
+       |  CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE) AS uq,
+       |  CAST(len(list_filter($t, w -> w IN ($stopSqlList))) AS DOUBLE)
+       |    / CAST(len($t) AS DOUBLE) AS sr
+       |  FROM documents)
+       |SELECT lang, count(*) AS docs,
+       |  quantile_cont(uq, 0.1) AS uniq_p10,
+       |  quantile_cont(uq, 0.5) AS uniq_p50,
+       |  quantile_cont(uq, 0.9) AS uniq_p90,
+       |  quantile_cont(sr, 0.5) AS stop_p50,
+       |  quantile_cont(sr, 0.9) AS stop_p90
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // --- pipeline_corpus_clean2: the FULL round-6 cleanup composition ----
   // Production order, one declarative plan: (1) canonicalize text
   // (lower/strip-punct/collapse-ws — merges the planted messy %9
@@ -837,6 +875,7 @@ object TextQueries {
     "text_tokens_top" -> (tokensTop _),
     "text_lang_stats" -> (langStats _),
     "text_quality" -> (quality _),
+    "text_quality_thresholds" -> (qualityThresholds _),
     "text_langid" -> (langid _),
     "text_fingerprint" -> (fingerprint _))
 
@@ -857,6 +896,7 @@ object TextQueries {
     "text_tokens_top" -> tokensTopSql,
     "text_lang_stats" -> langStatsSql,
     "text_quality" -> qualitySql,
+    "text_quality_thresholds" -> qualityThresholdsSql,
     "text_langid" -> langidSql,
     "text_fingerprint" -> fingerprintSql)
 }
