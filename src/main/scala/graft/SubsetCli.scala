@@ -90,19 +90,21 @@ object SubsetCli {
     * it — the reference's postcondition check as a standalone command
     * (e.g. after an interrupted run, before trusting a dest for delta
     * mode). Prints per-edge orphan counts for the tables present and
-    * returns the total; tables with no file are reported, since a
-    * partial dest cannot be assumed closed (see `run`'s guard). */
-  def validateOnly(spark: SparkSession, dest: String): Long = {
+    * returns (orphan total, missing tables). A PARTIAL dest can never
+    * audit as trustworthy: edges into the missing tables were never
+    * checked, so `main` exits non-zero even at 0 counted orphans —
+    * "0 orphans among what exists" is not "closed". */
+  def validateOnly(spark: SparkSession, dest: String): (Long, Seq[String]) = {
     val present = Catalog.tableNames
       .filter(t => new java.io.File(s"$dest/$t.parquet").exists()).toSet
-    val missing = Catalog.tableNames.filterNot(present)
+    val missing = Catalog.tableNames.filterNot(present).sorted
     if (missing.nonEmpty)
-      println(s"missing tables (dest is PARTIAL): ${missing.sorted.mkString(", ")}")
-    if (present.isEmpty) { println("empty destination"); return 0L }
+      println(s"missing tables (dest is PARTIAL — edges into these were NOT audited): ${missing.mkString(", ")}")
+    if (present.isEmpty) { println("empty destination"); return (0L, missing) }
     val byEdge = validateDest(spark, dest, present)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     byEdge.sortBy(_._1).foreach { case (e, n) => println(f"$e%-40s $n%8d orphans") }
-    byEdge.map(_._2).sum
+    (byEdge.map(_._2).sum, missing)
   }
 
   /** Pre-run plan: (table, source rows, target rows) for every included
@@ -196,9 +198,11 @@ object SubsetCli {
     spark.sparkContext.setLogLevel("WARN")
     try {
       if (args.validateOnly) {
-        val orphans = validateOnly(spark, args.dest)
+        val (orphans, missing) = validateOnly(spark, args.dest)
         println(s"referential integrity: $orphans orphans")
-        if (orphans != 0L) sys.exit(2) else return
+        if (orphans != 0L) sys.exit(2)
+        else if (missing.nonEmpty) sys.exit(3) // partial: NOT certified clean
+        else return
       }
       // reference parity: show the per-table plan, then confirm unless
       // --yes. A non-interactive stdin (null readLine) aborts rather

@@ -139,12 +139,18 @@ object Multimodal {
       val h = img.getHeight
       val head = java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h)
       md.update(head.array())
+      // bulk row reads: getRGB(0, y, w, 1, ...) returns the identical
+      // ARGB ints as per-pixel getRGB (same sRGB conversion) without
+      // paying a method call + bounds check per pixel — this loop is
+      // the operator's hot path at media scale
+      val rgbRow = new Array[Int](w)
       val row = java.nio.ByteBuffer.allocate(4 * w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rgbRow, 0, w)
         row.clear()
         var x = 0
-        while (x < w) { row.putInt(img.getRGB(x, y)); x += 1 }
+        while (x < w) { row.putInt(rgbRow(x)); x += 1 }
         md.update(row.array())
         y += 1
       }

@@ -804,10 +804,14 @@ object Subsetter {
           .reduce(_ && _)
         joined = joined.join(parent, cond, "left_outer")
       }
+      // coalesce: sum over an EMPTY child table is NULL, and a damaged
+      // dest with a zero-row parquet is exactly what `--validate`
+      // audits — report 0 orphans, don't NPE downstream getLong calls
       val orphanCounts = fks.zipWithIndex.map { case (fk, i) =>
-        sum(when(
+        coalesce(sum(when(
           fk.childCols.map(col(_).isNotNull).reduce(_ && _) &&
-            col(s"__p${i}_${fk.parentCols.head}").isNull, 1L).otherwise(0L))
+            col(s"__p${i}_${fk.parentCols.head}").isNull, 1L).otherwise(0L)),
+          lit(0L))
           .as(s"__o$i")
       }
       val stackArgs = fks.zipWithIndex

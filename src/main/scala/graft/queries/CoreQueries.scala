@@ -382,8 +382,23 @@ object CoreQueries {
     private def sfDirName(dir: String): String =
       new java.io.File(dir).getName
     private val done = scala.collection.mutable.Set[String]()
+    // dump files are keyed by BASENAME (the oracle SQL pins static
+    // paths), so two distinct dirs sharing a basename in one session
+    // would silently clobber and cross-read each other's dumps — make
+    // that loud instead
+    private val byBasename = scala.collection.mutable.Map[String, String]()
+    private def claimBasename(dir: String): Unit = {
+      val bn = sfDirName(dir)
+      byBasename.get(bn) match {
+        case Some(prev) if prev != dir => throw new IllegalStateException(
+          s"subset dump basename collision: '$bn' already dumped from $prev, " +
+            s"refusing to overwrite with $dir")
+        case _ => byBasename(bn) = dir
+      }
+    }
     def ensure(s: SparkSession, dir: String): Unit = synchronized {
       if (done.contains(dir)) return
+      claimBasename(dir)
       val counts = Catalog.tableNames.map(t =>
         t -> graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")).toMap
       val out = Subsetter.subset(Catalog.load(s, dir), FkGraph.default,
@@ -489,8 +504,20 @@ object CoreQueries {
     private def sfDirName(dir: String): String =
       new java.io.File(dir).getName
     private val done = scala.collection.mutable.Set[String]()
+    // same basename-collision guard as SubsetDump, same reason
+    private val byBasename = scala.collection.mutable.Map[String, String]()
+    private def claimBasename(dir: String): Unit = {
+      val bn = sfDirName(dir)
+      byBasename.get(bn) match {
+        case Some(prev) if prev != dir => throw new IllegalStateException(
+          s"delta dump basename collision: '$bn' already dumped from $prev, " +
+            s"refusing to overwrite with $dir")
+        case _ => byBasename(bn) = dir
+      }
+    }
     def ensure(s: SparkSession, dir: String): Unit = synchronized {
       if (done.contains(dir)) return
+      claimBasename(dir)
       val sf = sfDirName(dir)
       val counts = Catalog.tableNames.map(t =>
         t -> graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")).toMap

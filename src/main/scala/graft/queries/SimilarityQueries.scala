@@ -541,16 +541,29 @@ object SimilarityQueries {
   // a raw-text groupBy would merge none of them (spec-asserted).
   // Scale shape: normalization is a scan-local codegen'd projection;
   // the one shuffle carries the 16-byte md5 digest, not the text.
-  def dedupExactNormalized(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val messy = d.filter(col("doc_id") % 9 === 0)
+  /** The planted messy rendering + the canonicalization that undoes it —
+    * shared by dedup_exact_normalized and pipeline_corpus_clean2 (and
+    * mirrored by the [[messyTextSql]]/[[canonicalTextSql]] snippets) so
+    * the two queries can never silently fork their normalization. */
+  private[graft] def messyVariants(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 9 === 0)
       .withColumn("doc_id", col("doc_id") + lit(3000000L))
       .withColumn("text",
         concat(regexp_replace(upper(col("text")), " ", "  "), lit(" !!")))
-    val norm = trim(regexp_replace(
+
+  private[graft] def canonicalText: org.apache.spark.sql.Column =
+    trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    d.union(messy)
-      .select(col("doc_id"), md5(norm).as("norm_md5"))
+
+  private[graft] val messyTextSql: String =
+    "replace(upper(text), ' ', '  ') || ' !!'"
+  private[graft] val canonicalTextSql: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  def dedupExactNormalized(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.union(messyVariants(d))
+      .select(col("doc_id"), md5(canonicalText).as("norm_md5"))
       .groupBy("norm_md5")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .filter(col("dup_cnt") > 1)
@@ -559,18 +572,15 @@ object SimilarityQueries {
   }
 
   val dedupExactNormalizedSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 3000000, replace(upper(text), ' ', '  ') || ' !!'
-      |  FROM documents WHERE doc_id % 9 = 0),
-      |n AS (SELECT doc_id,
-      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-      |           ' +', ' ', 'g'))) AS norm_md5
-      |  FROM d)
-      |SELECT norm_md5, min(doc_id) AS keep_id, count(*) AS dup_cnt
-      |FROM n GROUP BY norm_md5 HAVING count(*) > 1
-      |ORDER BY keep_id""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, $messyTextSql
+       |  FROM documents WHERE doc_id % 9 = 0),
+       |n AS (SELECT doc_id, md5($canonicalTextSql) AS norm_md5 FROM d)
+       |SELECT norm_md5, min(doc_id) AS keep_id, count(*) AS dup_cnt
+       |FROM n GROUP BY norm_md5 HAVING count(*) > 1
+       |ORDER BY keep_id""".stripMargin
 
   // --- dedup_paragraphs: sub-document (paragraph) dedup ---------------
   // Boilerplate paragraphs repeat ACROSS documents whose full texts are

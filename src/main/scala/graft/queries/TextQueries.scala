@@ -432,14 +432,12 @@ object TextQueries {
 
   def corpusClean2(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val messy = d.filter(col("doc_id") % 9 === 0)
-      .withColumn("doc_id", col("doc_id") + lit(3000000L))
-      .withColumn("text",
-        concat(regexp_replace(upper(col("text")), " ", "  "), lit(" !!")))
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    val canon = d.union(messy)
-      .select(col("doc_id"), col("lang"), norm.as("text"))
+    // plant + canonicalization SHARED with dedup_exact_normalized
+    // (SimilarityQueries.messyVariants/canonicalText) — stage 1/2 of
+    // this pipeline and the standalone dedup can never drift apart
+    val canon = d.union(SimilarityQueries.messyVariants(d))
+      .select(col("doc_id"), col("lang"),
+        SimilarityQueries.canonicalText.as("text"))
     val wD = org.apache.spark.sql.expressions.Window
       .partitionBy(col("norm_md5")).orderBy(col("doc_id"))
     val deduped = canon.withColumn("norm_md5", md5(col("text")))
@@ -479,12 +477,10 @@ object TextQueries {
     s"""WITH all_docs AS (
        |  SELECT doc_id, lang, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 3000000, lang, replace(upper(text), ' ', '  ') || ' !!'
+       |  SELECT doc_id + 3000000, lang, ${SimilarityQueries.messyTextSql}
        |  FROM documents WHERE doc_id % 9 = 0
        |), canon AS (
-       |  SELECT doc_id, lang,
-       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-       |         ' +', ' ', 'g')) AS text
+       |  SELECT doc_id, lang, ${SimilarityQueries.canonicalTextSql} AS text
        |  FROM all_docs
        |), dd AS (
        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -501,34 +497,20 @@ object TextQueries {
        |  SELECT doc_id, lang, text, n_tokens FROM withm
        |  WHERE n_tokens >= $CleanMinTokens AND uniq_ratio >= $CleanMinUniq
        |    AND (CASE $caseChain ELSE 'und' END) = lang
-       |), d2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-       |tr AS (SELECT l FROM d2 WHERE doc_id % 10 = 0),
-       |v AS (SELECT count(DISTINCT w) AS nv FROM (SELECT unnest(l) AS w FROM tr)),
-       |tbg AS (SELECT l[i] || ' ' || l[i+1] AS b
-       |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
-       |              FROM tr WHERE len(l) >= 2)),
-       |c2 AS (SELECT b, count(*) AS c FROM tbg GROUP BY 1),
-       |c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c
-       |       FROM c2 GROUP BY 1),
-       |kl AS (SELECT doc_id, string_split(text, ' ') AS l FROM kept),
-       |pairs AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b, l[i] AS w1
-       |          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
-       |                FROM kl WHERE len(l) >= 2)),
-       |terms AS (SELECT p.doc_id,
-       |    CAST(round(ln((COALESCE(c2.c, 0) + 1.0) /
-       |                  (COALESCE(c1.c, 0) + v.nv)) * 1000000, 0) AS BIGINT) AS q
-       |  FROM pairs p
-       |  LEFT JOIN c2 ON p.b = c2.b
-       |  LEFT JOIN c1 ON p.w1 = c1.w1
-       |  CROSS JOIN v),
-       |agg AS (SELECT doc_id, count(*) AS n_pairs,
-       |          CAST(-sum(q) AS BIGINT) AS nll_q6 FROM terms GROUP BY 1),
-       |ppl AS (
-       |  SELECT k.doc_id, k.lang, k.text, k.n_tokens, a.nll_q6
-       |  FROM kept k JOIN agg a ON k.doc_id = a.doc_id
-       |  WHERE a.nll_q6 <= $PplGateQ6 * a.n_pairs
-       |), d AS (SELECT doc_id, string_split(text, ' ') AS l FROM ppl),
+       |),
        |""".stripMargin +
+      lmTrainCtes + ",\n" +
+      """kl AS (SELECT doc_id, string_split(text, ' ') AS l FROM kept),
+        |pairs AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b, l[i] AS w1
+        |          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+        |                FROM kl WHERE len(l) >= 2)),""".stripMargin + "\n" +
+      lmScoreCtes + ",\n" +
+      s"""ppl AS (
+         |  SELECT k.doc_id, k.lang, k.text, k.n_tokens, a.nll_q6
+         |  FROM kept k JOIN agg a ON k.doc_id = a.doc_id
+         |  WHERE a.nll_q6 <= $PplGateQ6 * a.n_pairs
+         |), d AS (SELECT doc_id, string_split(text, ' ') AS l FROM ppl),
+         |""".stripMargin +
       SimilarityQueries.paragraphedTextSqlCtes + ",\n" +
       """r AS (SELECT *, row_number() OVER (PARTITION BY para_md5
         |                                   ORDER BY doc_id, para_no) AS prn FROM x),
@@ -793,27 +775,48 @@ object TextQueries {
   // an exact BIGINT (round(ln(p)·10⁶)) BEFORE summing, so the per-doc
   // sum is order-independent and hash-matches DuckDB exactly; ln is the
   // only transcendental (the text_bm25_topk precedent).
+  /** Memoized bigram-LM training artifacts per corpus dir: the two
+    * count maps + vocab size are a driver-side constant of the corpus
+    * slice, and the queries composing the score (text_perplexity,
+    * pipeline_corpus_clean2, each × bench passes) must not re-run the
+    * two training jobs per invocation — the same once-per-session rule
+    * the subset audits follow via SubsetDump/DeltaDump. */
+  private val lmCache =
+    scala.collection.mutable.Map[String, (Map[String, Long], Map[String, Long], Long)]()
+
+  private def lmCounts(s: SparkSession, dir: String)
+      : (Map[String, Long], Map[String, Long], Long) = lmCache.synchronized {
+    lmCache.getOrElseUpdate(dir, {
+      val toks = split(col("text"), " ")
+      val bigramsCol = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", slice(toks, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+      val train = docs(s, dir).filter(col("doc_id") % 10 === 0)
+      val c2 = train.select(explode(bigramsCol).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val c1 = c2.groupBy(_._1.takeWhile(_ != ' '))
+        .map { case (w, m) => w -> m.map(_._2).sum }
+      val vocabN = train.select(explode(toks).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      (c2.toMap, c1.toMap, vocabN)
+    })
+  }
+
   /** The (n_pairs, nll_q6) scoring columns of the bigram LM, trained on
     * the every-10th-doc slice of `dir`'s RAW corpus. Applicable to any
     * DataFrame with a `text` column (the pipeline composition scores
     * canonicalized survivors with the same model). */
   private def perplexityCols(s: SparkSession, dir: String)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
-    val d = docs(s, dir)
     val toks = split(col("text"), " ")
     val bigramsCol = when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", slice(toks, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
-    val train = d.filter(col("doc_id") % 10 === 0)
-    val c2 = train.select(explode(bigramsCol).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val c1 = c2.groupBy(_._1.takeWhile(_ != ' '))
-      .map { case (w, m) => w -> m.map(_._2).sum }
-    val vocabN = train.select(explode(toks).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0)
-    val bgMap = typedlit(c2.toMap)
+    val (c2, c1, vocabN) = lmCounts(s, dir)
+    val bgMap = typedlit(c2)
     val w1Map = typedlit(c1)
     val nll = aggregate(bigramsCol, lit(0L), (acc, b) => {
       val cbg = coalesce(element_at(bgMap, b), lit(0L))
@@ -831,20 +834,25 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val perplexitySql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |tr AS (SELECT l FROM d WHERE doc_id % 10 = 0),
+  /** Shared DuckDB CTEs of the bigram LM — training (d2/tr/v/tbg/c2/c1,
+    * always on the RAW corpus slice) and scoring (terms/agg over a
+    * `pairs` CTE the caller defines). text_perplexity and
+    * pipeline_corpus_clean2 both splice these, so the two oracles can
+    * never fork the model. Built by concatenation at the use sites —
+    * nesting stripMargin blocks would strip the `||` operators. */
+  private def lmTrainCtes: String =
+    """d2 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tr AS (SELECT l FROM d2 WHERE doc_id % 10 = 0),
       |v AS (SELECT count(DISTINCT w) AS nv FROM (SELECT unnest(l) AS w FROM tr)),
       |tbg AS (SELECT l[i] || ' ' || l[i+1] AS b
       |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
       |              FROM tr WHERE len(l) >= 2)),
       |c2 AS (SELECT b, count(*) AS c FROM tbg GROUP BY 1),
       |c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c
-      |       FROM c2 GROUP BY 1),
-      |pairs AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b, l[i] AS w1
-      |          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
-      |                FROM d WHERE len(l) >= 2)),
-      |terms AS (SELECT p.doc_id,
+      |       FROM c2 GROUP BY 1)""".stripMargin
+
+  private def lmScoreCtes: String =
+    """terms AS (SELECT p.doc_id,
       |    CAST(round(ln((COALESCE(c2.c, 0) + 1.0) /
       |                  (COALESCE(c1.c, 0) + v.nv)) * 1000000, 0) AS BIGINT) AS q
       |  FROM pairs p
@@ -852,11 +860,18 @@ object TextQueries {
       |  LEFT JOIN c1 ON p.w1 = c1.w1
       |  CROSS JOIN v),
       |agg AS (SELECT doc_id, count(*) AS n_pairs,
-      |          CAST(-sum(q) AS BIGINT) AS nll_q6 FROM terms GROUP BY 1)
-      |SELECT d.doc_id, COALESCE(a.n_pairs, 0) AS n_pairs,
-      |  COALESCE(a.nll_q6, 0) AS nll_q6
-      |FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |          CAST(-sum(q) AS BIGINT) AS nll_q6 FROM terms GROUP BY 1)""".stripMargin
+
+  val perplexitySql: String =
+    "WITH " + lmTrainCtes + ",\n" +
+      """pairs AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b, l[i] AS w1
+        |          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+        |                FROM d2 WHERE len(l) >= 2)),""".stripMargin + "\n" +
+      lmScoreCtes + "\n" +
+      """SELECT d2.doc_id, COALESCE(a.n_pairs, 0) AS n_pairs,
+        |  COALESCE(a.nll_q6, 0) AS nll_q6
+        |FROM d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
+        |ORDER BY d2.doc_id""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_stats" -> (domainStats _),

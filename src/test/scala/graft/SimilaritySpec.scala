@@ -91,15 +91,18 @@ class SimilaritySpec extends SparkSpecBase {
     // p < 5e-8. A pair in [0.4, 0.8) would make that mapping
     // probabilistic (band-miss ~13% at j=0.5) — if corpus drift ever
     // introduces one, THIS test fails deterministically instead of the
-    // driver's oracle failing intermittently. (Measured: min qualifying
-    // j is 0.889 at sf0.001, 0.90 at sf0.01, 0.80 at sf0.1.)
-    val dir = "/root/testdata/sf0.001"
-    val docs = graft.Catalog.table(spark, dir, "documents")
-    val minJ = jaccardPairsNgram(docs, 3, 0.4)
-      .agg(min($"jaccard")).as[Double].head()
-    assert(minJ >= 0.8,
-      s"qualifying pair at j=$minJ < 0.8: the shared-oracle mapping for " +
-        "the banded tier is no longer deterministic — re-derive thresholds")
+    // driver's oracle failing intermittently. Pinned at EVERY SF the
+    // gates run on — sf0.01 is the driver's oracle SF and sf0.1 the
+    // bench SF, so drift at either must fail here, not there.
+    // (Measured: min qualifying j is 0.889 / 0.90 / 0.80.)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = graft.Catalog.table(spark, s"/root/testdata/$sf", "documents")
+      val minJ = jaccardPairsNgram(docs, 3, 0.4)
+        .agg(min($"jaccard")).as[Double].head()
+      assert(minJ >= 0.8,
+        s"$sf: qualifying pair at j=$minJ < 0.8: the shared-oracle mapping " +
+          "for the banded tier is no longer deterministic — re-derive thresholds")
+    }
   }
 
   test("jaccardPairsNgram: near-dup scores high, same-topic reorder scores zero") {

@@ -110,18 +110,27 @@ class SubsetCliSpec extends SparkSpecBase {
     val dest = Files.createTempDirectory("graft-validate-only").toString
     val src = "/root/testdata/sf0.001"
     SubsetCli.run(spark, SubsetCli.parse(Seq(src, dest, "0.1")))
-    assert(SubsetCli.validateOnly(spark, dest) == 0L, "clean dest audits clean")
+    assert(SubsetCli.validateOnly(spark, dest) == ((0L, Nil)), "clean dest audits clean")
     // inject an orphan: a lineitem row whose l_orderkey no order has
     val orphanRow = spark.read.parquet(s"$dest/lineitem.parquet")
       .limit(1).withColumn("l_orderkey", lit(999999999L))
     orphanRow.write.mode("append").parquet(s"$dest/lineitem.parquet")
-    assert(SubsetCli.validateOnly(spark, dest) > 0L, "injected orphan detected")
-    // partial dest: still audits what's present, reports the rest
+    assert(SubsetCli.validateOnly(spark, dest)._1 > 0L, "injected orphan detected")
+    // partial dest: audits what's present WITHOUT crashing, but reports
+    // the missing tables — main turns that into a non-zero exit, because
+    // "0 orphans among what exists" does not certify closure
     val partial = Files.createTempDirectory("graft-validate-partial").toString
     spark.read.parquet(s"$dest/orders.parquet").write.parquet(s"$partial/orders.parquet")
-    // orders' FK edges need customer, which is missing -> only edges with
-    // both sides present are audited; no crash, total is 0
-    assert(SubsetCli.validateOnly(spark, partial) == 0L)
+    val (orphans, missing) = SubsetCli.validateOnly(spark, partial)
+    assert(orphans == 0L && missing.nonEmpty)
+    // a present-but-EMPTY table (zero-row parquet from a crashed write)
+    // audits as 0 orphans for its edges, not an NPE
+    val withEmpty = Files.createTempDirectory("graft-validate-empty").toString
+    for (t <- Catalog.tableNames)
+      spark.read.parquet(s"$dest/$t.parquet").write.parquet(s"$withEmpty/$t.parquet")
+    spark.read.parquet(s"$dest/lineitem.parquet").filter(lit(false))
+      .write.mode("overwrite").parquet(s"$withEmpty/lineitem.parquet")
+    assert(SubsetCli.validateOnly(spark, withEmpty)._1 >= 0L, "empty table must not crash the audit")
   }
 
   test("subset sf0.001 -> destination parquet: RI holds on the written copy") {
