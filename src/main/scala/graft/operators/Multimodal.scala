@@ -62,11 +62,15 @@ object Multimodal {
       val channels = img.getColorModel.getNumComponents
       val hist = new Array[Long](16)
       var sum = 0L
+      // bulk row reads (identical ARGB ints to per-pixel getRGB, same
+      // sRGB conversion) — the decode loop is per-partition hot path
+      val rgbRow = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rgbRow, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = rgbRow(x)
           val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
           hist(gray >> 4) += 1
           sum += gray
