@@ -428,7 +428,7 @@ object TextQueries {
   // Shuffle ledger at scale: digest window + paragraph digest window +
   // doc_id reassembly — three keyed shuffles for a five-stage pipeline;
   // the gates and scoring ride the scan.
-  private val PplGateQ6 = 3700000L
+  private[graft] val PplGateQ6 = 3700000L
 
   def corpusClean2(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -808,7 +808,7 @@ object TextQueries {
     * the every-10th-doc slice of `dir`'s RAW corpus. Applicable to any
     * DataFrame with a `text` column (the pipeline composition scores
     * canonicalized survivors with the same model). */
-  private def perplexityCols(s: SparkSession, dir: String)
+  private[graft] def perplexityCols(s: SparkSession, dir: String)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val toks = split(col("text"), " ")
     val bigramsCol = when(size(toks) >= 2,

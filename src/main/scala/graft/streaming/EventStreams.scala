@@ -439,6 +439,48 @@ object EventStreams {
       .dropDuplicates("text")
       .select("doc_id", "lang", "text", "n_tokens", "uniq_ratio")
 
+  /** Streaming twin of pipeline_corpus_clean2's GATE CHAIN — stages 1–4
+    * on ingest: canonicalize (scan-local, shared messyVariants/
+    * canonicalText so the plant and normalization are the batch
+    * pipeline's own), normalized exact dedup (stateful dropDuplicates
+    * on the 16-byte digest), quality gates (scan-local), and the
+    * bigram-LM perplexity gate (the literal count maps are built once,
+    * batch-side, at plan construction — streaming rows score
+    * scan-locally with zero state). The batch dedup keeps the MIN
+    * doc_id per digest; a stream keeps the FIRST ARRIVAL — same
+    * survivor TEXT set, keeper id may differ — so the parity spec
+    * compares norm_md5 sets (the streamCorpusClean precedent). The
+    * paragraph stage is the separate streamParagraphSurvivors twin:
+    * its global-first window is the keyed digest state there. */
+  def streamCorpusClean2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val canon = docs.union(graft.queries.SimilarityQueries.messyVariants(docs))
+      .select(col("doc_id"), col("lang"),
+        graft.queries.SimilarityQueries.canonicalText.as("text"))
+      .withColumn("norm_md5", md5(col("text")))
+      .dropDuplicates("norm_md5")
+    val (nPairs, nll) = graft.queries.TextQueries.perplexityCols(spark, dir)
+    graft.queries.TextQueries.cleanKept(canon)
+      .withColumn("n_pairs", nPairs)
+      .withColumn("nll_q6", nll)
+      .filter(col("nll_q6") <= lit(graft.queries.TextQueries.PplGateQ6) * col("n_pairs"))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("norm_md5"),
+        col("n_tokens"), col("nll_q6"))
+  }
+
+  def startCorpusClean2ToMemory(spark: SparkSession, dir: String,
+                                name: String): StreamingQuery =
+    streamCorpusClean2(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def startCorpusCleanToMemory(spark: SparkSession, dir: String,
                                name: String): StreamingQuery =
     streamCorpusClean(spark, dir)

@@ -106,6 +106,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.toSet == batchKept)
   }
 
+  test("streaming cleanup v2 gate chain (canon+dedup+gates+LM) == batch survivor set") {
+    val q = EventStreams.startCorpusClean2ToMemory(spark, dir, "t_clean2")
+    q.awaitTermination()
+    // keeper ids can differ (first-arrival vs min-id) — compare the
+    // canonical-digest survivor sets
+    val streamed = spark.sql("SELECT norm_md5 FROM t_clean2")
+      .collect().map(_.getString(0)).toSet
+    // batch comparator: stages 1-4 of pipeline_corpus_clean2, built
+    // from the SAME shared pieces
+    val d = graft.Catalog.table(spark, dir, "documents")
+    val canon = d.union(graft.queries.SimilarityQueries.messyVariants(d))
+      .select(col("doc_id"), col("lang"),
+        graft.queries.SimilarityQueries.canonicalText.as("text"))
+      .withColumn("norm_md5", md5(col("text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm_md5")).orderBy(col("doc_id"))
+    val deduped = canon.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val (nPairs, nll) = graft.queries.TextQueries.perplexityCols(spark, dir)
+    val batch = graft.queries.TextQueries.cleanKept(deduped)
+      .withColumn("n_pairs", nPairs).withColumn("nll_q6", nll)
+      .filter(col("nll_q6") <= lit(graft.queries.TextQueries.PplGateQ6) * col("n_pairs"))
+      .select(md5(col("text")).as("norm_md5"))
+      .collect().map(_.getString(0)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streaming gate-chain survivors must equal the batch pipeline's stage-4 set")
+  }
+
   test("streaming minhash near-dup (keyed bucket state) == batch LSH pairs") {
     val q = EventStreams.startNearDupToMemory(spark, dir, "t_neardup")
     q.awaitTermination()
