@@ -311,8 +311,8 @@ object TextQueries {
   // deterministic integer/double arithmetic, so the WHOLE pipeline is
   // DuckDB-oracle-checked, not just its pieces. Scan-local until the
   // dedup window — one shuffle total.
-  private val CleanMinTokens = 24
-  private val CleanMinUniq = 0.35
+  private[graft] val CleanMinTokens = 24
+  private[graft] val CleanMinUniq = 0.35
   private val LangOrder = Seq("en", "de", "es", "fr", "zh")
 
   /** The cleanup gates (token floor, uniq ratio, langid agreement) as a
@@ -430,7 +430,12 @@ object TextQueries {
   // the gates and scoring ride the scan.
   private[graft] val PplGateQ6 = 3700000L
 
-  def corpusClean2(s: SparkSession, dir: String): DataFrame = {
+  /** Stages 1–4 of the v2 cleanup (plant+canonicalize → normalized
+    * dedup with the batch min-doc_id keeper → quality gates → LM
+    * perplexity gate) as the ONE batch implementation — used by
+    * [[corpusClean2]] and by StreamingSpec's parity comparator, so the
+    * spec checks the stream against the pipeline itself, not a copy. */
+  private[graft] def clean2GateSurvivors(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     // plant + canonicalization SHARED with dedup_exact_normalized
     // (SimilarityQueries.messyVariants/canonicalText) — stage 1/2 of
@@ -444,10 +449,14 @@ object TextQueries {
       .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
       .select("doc_id", "lang", "text")
     val (nPairs, nll) = perplexityCols(s, dir)
-    val gated = cleanKept(deduped)
+    cleanKept(deduped)
       .withColumn("n_pairs", nPairs)
       .withColumn("nll_q6", nll)
       .filter(col("nll_q6") <= lit(PplGateQ6) * col("n_pairs"))
+  }
+
+  def corpusClean2(s: SparkSession, dir: String): DataFrame = {
+    val gated = clean2GateSurvivors(s, dir)
     val exploded = gated
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("nll_q6"),
         posexplode(split(SimilarityQueries.paragraphedText, "\n\n"))

@@ -446,27 +446,39 @@ object EventStreams {
     * on the 16-byte digest), quality gates (scan-local), and the
     * bigram-LM perplexity gate (the literal count maps are built once,
     * batch-side, at plan construction — streaming rows score
-    * scan-locally with zero state). The batch dedup keeps the MIN
-    * doc_id per digest; a stream keeps the FIRST ARRIVAL — same
-    * survivor TEXT set, keeper id may differ — so the parity spec
+    * scan-locally with zero state). The TEXT-ONLY gates (token floor,
+    * uniq ratio — pure functions of the dedup key's text, identical for
+    * every row of a digest group) run BEFORE the stateful dedup, so
+    * state holds one entry per distinct SURVIVING digest, not per
+    * distinct raw digest — gates-before-state, the streamCorpusClean
+    * design point. The langid gate must stay post-dedup (it reads the
+    * keeper's `lang` label). Keeper caveat: batch keeps the MIN doc_id
+    * per digest, a stream keeps the FIRST ARRIVAL — same survivor
+    * TEXT set PROVIDED `lang` is constant within each digest group
+    * (else the post-dedup lang gate becomes keeper-dependent); that
+    * fixture property is pinned in the parity spec, and the spec
     * compares norm_md5 sets (the streamCorpusClean precedent). The
     * paragraph stage is the separate streamParagraphSurvivors twin:
     * its global-first window is the keyed digest state there. */
   def streamCorpusClean2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.{SimilarityQueries, TextQueries}
     val docs = spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-    val canon = docs.union(graft.queries.SimilarityQueries.messyVariants(docs))
+    val canon = docs.union(SimilarityQueries.messyVariants(docs))
       .select(col("doc_id"), col("lang"),
-        graft.queries.SimilarityQueries.canonicalText.as("text"))
+        SimilarityQueries.canonicalText.as("text"))
+      .filter(
+        graft.functions.TextFunctions.tokenCount(col("text")) >= TextQueries.CleanMinTokens &&
+        graft.functions.TextFunctions.uniqRatio(col("text")) >= TextQueries.CleanMinUniq)
       .withColumn("norm_md5", md5(col("text")))
       .dropDuplicates("norm_md5")
-    val (nPairs, nll) = graft.queries.TextQueries.perplexityCols(spark, dir)
-    graft.queries.TextQueries.cleanKept(canon)
+    val (nPairs, nll) = TextQueries.perplexityCols(spark, dir)
+    TextQueries.cleanKept(canon)
       .withColumn("n_pairs", nPairs)
       .withColumn("nll_q6", nll)
-      .filter(col("nll_q6") <= lit(graft.queries.TextQueries.PplGateQ6) * col("n_pairs"))
+      .filter(col("nll_q6") <= lit(TextQueries.PplGateQ6) * col("n_pairs"))
       .select(col("doc_id"), col("lang"), md5(col("text")).as("norm_md5"),
         col("n_tokens"), col("nll_q6"))
   }

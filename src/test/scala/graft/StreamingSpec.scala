@@ -109,29 +109,33 @@ class StreamingSpec extends SparkSpecBase {
   test("streaming cleanup v2 gate chain (canon+dedup+gates+LM) == batch survivor set") {
     val q = EventStreams.startCorpusClean2ToMemory(spark, dir, "t_clean2")
     q.awaitTermination()
-    // keeper ids can differ (first-arrival vs min-id) — compare the
-    // canonical-digest survivor sets
-    val streamed = spark.sql("SELECT norm_md5 FROM t_clean2")
-      .collect().map(_.getString(0)).toSet
-    // batch comparator: stages 1-4 of pipeline_corpus_clean2, built
-    // from the SAME shared pieces
-    val d = graft.Catalog.table(spark, dir, "documents")
-    val canon = d.union(graft.queries.SimilarityQueries.messyVariants(d))
-      .select(col("doc_id"), col("lang"),
-        graft.queries.SimilarityQueries.canonicalText.as("text"))
-      .withColumn("norm_md5", md5(col("text")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("norm_md5")).orderBy(col("doc_id"))
-    val deduped = canon.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    val (nPairs, nll) = graft.queries.TextQueries.perplexityCols(spark, dir)
-    val batch = graft.queries.TextQueries.cleanKept(deduped)
-      .withColumn("n_pairs", nPairs).withColumn("nll_q6", nll)
-      .filter(col("nll_q6") <= lit(graft.queries.TextQueries.PplGateQ6) * col("n_pairs"))
+    val collected = spark.sql("SELECT norm_md5 FROM t_clean2")
+      .collect().map(_.getString(0))
+    // the stateful dedup must emit each surviving digest exactly once
+    assert(collected.toSet.size == collected.length,
+      "stream emitted a duplicate digest — dedup state regressed")
+    val streamed = collected.toSet
+    // batch comparator: THE pipeline's own stage-1-4 helper (the same
+    // code corpusClean2 composes), not a re-implementation — keeper ids
+    // can differ (first-arrival vs min-id), so compare digest sets
+    val batch = graft.queries.TextQueries.clean2GateSurvivors(spark, dir)
       .select(md5(col("text")).as("norm_md5"))
       .collect().map(_.getString(0)).toSet
     assert(streamed.nonEmpty)
     assert(streamed == batch,
       "streaming gate-chain survivors must equal the batch pipeline's stage-4 set")
+    // fixture property the keeper-independence of the lang gate relies
+    // on: no canonical-digest group spans documents with different lang
+    // labels (if one ever does, first-arrival vs min-id keepers would
+    // gate differently and parity would fail nondeterministically)
+    val d = graft.Catalog.table(spark, dir, "documents")
+    val crossLang = d.union(graft.queries.SimilarityQueries.messyVariants(d))
+      .select(md5(graft.queries.SimilarityQueries.canonicalText).as("norm_md5"), col("lang"))
+      .groupBy("norm_md5").agg(countDistinct(col("lang")).as("n_langs"))
+      .filter(col("n_langs") > 1).count()
+    assert(crossLang == 0L,
+      "a digest group spans languages: the stream's post-dedup lang gate " +
+        "is keeper-dependent — parity contract needs re-deriving")
   }
 
   test("streaming minhash near-dup (keyed bucket state) == batch LSH pairs") {
