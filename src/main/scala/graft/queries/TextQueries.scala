@@ -14,6 +14,13 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Catalog.table(s, dir, "documents")
 
+  /** Hard bound on the bigram table the LM trainer ever holds (see the
+    * text_perplexity section). Declared first: the oracle-SQL vals
+    * splice it at object-init time, so it must precede every `...Sql`
+    * val in declaration order — `final` + literal also lets the
+    * compiler constant-fold it. */
+  private[graft] final val LmVocabCap = 50000
+
   private val stop = Seq("a", "the", "of", "and", "to", "in")
   private val stopSqlList = stop.map(w => s"'$w'").mkString(", ")
 
@@ -773,29 +780,61 @@ object TextQueries {
   // The standard model-based corpus-quality filter: a word-bigram
   // language model with add-one smoothing is trained on a corpus slice
   // (every 10th doc), and every document is scored by its negative
-  // log-likelihood under that model. Training counts collapse to at
-  // most |vocab|² rows (the fixture vocabulary is ~31 words; real
-  // corpora bound this with count pruning), so they collect to the
-  // driver and re-enter the plan as LITERAL maps — the broadcast
-  // pattern of the IVF centroids — making scoring a pure scan-local
+  // log-likelihood under that model. The bigram table is pruned to the
+  // top-LmVocabCap entries by count (one TakeOrderedAndProject; misses
+  // fall through to add-one backoff), so what reaches the driver is
+  // bounded regardless of corpus size and re-enters the plan as
+  // LITERAL maps — the broadcast pattern of the IVF centroids —
+  // making scoring a pure scan-local
   // projection: per-doc bigrams via a codegen'd HOF, two map lookups
   // per bigram, zero joins, zero corpus shuffle (PlanQualitySpec).
   // Determinism per SURVEY §7: each bigram's log-prob is quantized to
   // an exact BIGINT (round(ln(p)·10⁶)) BEFORE summing, so the per-doc
   // sum is order-independent and hash-matches DuckDB exactly; ln is the
   // only transcendental (the text_bm25_topk precedent).
-  /** Memoized bigram-LM training artifacts per corpus dir: the two
-    * count maps + vocab size are a driver-side constant of the corpus
-    * slice, and the queries composing the score (text_perplexity,
+  /** Hard bound on the bigram table the driver ever holds. The model
+    * keeps only the top-K bigrams by (count DESC, bigram ASC — the
+    * deterministic tiebreak the oracle mirrors); everything below the
+    * cap falls through to the add-one backoff the smoothing already
+    * provides (COALESCE(c,0)+1). On a 100 TB corpus the bigram
+    * vocabulary is O(10⁹), so the former unbounded collect was a
+    * driver OOM; the cap turns training into one
+    * TakeOrderedAndProject and bounds both literal maps — c1 is
+    * derived from the CAPPED c2, so it is ≤ K by construction.
+    * (The [[LmVocabCap]] constant itself lives at the top of the
+    * object — oracle-SQL init order.)
+    *
+    * Memoized bigram-LM training artifacts per corpus: the two count
+    * maps + vocab size are a driver-side constant of the corpus slice,
+    * and the queries composing the score (text_perplexity,
     * pipeline_corpus_clean2, each × bench passes) must not re-run the
     * two training jobs per invocation — the same once-per-session rule
-    * the subset audits follow via SubsetDump/DeltaDump. */
-  private val lmCache =
-    scala.collection.mutable.Map[String, (Map[String, Long], Map[String, Long], Long)]()
+    * the subset audits follow via SubsetDump/DeltaDump. Keyed on
+    * (dir, cap, corpus file fingerprint) so a test fixture regenerated
+    * within one JVM session retrains instead of silently scoring with
+    * a stale model while the DuckDB oracle reads the new files. */
+  private val lmCache = scala.collection.mutable
+    .Map[(String, Int, String), (Map[String, Long], Map[String, Long], Long)]()
+
+  /** Cheap change-detection signature of `dir`/documents.parquet:
+    * sorted (name, length, mtime) of the leaf files. Driver-local
+    * metadata listing only — no data read. */
+  private def corpusFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "documents.parquet")
+    def leaves(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(leaves)
+      else Seq(f)
+    leaves(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString(",")
+  }
 
   private def lmCounts(s: SparkSession, dir: String)
+      : (Map[String, Long], Map[String, Long], Long) =
+    lmCountsCapped(s, dir, LmVocabCap)
+
+  private[graft] def lmCountsCapped(s: SparkSession, dir: String, cap: Int)
       : (Map[String, Long], Map[String, Long], Long) = lmCache.synchronized {
-    lmCache.getOrElseUpdate(dir, {
+    lmCache.getOrElseUpdate((dir, cap, corpusFingerprint(dir)), {
       val toks = split(col("text"), " ")
       val bigramsCol = when(size(toks) >= 2,
           transform(sequence(lit(1), size(toks) - 1),
@@ -804,6 +843,8 @@ object TextQueries {
       val train = docs(s, dir).filter(col("doc_id") % 10 === 0)
       val c2 = train.select(explode(bigramsCol).as("bg"))
         .groupBy("bg").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("bg"))
+        .limit(cap)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       val c1 = c2.groupBy(_._1.takeWhile(_ != ' '))
         .map { case (w, m) => w -> m.map(_._2).sum }
@@ -856,7 +897,8 @@ object TextQueries {
       |tbg AS (SELECT l[i] || ' ' || l[i+1] AS b
       |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
       |              FROM tr WHERE len(l) >= 2)),
-      |c2 AS (SELECT b, count(*) AS c FROM tbg GROUP BY 1),
+      |c2 AS (SELECT b, c FROM (SELECT b, count(*) AS c FROM tbg GROUP BY 1)
+      |       ORDER BY c DESC, b LIMIT """.stripMargin + LmVocabCap + """),
       |c1 AS (SELECT string_split(b, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS c
       |       FROM c2 GROUP BY 1)""".stripMargin
 

@@ -54,4 +54,42 @@ class TextFunctionsSpec extends SparkSpecBase {
     val fair = got.values.sum / 16.0
     assert(got.values.forall(n => n > 0 && n < fair * 4), got.toString)
   }
+
+  test("bigram LM: driver-held maps bounded by the vocab cap; tiny cap is exact top-K") {
+    import graft.queries.TextQueries
+    val dir = "/root/testdata/sf0.01"
+    val (c2, c1, nv) = TextQueries.lmCountsCapped(spark, dir, TextQueries.LmVocabCap)
+    assert(c2.size <= TextQueries.LmVocabCap, s"bigram map ${c2.size} exceeds cap")
+    assert(c1.size <= TextQueries.LmVocabCap, s"unigram map ${c1.size} exceeds cap")
+    assert(nv > 0)
+    // a cap smaller than the fixture vocabulary must keep exactly the
+    // top-K bigrams under the (count DESC, bigram ASC) tiebreak the
+    // DuckDB oracle uses — the backoff handles everything below
+    val k = 5
+    assert(c2.size > k, "fixture must exceed the tiny test cap")
+    val (c2k, c1k, nvK) = TextQueries.lmCountsCapped(spark, dir, k)
+    assert(nvK == nv, "vocab size is cap-independent")
+    val topK = c2.toSeq.sortBy { case (b, c) => (-c, b) }.take(k).toMap
+    assert(c2k == topK, s"capped map must be the deterministic top-$k")
+    val c1FromTopK = topK.toSeq.groupBy(_._1.takeWhile(_ != ' '))
+      .map { case (w, m) => w -> m.map(_._2).sum }
+    assert(c1k == c1FromTopK, "c1 must derive from the CAPPED c2")
+  }
+
+  test("bigram LM cache: retrains when the corpus files change") {
+    import graft.queries.TextQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    def write(text: String): Unit = {
+      Seq((0L, text), (10L, text)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    }
+    write("alpha beta gamma")
+    val (a, _, _) = TextQueries.lmCountsCapped(spark, tmp, 100)
+    assert(a.keySet == Set("alpha beta", "beta gamma"))
+    Thread.sleep(1100) // ensure a distinct mtime even on coarse filesystems
+    write("delta epsilon zeta")
+    val (b, _, _) = TextQueries.lmCountsCapped(spark, tmp, 100)
+    assert(b.keySet == Set("delta epsilon", "epsilon zeta"),
+      "regenerated fixture must invalidate the memoized model")
+  }
 }
