@@ -143,7 +143,7 @@ object SimilarityFunctions {
         call_function("graft_minhash", toks, lit(n), lit(numHashes)).as("sig"))
       .filter(size(col("sig")) > 0)
       .localCheckpoint(false)
-    val banded = dropHotKeys(
+    val banded = capHotKeys(
       base.select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "band_key"))),
       Seq("band", "band_key"), maxBucket)
@@ -173,7 +173,12 @@ object SimilarityFunctions {
     * carries one (key, count) row per key per partition — keeps only
     * the (rare, by construction) hot keys, and removes them with a
     * broadcast ANTI join against the unshuffled input. The big
-    * relation never shuffles at all. */
+    * relation never shuffles at all.
+    *
+    * Used for token-DF pruning (`jaccardPairsOver`), where dropping a
+    * ubiquitous shingle ENTIRELY is the intended semantic (stopword
+    * removal: a token in >maxDf docs carries no dedup signal). LSH
+    * band buckets use [[capHotKeys]] instead — see there. */
   private def dropHotKeys(rel: DataFrame, keyCols: Seq[String],
                           cap: Int): DataFrame = {
     val hot = rel.groupBy(keyCols.map(col): _*)
@@ -181,6 +186,46 @@ object SimilarityFunctions {
       .filter(col("__n") > cap)
       .select(keyCols.map(col): _*)
     rel.join(broadcast(hot), keyCols, "left_anti")
+  }
+
+  /** Cap every `keyCols` group at its `cap` LOWEST-`doc_id` members
+    * (keep-first-N), instead of dropping over-cap groups whole.
+    *
+    * This is the BATCH half of the unified hot-bucket semantic: the
+    * streaming near-dup comparator (`EventStreams.nearDupBucket`)
+    * freezes a bucket once `cap` members enrolled — an append-mode
+    * stream cannot retract pairs it already emitted — so its bucket
+    * membership is the first `cap` doc_ids to arrive. Keeping the
+    * `cap` lowest doc_ids here makes batch emit pairs among exactly
+    * the same members (under AvailableNow/backfill, where arrival
+    * order is doc_id order), so stream==batch parity holds even ON
+    * over-cap degenerate buckets — StreamingSpec pins it with a
+    * deliberately over-cap fixture. Keep-first-N is also the better
+    * production trade than drop-whole: the first N of a boilerplate
+    * bucket still yield their (boilerplate) duplicate pairs instead
+    * of silently keeping every copy.
+    *
+    * Scale shape: same hot-key probe as [[dropHotKeys]] (map-side
+    * combined count, broadcast). The rank window runs ONLY over rows
+    * of hot buckets — rare by construction — semi-joined out by
+    * broadcast; the big cold relation never shuffles. A single
+    * degenerate bucket ranks in one window partition, bounded by that
+    * bucket's size, not the corpus. */
+  private def capHotKeys(rel: DataFrame, keyCols: Seq[String],
+                         cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val hot = rel.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap)
+      .select(keys: _*)
+    val cold = rel.join(broadcast(hot), keyCols, "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("doc_id"))
+    val cappedHot = rel.join(broadcast(hot), keyCols, "left_semi")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cap)
+      .drop("__r")
+    cold.unionByName(cappedHot)
   }
 
   private def jaccardPairsOver(tok: DataFrame, minJaccard: Double,
@@ -261,10 +306,11 @@ object SimilarityFunctions {
     * `maxBucket` is the hot-bucket safety valve: a degenerate band key
     * (boilerplate shingles, near-constant docs) holds b docs and emits
     * b² candidate pairs — one pathological bucket can dwarf the rest of
-    * the job. Buckets past the cap are dropped whole (the standard
-    * production trade: those pairs are overwhelmingly boilerplate, and
-    * a dropped TRUE near-dup pair still has bands-1 more chances to
-    * collide in a healthy bucket). */
+    * the job. Buckets past the cap keep their `maxBucket` lowest
+    * doc_ids ([[capHotKeys]]) — the exact membership the streaming
+    * twin's freeze-at-cap state holds, so stream==batch parity covers
+    * over-cap buckets too; a dropped TRUE near-dup pair still has
+    * bands-1 more chances to collide in a healthy bucket. */
   def minhashLshPairs(sigsIn: DataFrame, bands: Int,
                       maxBucket: Int = 10000): DataFrame = {
     // The signature relation appears 4x in this plan (both sides of the
@@ -273,7 +319,7 @@ object SimilarityFunctions {
     val sigs = sigsIn.localCheckpoint(false)
     val bandedAll = sigs.select(col("doc_id"),
       posexplode(bandKeys(col("sig"), bands)).as(Seq("band", "band_key")))
-    val banded = dropHotKeys(bandedAll, Seq("band", "band_key"), maxBucket)
+    val banded = capHotKeys(bandedAll, Seq("band", "band_key"), maxBucket)
     // Candidate pairs carry only ids through the shuffle+distinct; the
     // signatures (small: docs x numHashes longs) re-join afterwards —
     // broadcast when they fit, one pair-keyed shuffle when not.
@@ -328,7 +374,8 @@ object SimilarityFunctions {
         shiftright(col("simhash"), 16 * w).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("w", "word")))
     // hot-word cap: same quadratic-bucket safety valve as minhash LSH
-    val words = dropHotKeys(wordsAll, Seq("w", "word"), maxBucket)
+    // (keep-first-N — unified with the streaming freeze-at-cap)
+    val words = capHotKeys(wordsAll, Seq("w", "word"), maxBucket)
     val cand = words.as("a")
       .join(words.as("b"),
         col("a.w") === col("b.w") && col("a.word") === col("b.word") &&

@@ -303,19 +303,18 @@ object EventStreams {
     * scales out like any keyed aggregation. `maxBucket` caps state per
     * degenerate bucket (boilerplate shingles): past the cap, arrivals
     * stop enrolling AND stop comparing — nothing further is emitted
-    * from that bucket. This deliberately DIVERGES from the batch tier's
-    * `dropHotKeys`, which drops an over-cap bucket ENTIRELY (including
-    * its first `maxBucket` members' pairs): an append-mode stream
-    * cannot retract pairs it already emitted, so the closest safe
-    * semantic is freeze-at-cap. Stream==batch parity therefore holds
-    * exactly only while every bucket stays under the cap — a property
-    * of this corpus that StreamingSpec pins as a fixture assertion, so
-    * drift fails the spec rather than the parity test intermittently.
-    * Production would pair this with a state TTL (GroupStateTimeout);
-    * AvailableNow backfill keeps full state for batch parity. */
-  def nearDupBucket(key: String, docs: Iterator[BandDoc],
+    * from that bucket (freeze-at-cap; an append-mode stream cannot
+    * retract pairs it already emitted). The batch tier's `capHotKeys`
+    * implements the SAME semantic — each over-cap bucket keeps its
+    * `maxBucket` lowest doc_ids — so stream==batch parity holds even
+    * on degenerate over-cap buckets whenever arrival order is doc_id
+    * order (AvailableNow backfill, which reads everything in one
+    * sorted-within-group batch; a live multi-batch stream freezes on
+    * ARRIVAL order instead, the only order it can see). StreamingSpec
+    * pins the over-cap parity with a deliberately degenerate fixture.
+    * Production would pair this with a state TTL (GroupStateTimeout). */
+  def nearDupBucket(maxBucket: Int)(key: String, docs: Iterator[BandDoc],
                     state: GroupState[BucketMembers]): Iterator[NearDupPair] = {
-    val maxBucket = 10000
     var members = state.getOption.map(_.members).getOrElse(Seq.empty)
     val out = Seq.newBuilder[NearDupPair]
     docs.toSeq.sortBy(_.doc_id).foreach { d =>
@@ -346,7 +345,8 @@ object EventStreams {
     * each, so downstream `dropDuplicates` or any idempotent sink
     * absorbs them); the parity spec distincts both sides. */
   def streamNearDupPairs(spark: SparkSession, dir: String,
-                         minEst: Double = 0.5): DataFrame = {
+                         minEst: Double = 0.5,
+                         maxBucket: Int = 10000): DataFrame = {
     import spark.implicits._
     val docs = spark.readStream
       .schema(documentsSchema)
@@ -359,7 +359,7 @@ object EventStreams {
       .as[BandDoc]
       .groupByKey(_.bkey)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(nearDupBucket)
+        GroupStateTimeout.NoTimeout())(nearDupBucket(maxBucket))
       .toDF()
       .filter(col("est_jaccard") >= minEst)
   }

@@ -153,21 +153,61 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed.nonEmpty)
     assert(streamed == batch)
-    // Fixture property the parity above RELIES on: past maxBucket the
-    // streaming comparator freezes a bucket (can't retract emitted
-    // pairs) while batch dropHotKeys drops it entirely — semantics
-    // diverge only ON over-cap buckets, so parity is exact only while
-    // every (band, band_key) bucket stays under the cap. Pin that here:
-    // corpus drift that creates a degenerate (boilerplate) bucket fails
-    // THIS assertion deterministically, not the set-equality above
-    // intermittently.
+    // No fixture-size pin needed here anymore: batch capHotKeys and the
+    // streaming freeze-at-cap share one semantic (keep the cap lowest
+    // doc_ids), so parity covers over-cap buckets — proven by the
+    // dedicated over-cap test below.
+  }
+
+  test("over-cap hot bucket: streaming freeze-at-cap == batch keep-first-N") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hotbucket").toString
+    // six identical boilerplate docs — every band bucket holds all six,
+    // over the cap of 3 — plus two unrelated docs as cold background
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = (1L to 6L).map(i =>
+        (i, boiler, "en", "syn", boiler.length.toLong)) ++ Seq(
+      (7L, "completely different text about catalyst optimizer internals",
+        "en", "syn", 61L),
+      (8L, "unrelated words entirely here nothing shared at all with any",
+        "en", "syn", 60L))
+    // the stream's pathGlobFilter matches LEAF file names, so
+    // documents.parquet must be a single FILE (as in the driver
+    // testdata), not a part-file directory: stage, then move the part
+    val stage = s"$tmp/_stage"
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+    val cap = 3
+    val q = EventStreams.streamNearDupPairs(spark, tmp, minEst = 0.5, maxBucket = cap)
+      .writeStream.format("memory").queryName("t_hotbucket")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT ida, idb, est_jaccard FROM t_hotbucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchDocs = spark.read.parquet(s"$tmp/documents.parquet")
+    val sigs = graft.functions.SimilarityFunctions
+      .minhashSignatures(batchDocs, "text", 32, nShingle = 3)
+    // the fixture is genuinely degenerate: its hottest bucket exceeds the cap
     val maxBucketSize = graft.functions.SimilarityFunctions
       .bandedSignatures(batchDocs, "text", numHashes = 32, nShingle = 3, bands = 8)
       .groupBy("band", "band_key").count()
       .agg(max(col("count"))).head().getLong(0)
-    assert(maxBucketSize < 10000,
-      s"bucket of $maxBucketSize >= streaming cap: stream/batch hot-bucket " +
-        "semantics diverge — align dropHotKeys/freeze-at-cap before trusting parity")
+    assert(maxBucketSize > cap, s"fixture bucket $maxBucketSize must exceed cap $cap")
+    val batch = graft.functions.SimilarityFunctions
+      .minhashLshPairs(sigs, bands = 8, maxBucket = cap)
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // both sides keep the cap lowest doc_ids of the frozen bucket: the
+    // identical-doc pairs among {1,2,3} and nothing from docs 4-6
+    assert(streamed == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
+    assert(streamed == batch,
+      "over-cap bucket: stream freeze-at-cap must equal batch keep-first-N")
   }
 
   test("streaming paragraph dedup (keyed digest state) == batch global-first window") {
