@@ -79,6 +79,15 @@ object Sources {
                 props: java.util.Properties): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
 
+  /** JDBC append into an EXISTING table — the reference's actual write
+    * mode: destination DDL (with its PK/FK constraints) must pre-exist
+    * and is never created by the tool (`rdbms_subsetter.py` docs: "the
+    * destination database must have an identical schema"). Overwrite
+    * would drop those constraints with the table. */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties): Unit =
+    df.write.mode("append").jdbc(url, table, props)
+
   /** Hive-style partitioned parquet: one subdirectory per distinct value
     * of `cols`. Reads with predicates on those columns prune whole
     * directories at PLANNING time (`PartitionFilters` in the scan —

@@ -59,4 +59,79 @@ class JdbcRoundTripSpec extends SparkSpecBase {
       .select("orphans").collect().map(_.getLong(0))
     assert(orphans.forall(_ == 0L))
   }
+
+  test("catalog reflection: subset a live Derby DB end-to-end with ZERO declared edges") {
+    val srcUrl = "jdbc:derby:memory:graftsrc;create=true"
+    val dstUrl = "jdbc:derby:memory:graftdst;create=true"
+    // real DDL with enforced PK/FK constraints — the catalog facts the
+    // reference reflects with SQLAlchemy and we reflect with
+    // java.sql.DatabaseMetaData
+    val ddl = Seq(
+      """CREATE TABLE region (
+        |  r_regionkey INT NOT NULL PRIMARY KEY,
+        |  r_name VARCHAR(64))""".stripMargin,
+      """CREATE TABLE nation (
+        |  n_nationkey INT NOT NULL PRIMARY KEY,
+        |  n_name VARCHAR(64),
+        |  n_regionkey INT REFERENCES region (r_regionkey))""".stripMargin,
+      """CREATE TABLE customer (
+        |  c_custkey BIGINT NOT NULL PRIMARY KEY,
+        |  c_name VARCHAR(64),
+        |  c_nationkey INT REFERENCES nation (n_nationkey),
+        |  c_acctbal DOUBLE,
+        |  c_mktsegment VARCHAR(32))""".stripMargin)
+    for (url <- Seq(srcUrl, dstUrl)) {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        ddl.foreach(st.executeUpdate)
+      } finally conn.close()
+    }
+    // populate the SOURCE db only, parents first (the FKs are enforced)
+    val src = "/root/testdata/sf0.001"
+    Seq("region", "nation", "customer").foreach { t =>
+      Sources.appendJdbc(spark.read.parquet(s"$src/$t.parquet"), srcUrl, t, props)
+    }
+
+    // reflection discovers the whole graph from the catalog
+    val graph = FkGraph.reflect(srcUrl)
+    assert(graph.pks == Map("region" -> Seq("r_regionkey"),
+      "nation" -> Seq("n_nationkey"), "customer" -> Seq("c_custkey")))
+    assert(graph.fks.toSet == Set(
+      Fk("nation", Seq("n_regionkey"), "region", Seq("r_regionkey")),
+      Fk("customer", Seq("c_nationkey"), "nation", Seq("n_nationkey"))))
+    assert(graph.insertionOrder == Seq("region", "nation", "customer"))
+
+    // CLI path end-to-end: JDBC src -> JDBC dest, zero declared edges;
+    // the dest schema pre-exists empty (the upstream contract) and its
+    // enforced FKs accept the inserts because they land parents-first
+    val args = SubsetCli.CliArgs(srcUrl, dstUrl,
+      Subsetter.Config(fraction = 0.4, children = 0), yes = true)
+    assert(SubsetCli.plan(spark, args).map(_._1) ==
+      Seq("customer", "nation", "region"))
+    val written = SubsetCli.run(spark, args)
+    assert(written("customer") == 60L) // ceil(150*0.4), exact on the leaf
+    assert(written("nation") >= 10L && written("region") >= 2L)
+    val orphans = SubsetCli
+      .validateDest(spark, dstUrl, written.keySet, SubsetCli.sourceGraph(args))
+      .select("orphans").collect().map(_.getLong(0))
+    assert(orphans.forall(_ == 0L))
+  }
+
+  test("reflection groups composite FK columns by KEY_SEQ runs") {
+    val url = "jdbc:derby:memory:graftcomp;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE par (a INT NOT NULL, b INT NOT NULL, v VARCHAR(8),
+          |  PRIMARY KEY (a, b))""".stripMargin)
+      st.executeUpdate(
+        """CREATE TABLE chi (id INT NOT NULL PRIMARY KEY, a INT, b INT,
+          |  FOREIGN KEY (a, b) REFERENCES par (a, b))""".stripMargin)
+      val g = FkGraph.reflect(conn, null)
+      assert(g.pks("par") == Seq("a", "b"))
+      assert(g.fks == Seq(Fk("chi", Seq("a", "b"), "par", Seq("a", "b"))))
+    } finally conn.close()
+  }
 }

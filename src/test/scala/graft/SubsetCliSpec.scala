@@ -104,6 +104,61 @@ class SubsetCliSpec extends SparkSpecBase {
       "partial dest must be re-closed, not assumed referentially complete")
   }
 
+  test("crash during delta STAGING: uncommitted staging is discarded, dest untouched") {
+    val dest = Files.createTempDirectory("graft-atomic1").toString
+    val src = "/root/testdata/sf0.001"
+    val first = SubsetCli.run(spark, SubsetCli.parse(Seq(src, dest, "0.05")))
+    // simulate a crash mid-staging: staged files present, NO manifest
+    val pending = new java.io.File(dest, "_delta_pending")
+    new java.io.File(pending, "customer.parquet").mkdirs()
+    Files.writeString(
+      new java.io.File(pending, "customer.parquet/part-junk.parquet").toPath, "junk")
+    assert(!SubsetCli.recoverPendingDelta(dest), "uncommitted staging is not a recovery")
+    assert(!pending.exists(), "staging discarded")
+    for ((t, n) <- first)
+      assert(graft.sources.Sources.footerRowCount(spark, s"$dest/$t.parquet") == n,
+        s"$t changed despite the delta never committing")
+  }
+
+  test("crash mid-APPLY: committed delta recovers on the next run; result equals an uninterrupted run") {
+    val src = "/root/testdata/sf0.001"
+    val crashed = Files.createTempDirectory("graft-atomic2").toString
+    val control = Files.createTempDirectory("graft-atomic2c").toString
+    for (d <- Seq(crashed, control))
+      SubsetCli.run(spark, SubsetCli.parse(Seq(src, d, "0.05")))
+    // the control gets the SAME number of delta passes as the crashed
+    // side (2): a delta pass on an at-target dest is not a strict
+    // no-op — the bounded child pull may legitimately top up children
+    // for parents that arrived in the previous wave — so parity means
+    // same-passes, not fewer
+    SubsetCli.run(spark, SubsetCli.parse(Seq(src, control, "0.1")))
+    SubsetCli.run(spark, SubsetCli.parse(Seq(src, control, "0.1")))
+    // die after the SECOND staged-file move — manifest is committed,
+    // apply is half done
+    SubsetCli.moveHook =
+      (_, i) => if (i >= 1) throw new RuntimeException("simulated crash")
+    try intercept[RuntimeException] {
+      SubsetCli.run(spark, SubsetCli.parse(Seq(src, crashed, "0.1")))
+    } finally SubsetCli.moveHook = (_, _) => ()
+    val pending = new java.io.File(crashed, "_delta_pending")
+    assert(pending.exists() &&
+      new java.io.File(pending, "MANIFEST.json").exists(),
+      "crash left a committed, partially-applied delta")
+    // the next PLAIN run recovers first (finishes the moves), then
+    // computes a now-empty delta — no special flag needed
+    SubsetCli.run(spark, SubsetCli.parse(Seq(src, crashed, "0.1")))
+    assert(!pending.exists(), "recovery cleans the staging dir")
+    for (t <- Catalog.tableNames) {
+      val a = spark.read.parquet(s"$crashed/$t.parquet")
+      val b = spark.read.parquet(s"$control/$t.parquet")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t differs from the uninterrupted run")
+    }
+    val orphans = SubsetCli.validateDest(spark, crashed, Catalog.tableNames.toSet)
+      .select("orphans").as[Long].collect()
+    assert(orphans.forall(_ == 0L))
+  }
+
   test("--validate mode parses; validateOnly audits a dest standalone") {
     assert(SubsetCli.parse(Seq("/s", "/d", "0.1", "--validate")).validateOnly)
     assert(!SubsetCli.parse(Seq("/s", "/d", "0.1")).validateOnly)
