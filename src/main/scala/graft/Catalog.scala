@@ -27,6 +27,15 @@ object Catalog {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Every driver testdata scale-factor dir (TESTDATA.md): sf0.001
+    * (spec fixtures + the flagship smoke), sf0.01 (the DuckDB
+    * correctness gate), sf0.1 (bench). Specs that pin CORPUS
+    * properties (e.g. the LSH shared-oracle j>=0.8 property) iterate
+    * this list, so adding an SF to the ladder fails loudly in
+    * scalatest instead of intermittently in an oracle hash compare. */
+  val testdataSfDirs: Seq[String] = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.ts is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4

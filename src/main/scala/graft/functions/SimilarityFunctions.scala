@@ -553,8 +553,9 @@ object SimilarityFunctions {
     * `maxCandidates` per query reach exact cosine scoring. Probing can
     * therefore cast a wide net (high recall) while per-query verify
     * cost stays corpus-independent — on this fixture's worst-case
-    * near-orthogonal geometry, cell membership alone caps recall ~0.5
-    * at a 256 budget, while probe-wide + fp-rank holds ~0.8.
+    * near-orthogonal geometry, cell membership alone caps recall ~0.5,
+    * while the default wide probe (12/16 cells) + 256-bit fp-rank +
+    * 512 budget measures recall@10 ≈ 0.93 at sf0.1.
     *
     * 100 TB shape: ids + two fingerprint longs travel through the
     * candidate join and both ranking shuffles; the 64-double vectors
@@ -562,12 +563,12 @@ object SimilarityFunctions {
     * Recall is measured against cosineTopK in tests AND surfaced as
     * `ann_ivf_recall`. */
   def annIvfTopK(queries: DataFrame, candidates: DataFrame, topK: Int,
-                 k: Int = 16, nprobe: Int = 10, iters: Int = 3,
-                 maxCandidates: Int = 256): DataFrame = {
+                 k: Int = 16, nprobe: Int = 12, iters: Int = 3,
+                 maxCandidates: Int = 512, fpBits: Int = 256): DataFrame = {
     graft.plans.GraftExtensions.register(queries.sparkSession)
+    val nWords = (fpBits + 63) / 64
     def fps(df: DataFrame, vec: String): DataFrame = df
-      .withColumn("fp1", call_function("graft_lsh_bits", col(vec), lit(4096), lit(64)))
-      .withColumn("fp2", call_function("graft_lsh_bits", col(vec), lit(4160), lit(64)))
+      .withColumn("fp", fpWords(col(vec), 4096, nWords))
     // (id, vec) feeds the Lloyd passes, the index projection and the
     // final verify join — materialize the projection once.
     val cv = candidates
@@ -576,7 +577,7 @@ object SimilarityFunctions {
     val cent = lloyd(cv, k, iters)
     val index = fps(assign(cv, cent), "v")
       .select(col("vec_id").as("cid"), col("centroid_id"),
-        col("fp1").as("cf1"), col("fp2").as("cf2"))
+        col("fp").as("cf"))
     // query -> its nprobe nearest centroids, via array_sort over
     // (-sim, id) structs (ascending => best sim first, ties lowest id)
     val ranked = array_sort(array(cent.map { case (id, c) =>
@@ -588,15 +589,13 @@ object SimilarityFunctions {
       .localCheckpoint(false) // small by construction; feeds 3 branches
     val probes = qv
       .withColumn("__p", explode(slice(ranked, 1, nprobe)))
-      .select(col("qid"), col("fp1").as("qf1"), col("fp2").as("qf2"),
+      .select(col("qid"), col("fp").as("qf"),
         col("__p").getField("cid").as("centroid_id"))
     val wHam = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("cid"))
     val cand = index
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("ham",
-        bit_count(col("qf1").bitwiseXOR(col("cf1"))) +
-          bit_count(col("qf2").bitwiseXOR(col("cf2"))))
+      .withColumn("ham", fpHamming(col("qf"), col("cf")))
       .select(col("qid"), col("cid"), col("ham"))
       .withColumn("hr", row_number().over(wHam))
       .filter(col("hr") <= maxCandidates)
@@ -624,10 +623,14 @@ object SimilarityFunctions {
     * `maxCandidates` caps the per-query verify budget: candidates are
     * ranked by the hamming distance between 128-bit sign FINGERPRINTS
     * (sign bits under 128 extra hyperplanes — an unbiased angle
-    * estimator with σ(θ) ≈ π/√(4·128) ≈ 8°, far tighter than bucket
-    * collision counts) and only the top `maxCandidates` reach exact
-    * scoring. This makes per-query cost corpus-independent even when
-    * multiprobe widens the net.
+    * estimator with σ(θ) ≈ π/√(4·fpBits) — ≈ 5.6° at the 256-bit
+    * default, far tighter than bucket collision counts) and only the
+    * top `maxCandidates` reach exact scoring. This makes per-query
+    * cost corpus-independent even when multiprobe widens the net: the
+    * default probeHamming=2 lifts candidate-generation recall to
+    * ~0.995 at sf0.1, and the ranked 256 budget keeps 0.965 of it —
+    * measured against brute force in SimilaritySpec and surfaced as
+    * `ann_lsh_recall`.
     *
     * 100 TB shape (mirrors cosineLshPairs): only ids + bucket keys
     * travel through the candidate join and dedup; the ranking join
@@ -635,20 +638,34 @@ object SimilarityFunctions {
     * 64-double vectors re-attach by id-equi join only for the capped
     * survivors. Recall is measured against cosineTopK in tests AND
     * surfaced as the `ann_lsh_recall` query. */
+  /** 64-bit sign-fingerprint words under planes starting at `base` —
+    * an array so the estimator width (`fpBits`) is tunable: σ(θ) ≈
+    * π/√(4·bits), so 256 bits halve the 128-bit ranking noise for two
+    * extra longs per row. */
+  private def fpWords(vec: Column, base: Int, nWords: Int): Column =
+    array((0 until nWords).map(w =>
+      call_function("graft_lsh_bits", vec, lit(base + 64 * w), lit(64))): _*)
+
+  /** Hamming distance between two fingerprint-word arrays. */
+  private def fpHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, x) => acc + x)
+
   def annLshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                  nPlanes: Int = 8, dim: Int = 64, nTables: Int = 12,
-                 probeHamming: Int = 1, maxCandidates: Int = 256): DataFrame = {
+                 probeHamming: Int = 2, maxCandidates: Int = 256,
+                 fpBits: Int = 256): DataFrame = {
     graft.plans.GraftExtensions.register(queries.sparkSession)
+    val nWords = (fpBits + 63) / 64
     // fingerprint planes start far past the bucket planes (offset 4096)
     // so the estimator is independent of candidate generation. All sign
     // bits via the native graft_lsh_bits/graft_lsh_buckets kernels —
-    // 224 plane dots per row is a codegen'd tight loop, not 224
-    // interpreted HOF passes.
+    // the plane dots are a codegen'd tight loop, not interpreted HOF
+    // passes.
     def withKeys(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.select(col("vec_id").as(idName),
           toDoubleArr(col("embedding")).as(vecName))
-        .withColumn("fp1", call_function("graft_lsh_bits", col(vecName), lit(4096), lit(64)))
-        .withColumn("fp2", call_function("graft_lsh_bits", col(vecName), lit(4096 + 64), lit(64)))
+        .withColumn("fp", fpWords(col(vecName), 4096, nWords))
     // vectors + norms + fingerprints are computed once per side and
     // re-attached by id; each relation feeds 2-3 plan branches.
     val qv = withKeys(queries, "qid", "qe")
@@ -677,11 +694,9 @@ object SimilarityFunctions {
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid")
       .distinct()
-      .join(broadcast(qv.select(col("qid"), col("fp1").as("qf1"), col("fp2").as("qf2"))), "qid")
-      .join(cv.select(col("cid"), col("fp1").as("cf1"), col("fp2").as("cf2")), "cid")
-      .withColumn("ham",
-        bit_count(col("qf1").bitwiseXOR(col("cf1"))) +
-          bit_count(col("qf2").bitwiseXOR(col("cf2"))))
+      .join(broadcast(qv.select(col("qid"), col("fp").as("qf"))), "qid")
+      .join(cv.select(col("cid"), col("fp").as("cf")), "cid")
+      .withColumn("ham", fpHamming(col("qf"), col("cf")))
       .withColumn("hr", row_number().over(wHam))
       .filter(col("hr") <= maxCandidates)
       .select("qid", "cid")

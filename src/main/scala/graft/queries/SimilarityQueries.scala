@@ -488,11 +488,11 @@ object SimilarityQueries {
         (col("hits").cast("double") / col("brute_pairs").cast("double")).as("recall"))
   }
 
-  /** Same recall artifact for the IVF tier: wide probing (nprobe=10 of
-    * k=16 cells) generates id-only candidates, 128-bit sign
-    * fingerprints rank them, and only 256/query reach exact scoring —
-    * recall ~0.81 on this (worst-case, near-orthogonal) embedding
-    * geometry at the same verify budget as the LSH tier. Rows-only. */
+  /** Same recall artifact for the IVF tier: wide probing (nprobe=12 of
+    * k=16 cells) generates id-only candidates, 256-bit sign
+    * fingerprints rank them, and only 512/query reach exact scoring —
+    * recall ~0.93 on this (worst-case, near-orthogonal) embedding
+    * geometry. Rows-only. */
   def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") % 100 === 0)

@@ -28,21 +28,37 @@ object AnnTune {
     val brutePairs = brute.count()
     println(s"corpus=$nC queries=$nQ brute_pairs=$brutePairs")
     val grid = Seq(
-      (8, 12, 1, 1000000), (8, 12, 1, 256), (8, 12, 2, 1000000))
-    for ((p, t, h, m) <- grid) {
+      // (planes, tables, probeH, maxCand, fpBits)
+      (8, 12, 1, 1000000, 128),  // candidate-gen ceiling at current config
+      (8, 12, 1, 256, 128),      // current production point
+      (8, 12, 1, 256, 256),      // wider fingerprint, same budget
+      (8, 12, 1, 512, 256),      // 2x budget
+      (8, 12, 2, 1000000, 128),  // multiprobe-2 ceiling
+      (8, 12, 2, 256, 256),
+      (8, 12, 2, 512, 256),
+      (8, 16, 2, 512, 256),
+      (8, 16, 2, 512, 384))
+    for ((p, t, h, m, fb) <- grid) {
+      val t0 = System.nanoTime()
       val ann = SimilarityFunctions.annLshTopK(q, e, 10,
-        nPlanes = p, nTables = t, probeHamming = h, maxCandidates = m)
+        nPlanes = p, nTables = t, probeHamming = h, maxCandidates = m,
+        fpBits = fb)
         .select("qid", "cid").localCheckpoint(true)
       val hits = ann.join(brute, Seq("qid", "cid")).count()
-      // candidate count before the exact-verify cap: re-derive via hits cap = huge
+      val dt = (System.nanoTime() - t0) / 1e9
       val recall = hits.toDouble / brutePairs
-      println(f"planes=$p tables=$t probeH=$h maxCand=$m recall=$recall%.3f")
+      println(f"planes=$p tables=$t probeH=$h maxCand=$m fpBits=$fb recall=$recall%.3f t=$dt%.1fs")
     }
-    for ((k, nprobe) <- Seq((8, 2), (8, 3), (16, 4))) {
-      val ivf = SimilarityFunctions.annIvfTopK(q, e, 10, k = k, nprobe = nprobe)
+    for ((k, nprobe, m, fb) <- Seq(
+        (16, 10, 256, 128), (16, 10, 256, 256), (16, 10, 512, 256),
+        (16, 12, 512, 256), (16, 12, 512, 384))) {
+      val t0 = System.nanoTime()
+      val ivf = SimilarityFunctions.annIvfTopK(q, e, 10, k = k,
+        nprobe = nprobe, maxCandidates = m, fpBits = fb)
         .select("qid", "cid").localCheckpoint(true)
       val hits = ivf.join(brute, Seq("qid", "cid")).count()
-      println(f"ivf k=$k nprobe=$nprobe recall=${hits.toDouble / brutePairs}%.3f")
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"ivf k=$k nprobe=$nprobe maxCand=$m fpBits=$fb recall=${hits.toDouble / brutePairs}%.3f t=$dt%.1fs")
     }
     spark.stop()
   }

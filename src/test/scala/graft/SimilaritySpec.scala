@@ -93,10 +93,12 @@ class SimilaritySpec extends SparkSpecBase {
     // introduces one, THIS test fails deterministically instead of the
     // driver's oracle failing intermittently. Pinned at EVERY SF the
     // gates run on — sf0.01 is the driver's oracle SF and sf0.1 the
-    // bench SF, so drift at either must fail here, not there.
+    // bench SF, so drift at either must fail here, not there. The SF
+    // list is the shared Catalog constant — a new rung in the driver's
+    // ladder is covered the moment it's added there.
     // (Measured: min qualifying j is 0.889 / 0.90 / 0.80.)
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val docs = graft.Catalog.table(spark, s"/root/testdata/$sf", "documents")
+    for (sf <- graft.Catalog.testdataSfDirs) {
+      val docs = graft.Catalog.table(spark, sf, "documents")
       val minJ = jaccardPairsNgram(docs, 3, 0.4)
         .agg(min($"jaccard")).as[Double].head()
       assert(minJ >= 0.8,
@@ -323,13 +325,14 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.values.forall { case (n, k) => k <= n })
   }
 
-  test("IVF recall@10 vs brute force on the real corpus") {
-    val dir = "/root/testdata/sf0.01"
-    val r = graft.queries.SimilarityQueries.annIvfRecall(spark, dir)
-      .select("recall").as[Double].head()
-    // wide probe + fingerprint-ranked 256-candidate cap: measured 0.81
-    // at sf0.1, 0.8+ at sf0.01; 0.6 is the degradation alarm line
-    assert(r >= 0.6, s"IVF recall degraded: $r")
+  test("IVF recall@10 vs brute force >= 0.9 on the real corpus") {
+    // nprobe=12/16 + 256-bit fp rank + 512-candidate cap: measured
+    // 0.96 at sf0.01, 0.93 at sf0.1 (the round-7 >=0.9 target)
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val r = graft.queries.SimilarityQueries.annIvfRecall(spark, dir)
+        .select("recall").as[Double].head()
+      assert(r >= 0.9, s"IVF recall degraded at $dir: $r")
+    }
   }
 
   test("IVF: centroids form, index assigns, and exact duplicates are found") {
@@ -349,19 +352,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.forall(id => id < 20L || id == 999L)) // no cross-cluster noise in top-5
   }
 
-  test("ANN LSH: recall@10 vs brute force >= 0.5 on real near-orthogonal corpus") {
-    // sf0.01: 500 embeddings, 5 queries. The fixture corpus is the hard
-    // case for hyperplane LSH (10th-neighbor cosine ~0.32 vs bulk p99
-    // ~0.29); multiprobe + fingerprint-ranked candidate cap holds
-    // recall at ~0.68 with the verify budget capped at 256 vectors
-    // per query (corpus-independent). Measured 0.775 at sf0.1.
-    val e = Catalog.table(spark, "/root/testdata/sf0.01", "embeddings")
-    val q = e.filter($"vec_id" % 100 === 0)
-    val brute = cosineTopK(q, e, 10).select("qid", "cid")
-    val ann = annLshTopK(q, e, 10).select("qid", "cid")
-    val hits = ann.join(brute, Seq("qid", "cid")).count()
-    val recall = hits.toDouble / brute.count()
-    assert(recall >= 0.5, s"ANN LSH recall degraded: $recall")
+  test("ANN LSH: recall@10 vs brute force >= 0.9 on real near-orthogonal corpus") {
+    // The fixture corpus is the hard case for hyperplane LSH
+    // (10th-neighbor cosine ~0.32 vs bulk p99 ~0.29). Multiprobe at
+    // hamming<=2 lifts candidate-generation recall to ~0.98+, and the
+    // 256-bit-fingerprint-ranked 256-vector verify budget
+    // (corpus-independent) keeps >=0.9 of it: measured 0.98 at sf0.01,
+    // 0.965 at sf0.1 (the round-7 >=0.9 target).
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val q = e.filter($"vec_id" % 100 === 0)
+      val brute = cosineTopK(q, e, 10).select("qid", "cid")
+      val ann = annLshTopK(q, e, 10).select("qid", "cid")
+      val hits = ann.join(brute, Seq("qid", "cid")).count()
+      val recall = hits.toDouble / brute.count()
+      assert(recall >= 0.9, s"ANN LSH recall degraded at $dir: $recall")
+    }
   }
 
   test("ANN LSH: identical vector is always found; recall vs brute force is sane") {
