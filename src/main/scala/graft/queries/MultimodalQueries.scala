@@ -13,7 +13,17 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
 
   /** Featurize "images": text -> utf8 bytes -> per-partition decode ->
-    * typed feature columns. */
+    * typed feature columns.
+    *
+    * Oracle-checked end to end (the multimodal_dedup precedent): every
+    * fixture blob is utf8 text, none starts with an image magic
+    * number, so every row takes [[Multimodal.fallbackFeatures]] —
+    * whose arithmetic (n = clamped byte length, width = floor(sqrt n),
+    * height = n / width, mean = byte sum / n) is plain SQL over the
+    * text. MultimodalSpec pins BOTH fixture properties the mapping
+    * rests on (pure-ASCII bytes, decoded=false for every row), so
+    * drift fails loudly in scalatest, not in the oracle hash compare;
+    * the decoded path stays MultimodalSpec-proven. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val withBin = Catalog.table(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
@@ -83,6 +93,27 @@ object MultimodalQueries {
       .orderBy("keep_id")
   }
 
+  /** DuckDB twin of [[Multimodal.fallbackFeatures]] over utf8 bytes:
+    * byte length via octet_length(encode(..)), byte sum via per-char
+    * codepoints (== bytes on the spec-pinned ASCII corpus). The double
+    * division is one exact-int-to-double divide on both engines —
+    * bitwise equal. */
+  val multimodalFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |         GREATEST(octet_length(encode(text)), 1) AS n,
+      |         (SELECT COALESCE(sum(unicode(ch)), 0)
+      |          FROM unnest(string_split(text, '')) AS t(ch)) AS s
+      |  FROM documents),
+      |w AS (SELECT media_id, n, s,
+      |        GREATEST(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS INTEGER)) AS width
+      |      FROM b)
+      |SELECT media_id, CAST(width AS INTEGER) AS width,
+      |  CAST(GREATEST(1, n // width) AS INTEGER) AS height,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_intensity
+      |FROM w ORDER BY media_id""".stripMargin
+
   val multimodalDedupSql: String =
     """WITH d AS (
       |  SELECT doc_id, text FROM documents
@@ -100,9 +131,11 @@ object MultimodalQueries {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_thumbs" -> (multimodalThumbs _))
 
-  // Dataset pipelines are rows-only EXCEPT the dedup: raw-byte digests
-  // of utf8-derived blobs equal DuckDB's md5(text), so the whole
-  // grouping is oracle-expressible.
+  // Dataset pipelines are rows-only EXCEPT the dedup and the image
+  // featurization: raw-byte digests / fallback features of
+  // utf8-derived blobs are SQL-expressible (md5(text) and byte
+  // arithmetic respectively), so those two are oracle-checked whole.
   def oracle: Map[String, String] = Map(
-    "multimodal_dedup" -> multimodalDedupSql)
+    "multimodal_dedup" -> multimodalDedupSql,
+    "multimodal_features" -> multimodalFeaturesSql)
 }

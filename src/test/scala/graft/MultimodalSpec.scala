@@ -180,4 +180,28 @@ class MultimodalSpec extends SparkSpecBase {
       .select($"frame_no", length($"frame_bytes")).as[(Int, Int)].collect().sorted
     assert(frames.toSeq == Seq((0, 64), (2, 64), (4, 44)))
   }
+
+  test("fixture properties the multimodal oracles rely on: no decodable blob, pure ASCII") {
+    // multimodal_dedup's oracle hardcodes any_decoded=FALSE + md5(text),
+    // and multimodal_features' oracle equates byte sums with per-char
+    // codepoint sums — both hold only while (a) no document's utf8
+    // bytes begin with an image magic number (every row takes the
+    // raw-byte/fallback path) and (b) the corpus is pure ASCII (bytes
+    // == codepoints). Pin both at every SF the gates run on, so corpus
+    // drift fails HERE deterministically instead of in the driver's
+    // oracle hash compare.
+    for (dir <- Catalog.testdataSfDirs) {
+      val d = Catalog.table(spark, dir, "documents")
+        .select($"doc_id", $"text", encode($"text", "UTF-8").as("bin"))
+      val decoded = Multimodal.contentDigests(d, "doc_id", "bin")
+        .filter(_.decoded).count()
+      assert(decoded == 0L,
+        s"$dir: a document's bytes decode as an image — the raw-byte " +
+          "oracle mapping for multimodal_dedup/features no longer holds")
+      val nonAscii = d.filter(length($"text") =!= org.apache.spark.sql
+        .functions.octet_length($"text")).count()
+      assert(nonAscii == 0L,
+        s"$dir: non-ASCII text — byte sums diverge from codepoint sums")
+    }
+  }
 }
