@@ -81,6 +81,12 @@ object Bench {
     }
     val cold = selected.map { case (name, fn) => name -> once(fn) }
     markSteal()
+    // the cold/warmup pass's steal is its own field: steal_passes then
+    // maps 1:1 onto the TIMED passes, so a reader can attribute
+    // contamination to the exact pass (the cold pass is untimed — its
+    // steal is informational only)
+    val stealCold = passSteal.headOption.getOrElse(-1L)
+    passSteal.clear()
     val results =
       if (warmup) {
         // per-query min across timed passes (pass-level interleaving —
@@ -125,7 +131,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cold_queries":$cs,"ok":$oks,"all_ok":$allOk,""" +
-        s""""steal_delta":$stealDelta,"steal_passes":$stealPassesJson,""" +
+        s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
+        s""""steal_passes":$stealPassesJson,""" +
         s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
@@ -136,7 +143,8 @@ object Bench {
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""n_queries":${results.size},"all_ok":$allOk,""" +
         (if (failed.nonEmpty) s""""failed":${failed.mkString("[\"", "\",\"", "\"]")},""" else "") +
-        s""""steal_delta":$stealDelta,"steal_passes":$stealPassesJson,""" +
+        s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
+        s""""steal_passes":$stealPassesJson,""" +
         s""""cold_value":${r2(coldTotal)},"warmup":$warmup,"sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
   }

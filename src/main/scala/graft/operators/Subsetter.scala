@@ -117,6 +117,19 @@ object Subsetter {
     }
   }
 
+  /** The reference's ACTUAL sampling semantic — `ORDER BY random()
+    * LIMIT k` (`rdbms_subsetter.py :: _random_rows`, ≈L20) — offered
+    * as a convenience API next to the oracle-safe deterministic tiers.
+    * A seeded `rand(seed)` keeps a run reproducible; pass a fresh seed
+    * per run for the upstream's fresh-randomness behavior. NOT
+    * oracle-eligible (SURVEY §7 bans rand() in oracle queries) and not
+    * used by subset closure — [[hashSample]] stays the engine default.
+    * Scale shape: rand is a scan-local projection and the sort+limit
+    * compiles to TakeOrderedAndProject (per-partition top-k heaps +
+    * driver merge of k rows), never a global sort. */
+  def randSample(df: DataFrame, k: Int, seed: Long): DataFrame =
+    df.withColumn("__r", rand(seed)).orderBy(col("__r")).limit(k).drop("__r")
+
   // ---------------------------------------------------------------------
   // Completeness scheduling — rdbms_subsetter.py :: _completeness_score
   // + the create_subset_in main loop (SURVEY §2 row 12)

@@ -395,6 +395,19 @@ object EventStreams {
     * the batch global-first window's. */
   def streamParagraphSurvivors(spark: SparkSession, dir: String): Dataset[ParaOcc] = {
     import spark.implicits._
+    // Global-first parity precondition, asserted at CONSTRUCTION: the
+    // keeper is the min (doc_id, para_no) WITHIN the micro-batch that
+    // first delivers a digest, which equals the batch window's global
+    // first only when the whole corpus arrives in one batch —
+    // AvailableNow over a single source file (the driver fixture
+    // layout). A multi-file dir (or a maxFilesPerTrigger setting)
+    // would silently crown a non-global keeper per digest; fail loudly
+    // here instead, until the comparator tracks best-seen-so-far in
+    // state (which an append-mode sink cannot retract anyway).
+    require(new java.io.File(dir, "documents.parquet").isFile,
+      s"$dir/documents.parquet must be a single file: the paragraph " +
+        "stream's global-first keeper needs whole-corpus single-batch " +
+        "delivery under AvailableNow")
     spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")

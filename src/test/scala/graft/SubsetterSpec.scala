@@ -301,4 +301,30 @@ class SubsetterSpec extends SparkSpecBase {
     assert(!out.contains("leaf"))
     assert(out("grand").count() == 3) // full copy
   }
+
+  test("randSample: upstream ORDER BY random() parity — exact k, seeded, spread") {
+    val orders = Catalog.table(spark, "/root/testdata/sf0.001", "orders")
+    val n = orders.count()
+    val a = Subsetter.randSample(orders, 50, seed = 7)
+    val aKeys = a.select("o_orderkey").as[Long].collect().toSet
+    assert(aKeys.size == 50, "exact k distinct rows")
+    // same seed reproduces; a fresh seed is the upstream's fresh draw
+    val a2 = Subsetter.randSample(orders, 50, seed = 7)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(a2 == aKeys)
+    val b = Subsetter.randSample(orders, 50, seed = 8)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(b != aKeys, "different seed must draw a different sample")
+    // distribution sanity: a uniform draw spans the key range instead
+    // of clustering in a prefix (both halves represented)
+    val mid = orders.agg(org.apache.spark.sql.functions.max($"o_orderkey"))
+      .head().getLong(0) / 2
+    assert(aKeys.exists(_ < mid) && aKeys.exists(_ > mid))
+    assert(n > 50) // the sample is a strict subset
+    // scale shape: per-partition top-k heap + driver merge, never a
+    // global sort
+    a.collect()
+    assert(a.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
 }
