@@ -16,30 +16,47 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events parquet physical schema — ts arrives as raw TIMESTAMP(NANOS)
-    * int64, declared LongType here (streaming readers need an explicit
-    * schema anyway). */
-  val rawSchema: StructType = StructType(Seq(
+  /** events streaming schema for a given on-disk `ts` type. Streaming
+    * readers need an explicit schema; everything except `ts` is fixed,
+    * while `ts` must match what the parquet footer actually declares —
+    * TIMESTAMP(MICROS) reads as TimestampType, TIMESTAMP(NANOS) only
+    * reads (as a raw Long) under `parquet.nanosAsLong` (see
+    * [[graft.GraftSession.local]]). */
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Streaming source over the events parquet, ts normalized to µs
-    * TimestampType exactly like the batch Catalog. The session must be
-    * built with `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[graft.GraftSession.local]]) — set at construction, not mutated
-    * here. */
+    * TimestampType exactly like the batch [[graft.Catalog.table]]: a
+    * footer-only batch read probes what `ts` physically is, and the
+    * ns→µs division applies ONLY when the column reads as a raw Long
+    * (nanos under the legacy flag). A fixture regenerated at a
+    * different timestamp unit therefore changes the probe result, not
+    * the semantics — the round-8 failure mode (µs fixture divided by
+    * 1000 → every window in January 1970) cannot recur. The probe is
+    * one metadata-only read per stream construction, never per batch. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.readStream
-      .schema(rawSchema)
+    val batchTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(batchTs))
       // file streaming sources demand a directory; select the events
       // table out of the sf dir with a glob filter
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    batchTs match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // TIMESTAMP(MICROS) without tz reads as NTZ, but watermarks
+        // demand TIMESTAMP (with-local-tz). The session runs UTC, so
+        // the NTZ wall-clock IS the epoch instant — a cast is exact.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour counts with a 10-minute watermark — identical
