@@ -18,6 +18,21 @@ import org.apache.spark.sql.SparkSession
   * the min tracks the query's true cost. `cold_value` stays the warm-up
   * pass total. Set SPARK_GRAFT_WARMUP=0 for single-pass cold timing;
   * SPARK_GRAFT_PASSES=1 restores single-pass timing.
+  *
+  * Steal gate: min-of-N only helps when at least one pass is quiet, and
+  * three consecutive rounds produced artifacts where EVERY timed pass
+  * carried hundreds-to-thousands of steal jiffies — min-of-2 degrades
+  * to one noisy pass. So each timed pass is now GATED: if its own steal
+  * delta exceeds SPARK_GRAFT_STEAL_GATE jiffies (default 300; 0
+  * disables), the whole pass is discarded and re-run, up to
+  * SPARK_GRAFT_STEAL_RETRIES attempts (default 4) per pass. The JSON
+  * records the accepted passes' steal (`steal_passes`, 1:1 with timed
+  * passes as before) AND every attempt's steal (`steal_attempts`, one
+  * inner array per pass) plus the gate value, so a reader can see both
+  * that the artifact is quiet and how hard quiet was to get. If the
+  * host never quiets down within the retry budget the LAST attempt is
+  * kept — `steal_passes` then shows a value above the gate, which is
+  * the honest signal that no quiet window existed.
   */
 object Bench {
   /** Aggregate steal jiffies from /proc/stat (field 8 of the `cpu`
@@ -71,30 +86,52 @@ object Bench {
 
     val passes =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val stealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "300").toLong
+    val stealRetries =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_STEAL_RETRIES", "4").toInt)
     // steal jiffies at each pass boundary → per-pass deltas in the JSON
     val passSteal = scala.collection.mutable.ArrayBuffer[Long]()
     var stealMark = steal0
-    def markSteal(): Unit = {
+    // delta since the last mark; advances the mark (each retry attempt
+    // measures only its OWN window, not the cumulative run)
+    def stealDelta0(): Long = {
       val s = stealJiffies()
-      passSteal += (if (s >= 0 && stealMark >= 0) s - stealMark else -1L)
+      val d = if (s >= 0 && stealMark >= 0) s - stealMark else -1L
       stealMark = s
+      d
     }
     val cold = selected.map { case (name, fn) => name -> once(fn) }
-    markSteal()
     // the cold/warmup pass's steal is its own field: steal_passes then
     // maps 1:1 onto the TIMED passes, so a reader can attribute
     // contamination to the exact pass (the cold pass is untimed — its
     // steal is informational only)
-    val stealCold = passSteal.headOption.getOrElse(-1L)
-    passSteal.clear()
+    val stealCold = stealDelta0()
+    // every attempt's steal, one inner array per timed pass — the
+    // provenance trail for the gate's discard/retry decisions
+    val attemptSteal = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
     val results =
       if (warmup) {
         // per-query min across timed passes (pass-level interleaving —
         // run the whole suite, then again — so a sustained host stall
         // can't cover both samples of one query)
         val timed = (1 to passes).map { _ =>
-          val r = selected.map { case (name, fn) => name -> once(fn) }
-          markSteal()
+          // steal-gated pass: discard + re-run while the pass's own
+          // steal delta exceeds the gate (bounded retries). A delta of
+          // -1 (unreadable /proc/stat) cannot be judged — accept it.
+          val attempts = scala.collection.mutable.ArrayBuffer[Long]()
+          var r = selected.map { case (name, fn) => name -> once(fn) }
+          var d = stealDelta0()
+          attempts += d
+          while (stealGate > 0 && d > stealGate && attempts.size < stealRetries) {
+            System.err.println(
+              s"bench: pass steal $d > gate $stealGate jiffies — " +
+                s"discarding and re-running (attempt ${attempts.size}/$stealRetries)")
+            r = selected.map { case (name, fn) => name -> once(fn) }
+            d = stealDelta0()
+            attempts += d
+          }
+          attemptSteal += attempts.toSeq
+          passSteal += d
           r
         }
         selected.map { case (name, _) =>
@@ -109,6 +146,8 @@ object Bench {
     val stealEnd = stealJiffies()
     val stealDelta = if (steal0 >= 0 && stealEnd >= 0) stealEnd - steal0 else -1L
     val stealPassesJson = passSteal.mkString("[", ",", "]")
+    val stealAttemptsJson =
+      attemptSteal.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
     def r2(v: Double) = math.round(v * 100) / 100.0
 
@@ -133,6 +172,7 @@ object Bench {
         s""""cold_queries":$cs,"ok":$oks,"all_ok":$allOk,""" +
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +
+        s""""steal_attempts":$stealAttemptsJson,"steal_gate":$stealGate,""" +
         s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
@@ -145,6 +185,7 @@ object Bench {
         (if (failed.nonEmpty) s""""failed":${failed.mkString("[\"", "\",\"", "\"]")},""" else "") +
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +
+        s""""steal_attempts":$stealAttemptsJson,"steal_gate":$stealGate,""" +
         s""""cold_value":${r2(coldTotal)},"warmup":$warmup,"sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
   }

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Table catalog over a directory of parquet files (one file/dir per table).
   *
@@ -36,23 +36,54 @@ object Catalog {
   val testdataSfDirs: Seq[String] = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+  /** Normalize an events `ts` column whose PHYSICAL (footer-probed)
+    * Spark type is `tsType` to µs `TimestampType` — the single
+    * definition shared by the batch reader here and the streaming
+    * reader ([[graft.streaming.EventStreams.readEvents]]), so batch
+    * and stream can never diverge on event-time type when the fixture
+    * regenerates at a different timestamp unit. The three legal inputs:
+    *
+    *  - `LongType`: the fixture is INT64 TIMESTAMP(NANOS), which
+    *    Spark 4 rejects outright ([PARQUET_TYPE_ILLEGAL]) unless the
+    *    session was built with `spark.sql.legacy.parquet.nanosAsLong=
+    *    true` (see [[GraftSession.local]] — a conf set HERE would be a
+    *    hidden session mutation on every load); the raw nanosecond
+    *    long normalizes with exact integer division (`div`, not `/` —
+    *    double division would round the 19-digit nanos). Sub-µs digits
+    *    are dropped; all engine comparisons/outputs on event time use
+    *    whole seconds (queries.Det.epochS), and floor(ns→µs→s) ==
+    *    floor(ns→s), so oracle semantics are unaffected.
+    *  - `TimestampNTZType`: TIMESTAMP(MICROS) without tz. The cast to
+    *    TimestampType is exact ONLY under a UTC session (the NTZ
+    *    wall-clock IS the epoch instant); any other zone would
+    *    silently shift every event, so a non-UTC session fails loudly
+    *    here instead.
+    *  - `TimestampType`: already µs with-local-tz — pass through.
+    *
+    * Anything else (StringType from a malformed fixture, …) throws at
+    * the probe site instead of surfacing later as a confusing
+    * window/watermark analysis error. */
+  def normalizeTs(df: DataFrame, tsType: DataType): DataFrame = tsType match {
+    case LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType =>
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts is TIMESTAMP_NTZ: the NTZ->TIMESTAMP cast is only " +
+          s"exact under a UTC session, but spark.sql.session.timeZone=$tz")
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType => df
+    case other => throw new IllegalStateException(
+      s"events.ts probed as unsupported type $other — expected LongType " +
+        "(TIMESTAMP(NANOS) under nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is INT64 TIMESTAMP(NANOS) in parquet, which Spark 4
-      // rejects outright ([PARQUET_TYPE_ILLEGAL]). The session must be
-      // built with `spark.sql.legacy.parquet.nanosAsLong=true` (see
-      // [[GraftSession.local]] — a conf set HERE would be a hidden
-      // session mutation on every load); the raw nanosecond long then
-      // normalizes to a µs TimestampType with exact integer division
-      // (`div`, not `/` — double division would round the 19-digit
-      // nanos). Sub-µs digits are dropped; all engine comparisons/
-      // outputs on event time use whole seconds (queries.Det.epochS),
-      // and floor(ns->µs->s) == floor(ns->s), so oracle semantics are
-      // unaffected.
+      // ts normalized to µs TimestampType whatever unit the fixture
+      // was generated at — see [[normalizeTs]] for the unit cases.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      normalizeTs(raw, raw.schema("ts").dataType)
     case _ =>
       spark.read.parquet(s"$dir/$name.parquet")
   }

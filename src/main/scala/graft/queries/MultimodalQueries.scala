@@ -114,6 +114,39 @@ object MultimodalQueries {
       |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_intensity
       |FROM w ORDER BY media_id""".stripMargin
 
+  /** DuckDB twin of [[Multimodal.frameSample]] over utf8 bytes: the
+    * frame chop is pure byte arithmetic (ceil(n/64) frames, every 4th
+    * kept, last frame ragged), so the whole query is SQL-expressible —
+    * frame CONTENT is projected to its length, which the arithmetic
+    * reconstructs exactly. unnest(range(..)) expands one row per
+    * frame; octet_length(encode(..)) is the exact byte count for any
+    * utf8 text (no ASCII assumption needed — only length matters). */
+  val multimodalFramesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |f AS (
+      |  SELECT media_id, n,
+      |         unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS i
+      |  FROM d)
+      |SELECT media_id, CAST(i AS INTEGER) AS frame_no,
+      |  CAST(LEAST(64, n - 64 * i) AS INTEGER) AS frame_len
+      |FROM f WHERE i % 4 = 0
+      |ORDER BY media_id, frame_no""".stripMargin
+
+  /** DuckDB twin of [[Multimodal.resizeColumn]]'s deterministic
+    * non-image path: bytes <= w*h pass through whole, longer blobs
+    * stride-sample to exactly w*h bytes — so thumb_len = least(n, 64).
+    * Rests on the same MultimodalSpec-pinned fixture property as the
+    * features/dedup oracles (no blob decodes as a real image; a text
+    * that merely STARTS with an image magic still falls back when
+    * ImageIO rejects it). */
+  val multimodalThumbsSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(LEAST(octet_length(encode(text)), 64) AS INTEGER) AS thumb_len
+      |FROM documents WHERE doc_id % 10 = 0
+      |ORDER BY media_id""".stripMargin
+
   val multimodalDedupSql: String =
     """WITH d AS (
       |  SELECT doc_id, text FROM documents
@@ -131,11 +164,16 @@ object MultimodalQueries {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_thumbs" -> (multimodalThumbs _))
 
-  // Dataset pipelines are rows-only EXCEPT the dedup and the image
-  // featurization: raw-byte digests / fallback features of
-  // utf8-derived blobs are SQL-expressible (md5(text) and byte
-  // arithmetic respectively), so those two are oracle-checked whole.
+  // Dataset pipelines are rows-only EXCEPT the dedup, the image
+  // featurization, the frame chop, and the thumbnail length: raw-byte
+  // digests / fallback arithmetic of utf8-derived blobs are
+  // SQL-expressible (md5(text) / byte arithmetic respectively), so
+  // those four are oracle-checked whole. Only multimodal_audio stays
+  // rows-only (per-sample PCM accumulation has no SQL twin);
+  // MultimodalSpec covers its real-WAV and fallback paths.
   def oracle: Map[String, String] = Map(
     "multimodal_dedup" -> multimodalDedupSql,
-    "multimodal_features" -> multimodalFeaturesSql)
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_thumbs" -> multimodalThumbsSql)
 }

@@ -512,8 +512,14 @@ object SimilarityQueries {
     * dedup shuffle carries 24 bytes/doc, not the documents themselves.
     * A bucket whose members disagree on the sentinel is a digest
     * collision (probability ~n²/2⁶⁴) and is surfaced, not silently
-    * merged. Rows-only (engine-internal hash); SimilaritySpec proves
-    * group-equivalence with the full-text tier. */
+    * merged. Oracle-checked via an md5-TWIN: the output exposes no
+    * engine hash (only keep_id/dup_cnt/distinct_texts), and grouping
+    * by md5(text) in DuckDB partitions the corpus identically to
+    * grouping by xxhash64(text) unless xxhash64 collides where md5
+    * does not — in which case Spark would emit a distinct_texts>1 row
+    * the oracle lacks and the compare fails loudly, which is exactly
+    * the surfacing the sentinel exists for. SimilaritySpec separately
+    * proves group-equivalence with the full-text tier. */
   def dedupExactDigest(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val planted = d.filter(col("doc_id") % 10 === 0)
@@ -528,6 +534,21 @@ object SimilarityQueries {
       .select("keep_id", "dup_cnt", "distinct_texts")
       .orderBy("keep_id")
   }
+
+  /** md5-twin oracle for [[dedupExactDigest]]: same planted dups, same
+    * aggregate outputs, grouped by md5(text) — group-equivalent to the
+    * xxhash64 scale tier on any collision-free corpus (see the query
+    * scaladoc for the collision-detection argument). */
+  val dedupExactDigestSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 0)
+      |SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt,
+      |  count(DISTINCT md5(text)) AS distinct_texts
+      |FROM d GROUP BY md5(text) HAVING count(*) > 1
+      |ORDER BY keep_id""".stripMargin
 
   // --- dedup_exact_normalized: canonicalize THEN digest ---------------
   // The production default before exact dedup (CCNet/RefinedWeb-style):
@@ -764,6 +785,7 @@ object SimilarityQueries {
 
   def oracle: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,
+    "dedup_exact_digest" -> dedupExactDigestSql,
     "dedup_exact_normalized" -> dedupExactNormalizedSql,
     "dedup_paragraphs" -> dedupParagraphsSql,
     "text_paragraph_clean" -> paragraphCleanSql,

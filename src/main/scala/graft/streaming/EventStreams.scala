@@ -31,32 +31,37 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Streaming source over the events parquet, ts normalized to µs
-    * TimestampType exactly like the batch [[graft.Catalog.table]]: a
-    * footer-only batch read probes what `ts` physically is, and the
-    * ns→µs division applies ONLY when the column reads as a raw Long
-    * (nanos under the legacy flag). A fixture regenerated at a
-    * different timestamp unit therefore changes the probe result, not
-    * the semantics — the round-8 failure mode (µs fixture divided by
-    * 1000 → every window in January 1970) cannot recur. The probe is
-    * one metadata-only read per stream construction, never per batch. */
+    * TimestampType via the SAME [[graft.Catalog.normalizeTs]] the
+    * batch reader uses (one shared definition — batch and stream
+    * cannot diverge on event-time type): a footer-only batch read
+    * probes what `ts` physically is, and the ns→µs division applies
+    * ONLY when the column reads as a raw Long (nanos under the legacy
+    * flag). A fixture regenerated at a different timestamp unit
+    * therefore changes the probe result, not the semantics — the
+    * round-8 failure mode (µs fixture divided by 1000 → every window
+    * in January 1970) cannot recur. The probe is one metadata-only
+    * read per stream construction, never per batch.
+    *
+    * Live-arrival caveat: when `dir` holds no events.parquet YET (a
+    * landing directory the stream should watch), there is no footer to
+    * probe, so the reader assumes the modern driver fixture unit —
+    * TIMESTAMP(MICROS), declared with-local-tz, identical on-wire
+    * under the UTC session — rather than refusing to start. Files of
+    * a different unit must exist at construction time to be detected;
+    * unexpected probed types still fail loudly inside normalizeTs. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val batchTs = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val batchTs =
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => TimestampType
+      }
     val raw = spark.readStream
       .schema(rawSchema(batchTs))
       // file streaming sources demand a directory; select the events
       // table out of the sf dir with a glob filter
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    batchTs match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        // TIMESTAMP(MICROS) without tz reads as NTZ, but watermarks
-        // demand TIMESTAMP (with-local-tz). The session runs UTC, so
-        // the NTZ wall-clock IS the epoch instant — a cast is exact.
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
-    }
+    graft.Catalog.normalizeTs(raw, batchTs)
   }
 
   /** Tumbling 1-hour counts with a 10-minute watermark — identical
