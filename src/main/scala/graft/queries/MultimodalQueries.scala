@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column queries — binary media plumbing exercised over a
   * deterministic binary column derived from documents.text (the
   * testdata ships no real media; the decode step is a documented stub —
-  * see operators.Multimodal). Rows-only checks: the per-partition
-  * Dataset pipeline is not SQL-expressible. */
+  * see operators.Multimodal). All five queries are oracle-checked end
+  * to end: on this corpus every blob takes the deterministic fallback
+  * path, whose byte arithmetic DuckDB reproduces bitwise (see each
+  * *Sql twin); the real-codec paths are MultimodalSpec-proven. */
 object MultimodalQueries {
 
   /** Featurize "images": text -> utf8 bytes -> per-partition decode ->
@@ -56,7 +58,15 @@ object MultimodalQueries {
   /** Audio features: real RIFF/WAV parse where the bytes are 16-bit
     * PCM WAV, deterministic raw-PCM stand-in otherwise (the fixture's
     * text-derived bytes all take the fallback; MultimodalSpec
-    * round-trips generated WAVs through the parser). */
+    * round-trips generated WAVs through the parser).
+    *
+    * Oracle-checked end to end despite the floating-point outputs:
+    * on the fallback path every sample is an int16, so sum-of-squares
+    * ≤ n·2³⁰ stays far below 2⁵³ — the accumulation is EXACT in
+    * double on both engines regardless of order, and rms/zcr are then
+    * one IEEE division (+sqrt) each. The DuckDB twin rebuilds the
+    * little-endian PCM16 view from per-char codepoints (== bytes on
+    * the spec-pinned ASCII corpus) and lag() for zero crossings. */
   def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
     val withBin = Catalog.table(s, dir, "documents")
       .filter(col("doc_id") % 10 === 0)
@@ -147,6 +157,48 @@ object MultimodalQueries {
       |FROM documents WHERE doc_id % 10 = 0
       |ORDER BY media_id""".stripMargin
 
+  /** DuckDB twin of [[Multimodal.audioFeaturesOf]]'s raw-pcm16
+    * fallback (see [[multimodalAudio]]'s scaladoc for why the double
+    * math is bitwise-reproducible): bytes → LE int16 pairs (trailing
+    * odd byte dropped), then n/rms/zcr/peak/window-count with the
+    * exact Scala edge semantics (n=0 → all-zero row via LEFT JOIN;
+    * n=1 → zcr 0). */
+  val multimodalAudioSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |         list_transform(string_split(text, ''), x -> unicode(x)) AS bytes
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |s AS (
+      |  SELECT media_id, len(bytes) // 2 AS n,
+      |         unnest(range(0, len(bytes) // 2)) AS i, bytes
+      |  FROM b),
+      |v AS (
+      |  SELECT media_id, n, i,
+      |    CASE WHEN bytes[CAST(2*i+2 AS INTEGER)] >= 128
+      |         THEN bytes[CAST(2*i+1 AS INTEGER)] + 256*bytes[CAST(2*i+2 AS INTEGER)] - 65536
+      |         ELSE bytes[CAST(2*i+1 AS INTEGER)] + 256*bytes[CAST(2*i+2 AS INTEGER)] END AS smp
+      |  FROM s),
+      |w AS (
+      |  SELECT media_id, n, i, smp,
+      |         lag(smp) OVER (PARTITION BY media_id ORDER BY i) AS prev
+      |  FROM v),
+      |agg AS (
+      |  SELECT media_id, max(n) AS n, sum(smp*smp) AS sumsq, max(abs(smp)) AS peak,
+      |         sum(CASE WHEN prev IS NOT NULL AND
+      |                  ((prev < 0 AND smp >= 0) OR (prev >= 0 AND smp < 0))
+      |             THEN 1 ELSE 0 END) AS crossings
+      |  FROM w GROUP BY media_id)
+      |SELECT b.media_id,
+      |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN COALESCE(a.n,0) = 0 THEN 0 ELSE (a.n + 255) // 256 END AS INTEGER) AS n_windows,
+      |  CASE WHEN COALESCE(a.n,0) = 0 THEN 0.0 ELSE sqrt(CAST(a.sumsq AS DOUBLE) / CAST(a.n AS DOUBLE)) END AS rms,
+      |  CASE WHEN COALESCE(a.n,0) <= 1 THEN 0.0 ELSE CAST(a.crossings AS DOUBLE) / CAST(a.n - 1 AS DOUBLE) END AS zcr,
+      |  CAST(COALESCE(a.peak, 0) AS INTEGER) AS peak,
+      |  CAST(0 AS INTEGER) AS sample_rate,
+      |  'raw-pcm16' AS codec
+      |FROM b LEFT JOIN agg a USING (media_id)
+      |ORDER BY media_id""".stripMargin
+
   val multimodalDedupSql: String =
     """WITH d AS (
       |  SELECT doc_id, text FROM documents
@@ -164,16 +216,16 @@ object MultimodalQueries {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_thumbs" -> (multimodalThumbs _))
 
-  // Dataset pipelines are rows-only EXCEPT the dedup, the image
-  // featurization, the frame chop, and the thumbnail length: raw-byte
-  // digests / fallback arithmetic of utf8-derived blobs are
-  // SQL-expressible (md5(text) / byte arithmetic respectively), so
-  // those four are oracle-checked whole. Only multimodal_audio stays
-  // rows-only (per-sample PCM accumulation has no SQL twin);
-  // MultimodalSpec covers its real-WAV and fallback paths.
+  // ALL five Dataset pipelines are oracle-checked end to end on the
+  // fixture corpus: raw-byte digests / fallback arithmetic of
+  // utf8-derived blobs are SQL-expressible (md5(text), byte
+  // arithmetic, even the PCM16 sample math — integer-valued in
+  // double-exact range), and the decode/real-codec paths stay
+  // MultimodalSpec-proven.
   def oracle: Map[String, String] = Map(
     "multimodal_dedup" -> multimodalDedupSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_thumbs" -> multimodalThumbsSql)
+    "multimodal_thumbs" -> multimodalThumbsSql,
+    "multimodal_audio" -> multimodalAudioSql)
 }
