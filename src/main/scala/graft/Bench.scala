@@ -157,6 +157,11 @@ object Bench {
     // bench parsed as null. Keep stdout to one compact line (top
     // queries by time, 2 dp) and write the complete per-query detail
     // to bench_full.json next to the repo root.
+    // A narrowed SPARK_GRAFT_ONLY run is a dev probe, not the round's
+    // official measurement: write its detail to bench_probe.json so it
+    // can never clobber the full-suite bench_full.json artifact (which
+    // has been overwritten by partial/contaminated probes before).
+    val detailFile = if (only.isDefined) "bench_probe.json" else "bench_full.json"
     val topN = 40
     val slowest = results.toSeq.sortBy(-_._2._1).take(topN)
     val qsCompact = slowest.map { case (k, (v, _)) => "\"" + k + "\":" + r2(v) }
@@ -176,9 +181,9 @@ object Bench {
         s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(detailFile),
       fullJson.getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"bench_full.json write failed: $e") }
+    catch { case e: Throwable => System.err.println(s"$detailFile write failed: $e") }
     println(
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""n_queries":${results.size},"all_ok":$allOk,""" +
@@ -186,7 +191,7 @@ object Bench {
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +
         s""""steal_attempts":$stealAttemptsJson,"steal_gate":$stealGate,""" +
-        s""""cold_value":${r2(coldTotal)},"warmup":$warmup,"sf":"$sfDir","detail":"bench_full.json"}""")
+        s""""cold_value":${r2(coldTotal)},"warmup":$warmup,"sf":"$sfDir","detail":"$detailFile"}""")
     spark.stop()
   }
 }
