@@ -52,6 +52,31 @@ object Bench {
       finally src.close()
     } catch { case _: Throwable => -1L }
 
+  /** One steal-gated timed pass: run `pass`, read its steal via
+    * `stealDelta` (a fresh delta per attempt), and discard+re-run while
+    * the delta exceeds `gate` — up to `retries` total attempts, keeping
+    * the LAST attempt if the host never quiets (its above-gate steal
+    * stays visible in the returned trail as the honest signal). A gate
+    * of 0 disables; a delta of -1 (unreadable /proc/stat) cannot be
+    * judged and is accepted. Returns (accepted result, per-attempt
+    * steal trail — last entry is the accepted attempt's). Extracted
+    * from main so BenchGateSpec can script steal sequences. */
+  def gatedPass[T](pass: () => T, stealDelta: () => Long,
+                   gate: Long, retries: Int,
+                   onRetry: (Long, Int) => Unit = (_, _) => ()): (T, Seq[Long]) = {
+    val attempts = scala.collection.mutable.ArrayBuffer[Long]()
+    var r = pass()
+    var d = stealDelta()
+    attempts += d
+    while (gate > 0 && d > gate && attempts.size < retries) {
+      onRetry(d, attempts.size)
+      r = pass()
+      d = stealDelta()
+      attempts += d
+    }
+    (r, attempts.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
@@ -115,23 +140,14 @@ object Bench {
         // run the whole suite, then again — so a sustained host stall
         // can't cover both samples of one query)
         val timed = (1 to passes).map { _ =>
-          // steal-gated pass: discard + re-run while the pass's own
-          // steal delta exceeds the gate (bounded retries). A delta of
-          // -1 (unreadable /proc/stat) cannot be judged — accept it.
-          val attempts = scala.collection.mutable.ArrayBuffer[Long]()
-          var r = selected.map { case (name, fn) => name -> once(fn) }
-          var d = stealDelta0()
-          attempts += d
-          while (stealGate > 0 && d > stealGate && attempts.size < stealRetries) {
-            System.err.println(
+          val (r, attempts) = gatedPass(
+            () => selected.map { case (name, fn) => name -> once(fn) },
+            stealDelta0 _, stealGate, stealRetries,
+            (d, attempt) => System.err.println(
               s"bench: pass steal $d > gate $stealGate jiffies — " +
-                s"discarding and re-running (attempt ${attempts.size}/$stealRetries)")
-            r = selected.map { case (name, fn) => name -> once(fn) }
-            d = stealDelta0()
-            attempts += d
-          }
-          attemptSteal += attempts.toSeq
-          passSteal += d
+                s"discarding and re-running (attempt $attempt/$stealRetries)"))
+          attemptSteal += attempts
+          passSteal += attempts.last
           r
         }
         selected.map { case (name, _) =>
