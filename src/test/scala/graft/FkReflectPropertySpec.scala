@@ -91,10 +91,17 @@ class FkReflectPropertySpec extends AnyFunSuite {
         val want = declared(s)
         // reflect sees ONLY this DB's user schema: same tables, same
         // PK column order, same edge set with composite column order
+        // insertionOrder over the REFLECTED graph must be a valid
+        // topological order (parents strictly before children) — the
+        // order JDBC inserts into an FK-enforcing destination use;
+        // generated schemas are DAGs so no cycle-break applies
+        val order = got.insertionOrder.zipWithIndex.toMap
+        val topoOk = got.fks.forall(f => order(f.parentTable) < order(f.childTable))
         ((got.pks == want.pks) :| s"pks ${got.pks} != ${want.pks}") &&
           ((got.fks.toSet == want.fks.toSet) :|
             s"fks ${got.fks.sortBy(_.name)} != ${want.fks.sortBy(_.name)}") &&
-          ((got.fks.size == want.fks.size) :| "duplicate reflected edges")
+          ((got.fks.size == want.fks.size) :| "duplicate reflected edges") &&
+          (topoOk :| s"insertionOrder ${got.insertionOrder} violates an edge")
       } finally {
         conn.close()
         // drop the in-memory DB so 30 generated cases don't accumulate
