@@ -33,6 +33,18 @@ import org.apache.spark.sql.SparkSession
   * host never quiets down within the retry budget the LAST attempt is
   * kept — `steal_passes` then shows a value above the gate, which is
   * the honest signal that no quiet window existed.
+  *
+  * Known mild bias of gating: a retried pass runs on an increasingly
+  * warm JVM (more JIT/profile warmth than a first-attempt pass), so an
+  * accepted retry is systematically slightly FASTER than a
+  * first-attempt quiet pass would have been. Accepted: the
+  * `steal_attempts` trail makes every gate activation auditable, and
+  * the bias is small against the multi-second stalls the gate rejects.
+  *
+  * Session setup: the two once-per-session pipeline dumps (SubsetDump,
+  * DeltaDump — see CoreQueries) are materialized BEFORE the cold pass
+  * and timed separately as `session_setup`, so the cold numbers of the
+  * subset audit queries read as query cost, not dump amortization.
   */
 object Bench {
   /** Aggregate steal jiffies from /proc/stat (field 8 of the `cpu`
@@ -125,6 +137,19 @@ object Bench {
       stealMark = s
       d
     }
+    // one-per-session dump materialization, attributed out of the cold
+    // pass (idempotent; a narrowed SPARK_GRAFT_ONLY probe run skips it
+    // unless a subset audit query is actually selected)
+    val setupSecs = {
+      val needsDumps = selected.keys.exists(_.startsWith("subset_"))
+      val t0 = System.nanoTime()
+      if (needsDumps)
+        try graft.queries.CoreQueries.prepareSessionDumps(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"bench session setup failed: ${e.getMessage}")
+        }
+      (System.nanoTime() - t0) / 1e9
+    }
     val cold = selected.map { case (name, fn) => name -> once(fn) }
     // the cold/warmup pass's steal is its own field: steal_passes then
     // maps 1:1 onto the TIMED passes, so a reader can attribute
@@ -194,6 +219,7 @@ object Bench {
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +
         s""""steal_attempts":$stealAttemptsJson,"steal_gate":$stealGate,""" +
+        s""""session_setup":$setupSecs,""" +
         s""""cold_value":$coldTotal,"warmup":$warmup,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
@@ -207,6 +233,7 @@ object Bench {
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +
         s""""steal_attempts":$stealAttemptsJson,"steal_gate":$stealGate,""" +
+        s""""session_setup":${r2(setupSecs)},""" +
         s""""cold_value":${r2(coldTotal)},"warmup":$warmup,"sf":"$sfDir","detail":"$detailFile"}""")
     spark.stop()
   }

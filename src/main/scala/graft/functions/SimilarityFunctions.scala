@@ -362,9 +362,23 @@ object SimilarityFunctions {
     * words of its fingerprint, so it must agree on at least one word —
     * candidates join on (word index, word value), a hash JOIN, never
     * the O(n²) all-pairs space (which would defeat the point of
-    * simhash). Exact hamming verifies within candidates. */
+    * simhash). Exact hamming verifies within candidates.
+    *
+    * `maxBucket` defaults LOWER than the minhash tier's (1000 vs
+    * 10000) because the band space is structurally smaller: each of
+    * the 4 words has only 2^16 values, so word-bucket occupancy grows
+    * LINEARLY with the corpus once n >> 2^16 (minhash band keys are
+    * 16 concatenated 64-bit minima — effectively unbounded key
+    * space). A capped bucket still verifies cap²/2 candidate pairs,
+    * so the cap IS the per-bucket verify budget: 10000 allowed 50M
+    * pairs per degenerate bucket, which the first 6M-row-lineitem
+    * rung measured as a 276 s query (~400x its sf0.1 cost); at 1000
+    * the same corpus verifies in seconds. Past ~10^6 docs the honest
+    * scale path is a wider fingerprint (more, narrower bands — the
+    * parameterized fpWords machinery the ANN tier uses), not a deeper
+    * bucket budget. */
   def simhashPairs(docs: DataFrame, textCol: String, maxHamming: Int = 3,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, s"4-word banding only covers hamming <= 3, got $maxHamming")
     // fingerprints feed both sides of the band join and both verify
     // joins — materialize once (id + one long per doc).

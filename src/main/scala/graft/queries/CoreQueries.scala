@@ -696,4 +696,19 @@ object CoreQueries {
     // subset_star, subset_delta: non-SQL-expressible pipelines ->
     // rows-only checks; their postconditions are oracle-checked by the
     // subset_* / subset_delta_* queries above
+
+  /** Materialize both once-per-session pipeline dumps (SubsetDump +
+    * DeltaDump) up front. The dumps are lazy by design — the first
+    * audit query that needs one pays for it — which is right for
+    * Verify but wrong for a benchmark's COLD pass, where a ~40 s dump
+    * bill lands on whichever audit query happens to run first
+    * (BENCH r10: subset_delta_counts read 42.7 s cold of which ~39 s
+    * was DeltaDump). Bench calls this before timing anything and
+    * reports the elapsed time as `session_setup`, so cold per-query
+    * numbers read as query cost (VERDICT r10 item 4). Idempotent —
+    * the per-session `done` guards make later ensure() calls free. */
+  def prepareSessionDumps(s: SparkSession, dir: String): Unit = {
+    SubsetDump.ensure(s, dir)
+    DeltaDump.ensure(s, dir)
+  }
 }

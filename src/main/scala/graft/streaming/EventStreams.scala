@@ -53,7 +53,16 @@ object EventStreams {
     val batchTs =
       try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
       catch {
-        case _: org.apache.spark.sql.AnalysisException => TimestampType
+        // ONLY the two "nothing landed yet" conditions take the
+        // live-arrival default; any other analysis failure (e.g. a
+        // malformed events.parquet that fails at probe time) must
+        // surface HERE, not resurface later as a confusing runtime
+        // schema mismatch (ADVICE r10).
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.startsWith("PATH_NOT_FOUND") ||
+                c.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          TimestampType
       }
     val raw = spark.readStream
       .schema(rawSchema(batchTs))

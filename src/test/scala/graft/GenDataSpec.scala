@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Pins the two properties the sf1 scale rung rests on (VERDICT r10
+  * item 1): the generator's output is SCHEMA-IDENTICAL to the driver's
+  * testdata (so every query/oracle runs unchanged at a generated rung)
+  * and fully DETERMINISTIC (two generations produce identical rows —
+  * every column is a pure function of the row id, independent of
+  * partitioning), at the smallest rung so the spec stays fast. */
+class GenDataSpec extends SparkSpecBase {
+
+  private lazy val genDir = {
+    val d = Files.createTempDirectory("graft-gendata").toString
+    GenData.generate(spark, 0.001, d)
+    d
+  }
+
+  test("generated tables are schema-identical to the driver's testdata") {
+    for (t <- Catalog.tableNames) {
+      val gen = spark.read.parquet(s"$genDir/$t.parquet").schema
+      val ref = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").schema
+      assert(gen == ref, s"$t: generated $gen != driver $ref")
+    }
+  }
+
+  test("row counts scale like the driver's (exact dims, ~ratio facts)") {
+    def n(t: String) = spark.read.parquet(s"$genDir/$t.parquet").count()
+    assert(n("region") == 5L && n("nation") == 25L)
+    assert(n("customer") == 150L && n("supplier") == 10L && n("part") == 200L)
+    assert(n("orders") == 1500L && n("events") == 1000L)
+    // embeddings floor (driver has 500 even at sf0.001-adjacent rungs)
+    assert(n("embeddings") == 500L)
+    // lineitem ≈ 4.07 lines/order like the driver data (±15%)
+    val l = n("lineitem").toDouble / 1500.0
+    assert(l > 3.4 && l < 4.7, s"lines/order $l")
+  }
+
+  test("generation is deterministic: a second run produces identical rows") {
+    val d2 = Files.createTempDirectory("graft-gendata2").toString
+    GenData.generate(spark, 0.001, d2)
+    for (t <- Seq("lineitem", "documents", "embeddings", "events")) {
+      val a = spark.read.parquet(s"$genDir/$t.parquet")
+      val b = spark.read.parquet(s"$d2/$t.parquet")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$t: generated content differs between runs")
+    }
+  }
+
+  test("FK-validity: every generated foreign key resolves") {
+    def tbl(t: String) = spark.read.parquet(s"$genDir/$t.parquet")
+    val orphans = Seq(
+      tbl("lineitem").join(tbl("orders"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti"),
+      tbl("orders").join(tbl("customer"),
+        col("o_custkey") === col("c_custkey"), "left_anti"),
+      tbl("customer").join(tbl("nation"),
+        col("c_nationkey") === col("n_nationkey"), "left_anti"),
+      tbl("nation").join(tbl("region"),
+        col("n_regionkey") === col("r_regionkey"), "left_anti"))
+    orphans.zip(Seq("lineitem→orders", "orders→customer",
+      "customer→nation", "nation→region")).foreach { case (df, edge) =>
+      assert(df.isEmpty, s"orphaned FK rows on $edge")
+    }
+  }
+}

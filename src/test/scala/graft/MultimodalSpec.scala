@@ -202,6 +202,17 @@ class MultimodalSpec extends SparkSpecBase {
         .functions.octet_length($"text")).count()
       assert(nonAscii == 0L,
         s"$dir: non-ASCII text — byte sums diverge from codepoint sums")
+      // (c) multimodal_audio's oracle hardcodes codec='raw-pcm16' /
+      // sample_rate=0 — true only while NO fixture text parses as a
+      // RIFF/WAVE container (ADVICE r10: this third leg of the
+      // fixture property was unpinned; a pathological fixture would
+      // have surfaced only as an opaque oracle hash mismatch)
+      val wavParsed = d.select($"bin").as[Array[Byte]]
+        .mapPartitions(_.map(b => if (Multimodal.parseWav(b).isDefined) 1L else 0L))
+        .reduce(_ + _)
+      assert(wavParsed == 0L,
+        s"$dir: a document's bytes parse as WAV — the raw-pcm16 " +
+          "fallback mapping for multimodal_audio no longer holds")
     }
   }
 }

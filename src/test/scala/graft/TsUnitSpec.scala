@@ -202,4 +202,45 @@ class TsUnitSpec extends SparkSpecBase {
     assert(df.isStreaming)
     assert(df.schema("ts").dataType == TimestampType)
   }
+
+  test("NANOS file landing AFTER empty-dir construction fails loudly (r10 unit hole)") {
+    // Construct on an empty landing dir (probe defaults to µs), THEN
+    // land a TIMESTAMP(NANOS) file: the declared µs schema meets a
+    // nanos column. The pinned behavior must be a LOUD streaming
+    // failure, never silently-wrong windows (a nanos long read as µs
+    // would put every event ~50,000 years in the future).
+    val d = Files.createTempDirectory("graft-ts-late-nanos").toString
+    val df = EventStreams.readEvents(spark, d)
+    writeNanosFixture(d)
+    val q = EventStreams.tumblingCounts(df)
+      .writeStream.format("memory").queryName("ts_unit_late_nanos")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    // the root failure is the parquet type mismatch, surfaced by the
+    // reader — assert the cause chain mentions the conversion problem
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => s"${x.getClass.getName}: ${x.getMessage}").toSeq
+    val msgs = chain(e).mkString("\n").toLowerCase
+    assert(msgs.contains("parquet") || msgs.contains("convert") ||
+      msgs.contains("schema"), s"expected a parquet schema failure, got:\n$msgs")
+    // and nothing was emitted as data
+    assert(spark.sql("SELECT * FROM ts_unit_late_nanos").isEmpty)
+  }
+
+  test("a probe-time analysis failure is rethrown, not defaulted (narrowed catch)") {
+    // a garbage non-parquet file named events.parquet must fail
+    // readEvents construction loudly — only PATH_NOT_FOUND /
+    // UNABLE_TO_INFER_SCHEMA take the live-arrival µs default
+    val d = Files.createTempDirectory("graft-ts-garbage").toString
+    Files.write(Paths.get(s"$d/events.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    intercept[Exception] {
+      EventStreams.readEvents(spark, d)
+    }
+  }
 }
