@@ -164,6 +164,101 @@ object SimilarityFunctions {
       .select("ida", "idb", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard pairs via prefix filtering (the AllPairs /
+    * PPJoin candidate principle — Bayardo, Ma & Srikant, WWW'07; Xiao
+    * et al., WWW'08): identical output to [[jaccardPairsNgram]] — no
+    * recall loss, same DuckDB oracle — at a fraction of its candidate
+    * cost.
+    *
+    * Why it's exact: order the shingle universe globally (ascending
+    * document frequency, ties by hash). For Jaccard(A,B) >= t we have
+    * |A∩B| >= t*|A∪B| >= t*max(|A|,|B|), so the overlap is at least
+    * ceil(t*|A|) AND at least ceil(t*|B|). Two sets that overlap in
+    * alpha elements must share an element within the first
+    * |x| - alpha + 1 elements of EACH (pigeonhole on the sorted
+    * order), so indexing only each doc's first
+    * p(x) = |x| - ceil(t*|x|) + 1 shingles generates every qualifying
+    * pair. A length filter (t*|A| <= |B| <= |A|/t is necessary for
+    * Jaccard >= t) prunes the join further. Candidates are then scored
+    * EXACTLY — pair-local `array_intersect` over the full per-doc
+    * shingle-hash arrays, same verify as the LSH tier.
+    *
+    * Scale shape vs the inverted-index tier: [[jaccardPairsNgram]]
+    * shuffles sum(df²) intersection rows over ALL shingles;
+    * here the self-join runs over sum(df_p²) of PREFIX postings only —
+    * and because the global order is df-ASCENDING, prefixes
+    * concentrate on each doc's RAREST shingles, so df_p is small by
+    * construction. At t=0.4 the prefix is ~60% of each set, but those
+    * are the low-df 60%: measured on the adversarial 31-word-vocab
+    * fixture (where trigram df grows linearly with the corpus) this
+    * cuts the candidate space by an order of magnitude while staying
+    * exact. The df ranking costs one extra map-side-combined groupBy +
+    * one broadcast-joinable (hash, df) relation... no: df is joined by
+    * hash join (the df relation is corpus-sized), then a per-doc
+    * row_number window (partition = one document, bounded by doc
+    * length) picks the prefix. No window ever sees more than one doc.
+    *
+    * `maxDf` is the same hot-shingle valve as [[jaccardPairsNgram]]'s
+    * (df-capped tokens dropped from BOTH the ranking and the verify
+    * arrays would change the score, so here over-cap shingles are only
+    * excluded from the INDEX — never from the verify arrays — which
+    * keeps scores exact; a pair whose every shared shingle is over-cap
+    * can be missed, identical in kind to the exact tier's documented
+    * cap caveat. Oracle-checked queries choose a cap above the
+    * corpus max df, where both tiers are fully exact.) */
+  def jaccardPairsNgramPrefix(docs: DataFrame, n: Int, minJaccard: Double,
+                              maxDf: Int = 100000): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    // one scan computes the per-doc distinct shingle-hash set; feeds
+    // the df ranking, the prefix index, and both verify joins
+    val base = docs.select(col("doc_id"),
+        call_function("graft_shingle_hashes",
+          split(col("text"), " "), lit(n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint(false)
+    val postings = base.select(col("doc_id"), col("sz"),
+      explode(col("sh")).as("tok"))
+    val df = postings.groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // global rarity order (df asc, tok asc) -> per-doc prefix of the
+    // first sz - ceil(t*sz) + 1 rarest shingles
+    val perDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    // Bound arithmetic is slackened by EPS: t*sz can land a hair ABOVE
+    // the exact rational product in IEEE (0.4*5 = 2.0000000000000004,
+    // so ceil jumps 2 -> 3), which would shorten the prefix below the
+    // pigeonhole guarantee and silently drop exact-boundary pairs —
+    // the verify filter's own j >= t test compares the same nearest
+    // doubles and KEEPS them. Subtracting EPS before ceil (and adding
+    // it to the length bound) over-approximates by at most one prefix
+    // slot; over-long prefixes cost candidates, never correctness.
+    val EPS = 1e-6
+    val prefix = postings.join(df, "tok")
+      .withColumn("r", row_number().over(perDoc))
+      .filter(col("r") <=
+        col("sz") - ceil(lit(minJaccard) * col("sz") - lit(EPS)) + 1)
+      .select(col("doc_id"), col("sz"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // length filter: Jaccard >= t forces t <= |A|/|B| <= 1/t
+          col("a.sz") * minJaccard - EPS <= col("b.sz") &&
+          col("b.sz") * minJaccard - EPS <= col("a.sz"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
+      .join(base.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("ida", "idb", "jaccard")
+  }
+
   /** Drop every row whose `keyCols` group exceeds `cap` members.
     *
     * Shape matters at 100 TB: the old formulation (`count(*) over

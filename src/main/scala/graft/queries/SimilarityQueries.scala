@@ -96,6 +96,19 @@ object SimilarityQueries {
     SimilarityFunctions.jaccardPairsNgram(docs(s, dir), 3, 0.4)
       .orderBy("ida", "idb")
 
+  // --- dedup_ngram_prefix: the same relation, prefix-filtered ---------
+  // EXACT tier #2 (AllPairs/PPJoin prefix filtering): identical output
+  // and oracle as dedup_ngram_jaccard, but candidates come from a
+  // df-ascending prefix index (rarest ~60% of each doc's shingles at
+  // t=0.4) + length filter instead of the full inverted-index
+  // self-join, then pair-local exact verify. Unlike dedup_shingle_lsh
+  // this tier has NO recall approximation — it is the 100 TB path when
+  // the answer must be provably complete (SimilarityFunctions
+  // .jaccardPairsNgramPrefix scaladoc has the pigeonhole argument).
+  def dedupNgramPrefix(s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.jaccardPairsNgramPrefix(docs(s, dir), 3, 0.4)
+      .orderBy("ida", "idb")
+
   // --- dedup_shingle_lsh: the same near-dup relation, scale-shaped ----
   // MinHash-banded candidates + exact per-pair shingle-hash Jaccard:
   // the 100 TB path for what dedup_ngram_jaccard computes by full
@@ -766,6 +779,7 @@ object SimilarityQueries {
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
     "dedup_jaccard_docs" -> (dedupJaccardDocs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "dedup_shingle_lsh" -> (dedupShingleLsh _),
     "dedup_editdist_pairs" -> (dedupEditdistPairs _),
     "dedup_components" -> (dedupComponents _),
@@ -792,6 +806,7 @@ object SimilarityQueries {
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,
     "dedup_jaccard_docs" -> dedupJaccardDocsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_ngram_prefix" -> dedupNgramJaccardSql, // same relation, exact prefix-filtered path
     "dedup_shingle_lsh" -> dedupNgramJaccardSql, // same relation, scale-shaped path
     "dedup_editdist_pairs" -> dedupEditdistPairsSql,
     "dedup_components" -> dedupComponentsSql,

@@ -136,6 +136,74 @@ object TextQueries {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- text_dup_spans: repeated-passage detection ---------------------
+  // The substring-level dedup signal the training-data literature
+  // scrubs corpora with (exact repeated spans across documents — the
+  // "dedup repeated passages" op of C4/RefinedWeb-style pipelines, cf.
+  // Lee et al. 2022, "Deduplicating Training Data Makes Language
+  // Models Better"): for every SpanW-token window position, does that
+  // window's text also occur in ANOTHER document? Per doc it reports
+  // how many window positions are duplicated and how many TOKENS the
+  // duplicated windows cover (overlapping windows merged by the
+  // classic lag trick: a position i whose previous duplicated position
+  // is i' contributes min(SpanW, i - i') fresh tokens).
+  //
+  // Scale shape: the window explode is linear in corpus tokens (the
+  // same budget as any inverted index); span df is ONE
+  // map-side-combined groupBy; the dup-span set joins back by hash
+  // join (left_semi) — no self-join, no df² term anywhere, so unlike
+  // pairwise Jaccard this op is linear-ish end to end. The coverage
+  // window partitions by doc_id (bounded by one document's length).
+  // At 100 TB the join key would be the 8-byte xxhash64 of the span
+  // (precedent: the ngram tiers' graft_shingle_hashes); the oracle
+  // tier keeps the span STRING so DuckDB reproduces it bitwise.
+  private val SpanW = 8
+
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansOver(docs(s, dir), SpanW)
+
+  private[graft] def dupSpansOver(d: DataFrame, w: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val posSpans = when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
+    val sp = d
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        posexplode(posSpans).as(Seq("p", "span")))
+      .withColumn("i", col("p") + 1).drop("p")
+    val dup = sp.groupBy("span")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("span")
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    sp.join(dup, Seq("span"), "left_semi")
+      .withColumn("c",
+        coalesce(least(lit(w), col("i") - lag(col("i"), 1).over(dw)), lit(w)))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("c")).cast("long").as("covered_tokens"))
+      .withColumn("dup_frac",
+        col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpansSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sp AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens, CAST(i AS INTEGER) AS i,
+       |         list_aggregate(l[i:i+${SpanW - 1}], 'string_agg', ' ') AS span
+       |       FROM d, unnest(range(1, len(l) - ${SpanW - 2})) AS t(i)
+       |       WHERE len(l) >= $SpanW),
+       |dup AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT s.doc_id, s.n_tokens, s.i FROM sp s JOIN dup USING (span)),
+       |cov AS (SELECT doc_id, n_tokens, i,
+       |          COALESCE(LEAST($SpanW, i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)), $SpanW) AS c
+       |        FROM dp)
+       |SELECT doc_id, n_tokens, count(*) AS dup_spans,
+       |  CAST(sum(c) AS BIGINT) AS covered_tokens,
+       |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
+       |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
+
   // --- text_shard_plan: content-hash sharding for training output -----
   // The last step before a corpus ships: deterministic assignment of
   // every document to one of N output shards, plus the per-shard
@@ -943,6 +1011,7 @@ object TextQueries {
     "text_quality" -> (quality _),
     "text_quality_thresholds" -> (qualityThresholds _),
     "text_langid" -> (langid _),
+    "text_dup_spans" -> (dupSpans _),
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
@@ -964,5 +1033,6 @@ object TextQueries {
     "text_quality" -> qualitySql,
     "text_quality_thresholds" -> qualityThresholdsSql,
     "text_langid" -> langidSql,
+    "text_dup_spans" -> dupSpansSql,
     "text_fingerprint" -> fingerprintSql)
 }

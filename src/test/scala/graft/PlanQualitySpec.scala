@@ -108,6 +108,27 @@ class PlanQualitySpec extends SparkSpecBase {
       "shingle hashes must stay as per-doc arrays, never exploded")
   }
 
+  test("dedup_ngram_prefix: candidates come from the prefix-postings hash join, never BNLJ/cartesian") {
+    val df = SimilarityQueries.dedupNgramPrefix(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the verify joins must carry candidate ids back to the per-doc
+    // ARRAYS (pair-local array_intersect), not re-join the index
+    assert(p.contains("array_intersect"),
+      "prefix tier must verify pair-locally over the shingle arrays")
+  }
+
+  test("text_dup_spans: span df rides one hash agg + a semi join; no BNLJ/cartesian") {
+    val df = graft.queries.TextQueries.dupSpans(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "dup-span membership must be a semi join")
+  }
+
   test("dedup_keeper_quality rides the banded tier: no inverted-index self-join") {
     val df = SimilarityQueries.dedupKeeperQuality(spark, dir)
     df.collect()

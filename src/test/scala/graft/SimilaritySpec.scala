@@ -84,6 +84,54 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("jaccardPairsNgramPrefix: prefix-filtered tier IS the exact tier on the real corpus") {
+    // unlike the LSH tier this equality is a THEOREM (prefix-filter
+    // completeness), not a fixture property — but pin it on the real
+    // corpus anyway so a broken prefix-length or length-filter edge
+    // shows up here before the driver's oracle
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Catalog.table(spark, dir, "documents")
+    val exact = jaccardPairsNgram(docs, 3, 0.4)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val pref = jaccardPairsNgramPrefix(docs, 3, 0.4)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    assert(pref.toSeq == exact.toSeq)
+  }
+
+  test("jaccardPairsNgramPrefix == jaccardPairsNgram on random corpora at several thresholds") {
+    // the completeness argument (df-ascending prefix of length
+    // |x| - ceil(t|x|) + 1 + length filter) must hold on ANY corpus;
+    // drive it with seeded random near-dup-rich corpora across
+    // thresholds, including ones where the fixture has no coverage
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'k').map(_.toString)
+    for (trial <- 1 to 4) {
+      val bases = Seq.fill(12)(Seq.fill(6 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      // mutate each base a few ways: token substitution, prefix chop,
+      // duplication — yields pairs across the whole jaccard range
+      val corpus = bases.zipWithIndex.flatMap { case (b, i) =>
+        val toks = b.split(" ").toSeq
+        val sub = toks.updated(rnd.nextInt(toks.size),
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val chop = toks.drop(1 + rnd.nextInt(3)).mkString(" ")
+        Seq((i * 10L, b), (i * 10L + 1, sub), (i * 10L + 2, chop),
+          (i * 10L + 3, b))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+        val exact = jaccardPairsNgram(df, 3, t)
+          .as[(Long, Long, Double)].collect().toSet
+        val pref = jaccardPairsNgramPrefix(df, 3, t)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(pref == exact,
+          s"trial $trial t=$t: prefix tier diverged from exact " +
+            s"(missing=${(exact -- pref).take(3)}, extra=${(pref -- exact).take(3)})")
+      }
+    }
+  }
+
   test("fixture property the LSH-tier oracle reuse relies on: qualifying pairs sit at j >= 0.8") {
     // dedup_shingle_lsh and dedup_keeper_quality reuse the EXACT tier's
     // DuckDB oracle because every pair the 0.4/0.5 thresholds qualify

@@ -55,6 +55,24 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(got.values.forall(n => n > 0 && n < fair * 4), got.toString)
   }
 
+  test("dup spans: planted cross-doc passage is found; coverage merges overlaps") {
+    // w=3 windows. Docs 1 and 2 share the passage "p q r s" (two
+    // overlapping 3-token windows: "p q r" at i=2/i=1 and "q r s" at
+    // i=3/i=2); doc 3 repeats a window only WITHIN itself (df counts
+    // distinct docs, so it must NOT qualify); doc 4 is clean.
+    val df = Seq(
+      (1L, "a p q r s b"),   // 6 tokens, dup windows at i=2,3
+      (2L, "p q r s z"),     // 5 tokens, dup windows at i=1,2
+      (3L, "x y z x y z x y z"), // self-repeat only -> no dup
+      (4L, "m n o m2 n2 o2")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.dupSpansOver(df, 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    // coverage: two overlapping windows 1 apart = 3 + min(3, 1) = 4
+    // tokens ("p q r s"), in both docs
+    assert(got == List((1L, 6L, 2L, 4L, 4.0 / 6.0), (2L, 5L, 2L, 4L, 4.0 / 5.0)), got.toString)
+  }
+
   test("bigram LM: driver-held maps bounded by the vocab cap; tiny cap is exact top-K") {
     import graft.queries.TextQueries
     val dir = "/root/testdata/sf0.01"
