@@ -96,6 +96,21 @@ object Catalog {
     * same data the DataFrame API sees. */
   def registerViews(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Cheap change-detection signature of one table's parquet dir:
+    * sorted (name, length, mtime) of the leaf files — driver-local
+    * metadata listing, no data read. The cache key every
+    * once-per-session memo (bigram LM, brute top-k) uses so a fixture
+    * regenerated within one JVM session recomputes instead of serving
+    * stale results against fresh files. */
+  def dirFingerprint(dir: String, tableName: String): String = {
+    val root = new java.io.File(dir, s"$tableName.parquet")
+    def leaves(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(leaves)
+      else Seq(f)
+    leaves(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString(",")
+  }
 }
 
 /** Canonical local session for the graft mains (Verify/Bench/SubsetCli):

@@ -893,17 +893,11 @@ object TextQueries {
   private val lmCache = scala.collection.mutable
     .Map[(String, Int, String), (Map[String, Long], Map[String, Long], Long)]()
 
-  /** Cheap change-detection signature of `dir`/documents.parquet:
-    * sorted (name, length, mtime) of the leaf files. Driver-local
-    * metadata listing only — no data read. */
-  private def corpusFingerprint(dir: String): String = {
-    val root = new java.io.File(dir, "documents.parquet")
-    def leaves(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(leaves)
-      else Seq(f)
-    leaves(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .sorted.mkString(",")
-  }
+  /** Cheap change-detection signature of `dir`/documents.parquet —
+    * shared helper since r11 (the brute-top-k memo keys on the same
+    * shape for embeddings). */
+  private def corpusFingerprint(dir: String): String =
+    Catalog.dirFingerprint(dir, "documents")
 
   private def lmCounts(s: SparkSession, dir: String)
       : (Map[String, Long], Map[String, Long], Long) =
