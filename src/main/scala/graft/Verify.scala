@@ -13,6 +13,7 @@ object Verify {
     // iterating on a query; the driver sets nothing and gets them all.
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty == unset (sbt envVars can't remove a key)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -46,7 +46,12 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("similarity probe side is broadcast, candidates stream") {
-    val p = plan(SimilarityQueries.simTopkEmbeddings(spark, dir))
+    // assert on the brute KERNEL, not the query: simTopkEmbeddings
+    // serves the session memo (a LocalTableScan on later calls — by
+    // design), so the plan property lives on cosineTopK itself
+    val e = graft.Catalog.table(spark, dir, "embeddings")
+    val p = plan(graft.functions.SimilarityFunctions.cosineTopK(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0), e, 10))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
