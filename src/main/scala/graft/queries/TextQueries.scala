@@ -162,7 +162,20 @@ object TextQueries {
   def dupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpansOver(docs(s, dir), SpanW)
 
-  private[graft] def dupSpansOver(d: DataFrame, w: Int): DataFrame = {
+  private[graft] def dupSpansOver(d: DataFrame, w: Int): DataFrame =
+    dupSpansKeyed(d, w, identity)
+
+  /** The 100 TB variant: span keys are 8-byte xxhash64 values instead
+    * of the span strings, so the df shuffle and semi join carry longs
+    * (the ngram-tier precedent). Identical output absent a cross-span
+    * collision (~n_spans²/2⁶⁴) — equivalence pinned on the real corpus
+    * in TextFunctionsSpec; the oracle tier keeps strings so DuckDB
+    * reproduces the keys bitwise. */
+  private[graft] def dupSpansHashedOver(d: DataFrame, w: Int): DataFrame =
+    dupSpansKeyed(d, w, xxhash64(_))
+
+  private def dupSpansKeyed(d: DataFrame, w: Int,
+                            keyFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     // tokenize ONCE per row into a column first: an expression inside a
     // HOF lambda is interpreted and re-evaluated per element, so the
     // naive w-way element_at(split(...)) formulation re-split the text
@@ -177,8 +190,9 @@ object TextQueries {
     val sp = d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-        posexplode(posSpans).as(Seq("p", "span")))
-      .withColumn("i", col("p") + 1).drop("p")
+        posexplode(posSpans).as(Seq("p", "span0")))
+      .select(col("doc_id"), col("n_tokens"), (col("p") + 1).as("i"),
+        keyFn(col("span0")).as("span"))
       .localCheckpoint(false)
     val dup = sp.groupBy("span")
       .agg(count_distinct(col("doc_id")).as("ndocs"))
@@ -853,6 +867,89 @@ object TextQueries {
        |WHERE rnk <= $SurvivorCap
        |ORDER BY domain, event_id""".stripMargin
 
+  // --- text_mix_sample: fixed-weight data mixing ----------------------
+  // The data-mixing step every corpus-prep job runs last (Pile-style
+  // fixed mixture weights): given target weights per language and a
+  // token budget T = half the corpus, each language's sampling rate is
+  // min(1, w_l * T / avail_tokens_l), and a document is kept iff its
+  // CONTENT fingerprint (the oracle-checked rolling hash — re-ids and
+  // re-ingests keep the same docs) lands under the rate: fp % 1e6 <
+  // rate * 1e6. zh's weight (0.3) exceeds its corpus share, so its
+  // rate CLAMPS at 1 — the under-represented-language case a mixing
+  // job must handle (you cannot upsample by filtering) is exercised,
+  // not just the downsampling path. Output is the mixing report an
+  // operator reviews: per language, available docs/tokens, the rate,
+  // and realized kept docs/tokens.
+  //
+  // Scale shape: fingerprint/tokenCount/weights are scan-local
+  // codegen; the availability agg is map-side combined (one row per
+  // lang per partition); the corpus-total is a broadcast one-row
+  // cross join (precedent: target_sizes); the per-lang rate relation
+  // (5 rows) broadcast-joins back to the scan. The big relation
+  // shuffles only into the final per-lang agg — and at 100 TB the
+  // real job would WRITE the kept rows instead, with the same
+  // scan-local gate.
+  private val MixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.25, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.35)
+
+  def mixSample(s: SparkSession, dir: String): DataFrame = {
+    val w = MixWeights.tail.foldLeft(
+        when(col("lang") === MixWeights.head._1, lit(MixWeights.head._2))) {
+      case (acc, (l, wt)) => acc.when(col("lang") === l, lit(wt))
+    }.otherwise(lit(0.0))
+    val base = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val avail = base.groupBy("lang")
+      .agg(count(lit(1)).as("avail_docs"), sum(col("n_tokens")).as("avail_tokens"))
+    val tot = base.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val rates = avail.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (w * (col("tot_tokens").cast("double") * 0.5)) /
+          col("avail_tokens").cast("double")))
+      .select("lang", "avail_docs", "avail_tokens", "rate")
+    val kept = base.join(broadcast(rates.select("lang", "rate")), "lang")
+      .filter(pmod(col("fp"), lit(1000000L)).cast("double") < col("rate") * 1000000.0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("avail_docs"), col("avail_tokens"), col("rate"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  val mixSampleSql: String = {
+    val caseW = MixWeights.map { case (l, wt) => s"WHEN lang = '$l' THEN $wt" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(text, ' '),
+       |          w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+       |  FROM documents),
+       |avail AS (SELECT lang, count(*) AS avail_docs,
+       |            CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+       |          FROM base GROUP BY lang),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM base),
+       |rates AS (SELECT lang, avail_docs, avail_tokens,
+       |            LEAST(1.0, (($caseW) * (CAST(tot_tokens AS DOUBLE) * 0.5))
+       |              / CAST(avail_tokens AS DOUBLE)) AS rate
+       |          FROM avail CROSS JOIN tot),
+       |kept AS (SELECT b.lang, count(*) AS kept_docs,
+       |           CAST(sum(b.n_tokens) AS BIGINT) AS kept_tokens
+       |         FROM base b JOIN rates r ON b.lang = r.lang
+       |         WHERE CAST(b.fp % 1000000 AS DOUBLE) < r.rate * 1000000.0
+       |         GROUP BY b.lang)
+       |SELECT r.lang, r.avail_docs, r.avail_tokens, r.rate,
+       |  COALESCE(k.kept_docs, 0) AS kept_docs,
+       |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+       |FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+       |ORDER BY r.lang""".stripMargin
+  }
+
   // --- text_perplexity: n-gram LM quality scoring ---------------------
   // The standard model-based corpus-quality filter: a word-bigram
   // language model with add-one smoothing is trained on a corpus slice
@@ -1015,6 +1112,7 @@ object TextQueries {
     "text_quality_thresholds" -> (qualityThresholds _),
     "text_langid" -> (langid _),
     "text_dup_spans" -> (dupSpans _),
+    "text_mix_sample" -> (mixSample _),
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
@@ -1037,5 +1135,6 @@ object TextQueries {
     "text_quality_thresholds" -> qualityThresholdsSql,
     "text_langid" -> langidSql,
     "text_dup_spans" -> dupSpansSql,
+    "text_mix_sample" -> mixSampleSql,
     "text_fingerprint" -> fingerprintSql)
 }

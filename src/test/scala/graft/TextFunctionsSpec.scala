@@ -73,6 +73,45 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(got == List((1L, 6L, 2L, 4L, 4.0 / 6.0), (2L, 5L, 2L, 4L, 4.0 / 5.0)), got.toString)
   }
 
+  test("mix sample: zh rate clamps at 1, downsampled langs land near target, kept is a subset") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = graft.queries.TextQueries.mixSample(spark, dir)
+        .as[(String, Long, Long, Double, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      // zh's weight (0.3) exceeds its corpus share -> the clamp must
+      // bind and clamped means keep-everything
+      assert(rows("zh")._4 == 1.0, s"$dir: zh rate ${rows("zh")._4}")
+      assert(rows("zh")._5 == rows("zh")._2 && rows("zh")._6 == rows("zh")._3,
+        s"$dir: clamped lang must keep all docs")
+      // downsampled langs: rate in (0,1), kept a strict subset, and the
+      // fingerprint gate realizes roughly rate of the tokens (binomial
+      // tolerance: +/- 0.25 absolute is far outside noise only if the
+      // gate is broken)
+      for (l <- Seq("en", "de", "es", "fr")) {
+        val (_, ad, at, r, kd, kt) = rows(l)
+        assert(r > 0.0 && r < 1.0, s"$dir/$l rate $r")
+        assert(kd < ad, s"$dir/$l kept all docs at rate $r")
+        val realized = kt.toDouble / at.toDouble
+        assert(math.abs(realized - r) < 0.25, s"$dir/$l realized $realized vs rate $r")
+      }
+    }
+  }
+
+  test("dup spans: hashed span keys reproduce the string-keyed tier (the 100 TB key)") {
+    // text_dup_spans keys its df agg + semi join on the span STRING so
+    // DuckDB reproduces it; at corpus scale the key would be the
+    // 8-byte xxhash64 of the span. Pin the equivalence the swap relies
+    // on: grouping by xxhash64(span) yields the identical per-doc
+    // report on the real corpus (a cross-span collision would break
+    // it; vanishing at ~n_spans^2 / 2^64).
+    val d = graft.Catalog.table(spark, "/root/testdata/sf0.01", "documents")
+    val str = graft.queries.TextQueries.dupSpansOver(d, 8)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val hashed = graft.queries.TextQueries.dupSpansHashedOver(d, 8)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(str.nonEmpty && hashed == str)
+  }
+
   test("bigram LM: driver-held maps bounded by the vocab cap; tiny cap is exact top-K") {
     import graft.queries.TextQueries
     val dir = "/root/testdata/sf0.01"
