@@ -239,14 +239,30 @@ object SimilarityFunctions {
       .withColumn("r", row_number().over(perDoc))
       .filter(col("r") <=
         col("sz") - ceil(lit(minJaccard) * col("sz") - lit(EPS)) + 1)
-      .select(col("doc_id"), col("sz"), col("tok"))
+      .select(col("doc_id"), col("sz"), col("tok"), col("r"))
+    // PPJoin positional filter (Xiao et al.): J(A,B) >= t forces
+    // |A∩B| >= ceil(t(|A|+|B|)/(1+t)), and for the globally-MINIMAL
+    // shared token x (which both prefixes contain — the pigeonhole
+    // witness) every A-element ranked before x is outside A∩B, so
+    // |A∩B| <= 1 + min(|A|-r_A(x), |B|-r_B(x)). The join can't single
+    // out x, but applying the bound to EVERY shared token and keeping
+    // the pair if ANY passes is exact: x has the smallest ranks, hence
+    // the LOOSEST bound, so a qualifying pair always survives via x —
+    // while pairs whose shared tokens all sit deep in both prefixes
+    // are pruned BEFORE the distinct, which is where the candidate
+    // volume lives on adversarial (small-vocab) corpora.
+    val alphaPair =
+      ceil(lit(minJaccard / (1 + minJaccard)) *
+        (col("a.sz") + col("b.sz")) - lit(EPS))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id") &&
           // length filter: Jaccard >= t forces t <= |A|/|B| <= 1/t
           col("a.sz") * minJaccard - EPS <= col("b.sz") &&
-          col("b.sz") * minJaccard - EPS <= col("a.sz"))
+          col("b.sz") * minJaccard - EPS <= col("a.sz") &&
+          lit(1) + least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r"))
+            >= alphaPair)
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
     cand
