@@ -132,6 +132,30 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("brute top-k memo: regenerated embeddings invalidate the session cache") {
+    // bruteTopk is memoized per (dir, file fingerprint) — same contract
+    // as the bigram-LM cache: a fixture regenerated within one JVM
+    // session must recompute, never serve stale neighbours
+    val tmp = java.nio.file.Files.createTempDirectory("graft-brute").toString
+    def vec(near: Double): Seq[(Long, Array[Float])] = {
+      def v(x: Double) = (0 until 64).map(i => if (i == 0) x.toFloat else 0.1f).toArray
+      Seq((0L, v(1.0)), (1L, v(near)), (2L, v(-near)))
+    }
+    def write(near: Double): Unit = {
+      Thread.sleep(1100) // distinct mtime on coarse filesystems
+      vec(near).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    }
+    write(5.0) // cid 1 points the same way as qid 0; cid 2 opposite
+    def top1(): Long = graft.queries.SimilarityQueries
+      .simTopkEmbeddings(spark, tmp)
+      .filter($"qid" === 0L && $"rnk" === 1).select("cid").as[Long].head()
+    assert(top1() == 1L)
+    write(-5.0) // now cid 2 is the aligned one
+    assert(top1() == 2L,
+      "regenerated embeddings must invalidate the brute top-k memo")
+  }
+
   test("fixture property the LSH-tier oracle reuse relies on: qualifying pairs sit at j >= 0.8") {
     // dedup_shingle_lsh and dedup_keeper_quality reuse the EXACT tier's
     // DuckDB oracle because every pair the 0.4/0.5 thresholds qualify
