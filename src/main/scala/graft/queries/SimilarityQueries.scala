@@ -153,8 +153,14 @@ object SimilarityQueries {
     * `Checkpoints.clearAll` at query boundaries (their premise is that
     * nothing persisted is live across queries), which would free a
     * checkpoint's only copy — driver-side rows survive it, exactly how
-    * the LM cache does. Size is the query's own OUTPUT (nq × 10 rows
-    * — what every consumer collects anyway), never corpus-scaled. */
+    * the LM cache does. Size is the query's own OUTPUT (nq × 10 rows —
+    * what every consumer collects anyway). NOTE the query set here is
+    * vec_id % 100 (1% of the corpus), so this output IS corpus-scaled:
+    * at the bench rungs it is thousands of rows, but a 100 TB
+    * deployment with a corpus-scaled probe set would materialize the
+    * brute result to storage once (write, then read thrice) instead of
+    * memoizing it on the driver — the once-per-session rule is the
+    * same, only the medium changes. */
   private val bruteCache = scala.collection.mutable
     .Map[(String, String), Seq[(Long, Long, Double, Int)]]()
 

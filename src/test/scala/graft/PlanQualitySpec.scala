@@ -134,6 +134,23 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"), "dup-span membership must be a semi join")
   }
 
+  test("text_mix_sample: rate relation broadcasts back to the scan; no cartesian of the corpus") {
+    val df = graft.queries.TextQueries.mixSample(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    // the per-lang rate relation (5 rows) must reach the corpus scan
+    // as a broadcast hash join on lang — the big relation's only
+    // shuffles are the map-side-combined aggregates
+    assert(p.contains("BroadcastHashJoin"))
+    // the lone BNLJ is the documented one-row corpus-total cross join
+    assert(p.linesIterator.count(l =>
+      l.trim.startsWith("+- BroadcastNestedLoopJoin") ||
+        l.trim.startsWith(":- BroadcastNestedLoopJoin") ||
+        l.trim.startsWith("BroadcastNestedLoopJoin")) <= 1,
+      "only the one-row total cross may be a BNLJ")
+  }
+
   test("dedup_keeper_quality rides the banded tier: no inverted-index self-join") {
     val df = SimilarityQueries.dedupKeeperQuality(spark, dir)
     df.collect()
