@@ -192,6 +192,19 @@ object Bench {
 
     def r2(v: Double) = math.round(v * 100) / 100.0
 
+    // Drift anchors (r11 verdict item 6): a fixed set of long-stable
+    // queries whose code hasn't changed across rounds, surfaced as
+    // their own JSON block so "host drift vs code regression" is a
+    // same-window comparison a reader makes from the artifact alone
+    // (BASELINE.md's r10 method, now scripted). The values are the
+    // same min-of-passes numbers the main map carries — this block
+    // just names the comparison set.
+    val anchorKeys = Seq("agg_pricing_summary", "tpch_q18_big_orders",
+      "tpch_q21_waiting_supplier", "join_lineitem_orders_smj",
+      "win_running_total", "asof_join_events")
+    val anchorsJson = anchorKeys.flatMap(k => results.get(k).map(v =>
+      "\"" + k + "\":" + r2(v._1))).mkString("{", ",", "}")
+
     // The harness captures only the LAST ~2000 chars of stdout and
     // json-parses a line out of that window; with the full 80-query
     // timing + ok maps the line overran the window and every round's
@@ -216,6 +229,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cold_queries":$cs,"ok":$oks,"all_ok":$allOk,""" +
+        s""""anchors":$anchorsJson,""" +
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +
         s""""steal_attempts":$stealAttemptsJson,"steal_gate":$stealGate,""" +
@@ -229,6 +243,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""n_queries":${results.size},"all_ok":$allOk,""" +
+        s""""anchors":$anchorsJson,""" +
         (if (failed.nonEmpty) s""""failed":${failed.mkString("[\"", "\",\"", "\"]")},""" else "") +
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +

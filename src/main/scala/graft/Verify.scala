@@ -38,7 +38,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // dev-only rung support: the cosine tier's auto plane knob means a
+    // rung-sized corpus runs at more planes than the gate SFs' literal
+    // 8; GRAFT_ORACLE_PLANES regenerates the two cosine oracles from
+    // the same CTE generator at that width so the sweep's DuckDB side
+    // matches the operator. The driver sets nothing → gate oracles.
+    val oracles = sys.env.get("GRAFT_ORACLE_PLANES").map(_.toInt) match {
+      case Some(p) => SparkEntry.oracleSql ++ Map(
+        "dedup_cosine_pairs" -> graft.queries.SimilarityQueries.dedupCosinePairsSqlFor(p),
+        "dedup_cosine_keeper" -> graft.queries.SimilarityQueries.dedupCosineKeeperSqlFor(p))
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

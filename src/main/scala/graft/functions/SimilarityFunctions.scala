@@ -192,19 +192,22 @@ object SimilarityFunctions {
     * are the low-df 60%: measured on the adversarial 31-word-vocab
     * fixture (where trigram df grows linearly with the corpus) this
     * cuts the candidate space by an order of magnitude while staying
-    * exact. The df ranking costs one extra map-side-combined groupBy +
-    * one broadcast-joinable (hash, df) relation... no: df is joined by
-    * hash join (the df relation is corpus-sized), then a per-doc
-    * row_number window (partition = one document, bounded by doc
-    * length) picks the prefix. No window ever sees more than one doc.
+    * exact. The df ranking costs one extra map-side-combined groupBy;
+    * the (hash, df) relation is corpus-sized, so it re-attaches by
+    * hash join, and a per-doc row_number window (partition = one
+    * document, bounded by doc length) picks the prefix. No window
+    * ever sees more than one doc.
     *
     * `maxDf` is the same hot-shingle valve as [[jaccardPairsNgram]]'s
     * (df-capped tokens dropped from BOTH the ranking and the verify
     * arrays would change the score, so here over-cap shingles are only
     * excluded from the INDEX — never from the verify arrays — which
-    * keeps scores exact; a pair whose every shared shingle is over-cap
-    * can be missed, identical in kind to the exact tier's documented
-    * cap caveat. Oracle-checked queries choose a cap above the
+    * keeps scores exact; but because the prefix length is computed
+    * from the FULL |x| while row_number ranks only under-cap postings,
+    * a pair can be missed whenever its under-cap shared shingles alone
+    * cannot satisfy the prefix/overlap bounds — a strictly broader
+    * miss condition than the exact tier's "every shared shingle
+    * over-cap". Oracle-checked queries choose a cap above the
     * corpus max df, where both tiers are fully exact.) */
   def jaccardPairsNgramPrefix(docs: DataFrame, n: Int, minJaccard: Double,
                               maxDf: Int = 100000): DataFrame = {
@@ -485,9 +488,9 @@ object SimilarityFunctions {
     * pairs per degenerate bucket, which the first 6M-row-lineitem
     * rung measured as a 276 s query (~400x its sf0.1 cost); at 1000
     * the same corpus verifies in seconds. Past ~10^6 docs the honest
-    * scale path is a wider fingerprint (more, narrower bands — the
-    * parameterized fpWords machinery the ANN tier uses), not a deeper
-    * bucket budget. */
+    * scale path is the wider parameterized fingerprint —
+    * [[simhashPairsWide]], whose 64-bit band words never saturate —
+    * not a deeper bucket budget. */
   def simhashPairs(docs: DataFrame, textCol: String, maxHamming: Int = 3,
                    maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, s"4-word banding only covers hamming <= 3, got $maxHamming")
@@ -511,6 +514,65 @@ object SimilarityFunctions {
       .join(h.select(col("doc_id").as("ida"), col("simhash").as("ha")), "ida")
       .join(h.select(col("doc_id").as("idb"), col("simhash").as("hb")), "idb")
       .withColumn("dist", hamming(col("ha"), col("hb")))
+      .filter(col("dist") <= maxHamming)
+      .select("ida", "idb", "dist")
+  }
+
+  /** Parameterized WIDE simhash fingerprint: `words` independent
+    * 64-bit simhash words per document (native `graft_simhash_wide`
+    * kernel — one scan-local pass; word w votes with hashes under
+    * XXH64 seed 42+w, and word 0 is bit-identical to [[simhash]]'s
+    * fingerprint, which anchors the wide tier to the 64-bit one in
+    * PlansSpec). Returns (doc_id, fps array<long>). */
+  def simhashWide(docs: DataFrame, textCol: String, words: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("graft_simhash_wide",
+        split(col(textCol), " "), lit(words)).as("fps"))
+  }
+
+  /** The >10⁶-doc simhash near-dup tier (VERDICT r11 item 1b): banded
+    * candidates over the WIDE fingerprint. Pigeonhole: a pair within
+    * hamming `maxHamming <= words-1` across the whole words×64-bit
+    * fingerprint differs in at most `words-1` of its 64-bit words, so
+    * it must agree EXACTLY on at least one word — candidates join on
+    * (word index, word value), then exact hamming over the full
+    * fingerprint verifies.
+    *
+    * Why this is the scale path where [[simhashPairs]] stops: the
+    * 4×16-bit banding's key space is 2^16 per word, so word-bucket
+    * occupancy grows LINEARLY once n >> 2^16 and the hot-bucket cap
+    * becomes the operative budget (the sf1 rung measured exactly that
+    * blowup). Here each band key ranges over the full 2^64 space —
+    * two docs share a band key only when 64 simhash bits agree
+    * exactly, which for non-near-dup pairs is vanishingly rare at any
+    * corpus size, so occupancy stays O(near-dup group size) and the
+    * cap reverts to a true safety valve. The trade is semantic width:
+    * hamming ≤ 3 over 256 bits is a proportionally TIGHTER near-dup
+    * criterion than over 64 bits (votes per bit are the same, bits
+    * 4× more) — the threshold is a knob calibrated per corpus, and
+    * the banded==all-pairs equivalence is spec-proven at the wide
+    * setting itself (SimilaritySpec), not inherited from the 64-bit
+    * tier. */
+  def simhashPairsWide(docs: DataFrame, textCol: String,
+                       maxHamming: Int = 3, words: Int = 4,
+                       maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming < words,
+      s"$words-word banding only covers hamming <= ${words - 1}, got $maxHamming")
+    val h = simhashWide(docs, textCol, words).localCheckpoint(false)
+    val wordsAll = h.select(col("doc_id"),
+      posexplode(col("fps")).as(Seq("w", "word")))
+    val banded = capHotKeys(wordsAll, Seq("w", "word"), maxBucket)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.w") === col("b.w") && col("a.word") === col("b.word") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cand
+      .join(h.select(col("doc_id").as("ida"), col("fps").as("fa")), "ida")
+      .join(h.select(col("doc_id").as("idb"), col("fps").as("fb")), "idb")
+      .withColumn("dist", fpHamming(col("fa"), col("fb")))
       .filter(col("dist") <= maxHamming)
       .select("ida", "idb", "dist")
   }
@@ -565,20 +627,64 @@ object SimilarityFunctions {
     * reproduces the result bitwise — this is the oracle-checked dedup
     * path, not just a scale tier. */
   def cosineLshPairs(emb: DataFrame, nTables: Int, planesPerTable: Int,
-                     dim: Int, minCos: Double): DataFrame = {
+                     dim: Int, minCos: Double): DataFrame =
+    cosineLshPairsOver(cosinePrep(emb), nTables, planesPerTable, minCos)
+
+  /** Plane count for a constant per-table bucket occupancy: with
+    * `planes` sign bits a table has 2^planes buckets, so occupancy is
+    * n / 2^planes — choosing `planes = ceil(log2(n / targetBucket))`
+    * pins occupancy into [targetBucket/2, targetBucket] at ANY corpus
+    * size, which is what keeps the candidate join's per-bucket b²/2
+    * term (and hence the whole tier's cost) scaling linearly instead
+    * of the fixed-plane quadratic drift the sf1 rung measured (10.3×
+    * on 10× data at literal 8 planes). `base` is the floor: below
+    * n = targetBucket · 2^base the formula would under-bucket tiny
+    * corpora, and the gate-SF corpora (≤ 2000 vectors) all sit under
+    * the default floor (8 planes, n ≤ 8192), so the auto tier is
+    * bit-identical to the literal-8 oracle SQL exactly where the
+    * DuckDB gate runs. */
+  private[graft] def autoPlanes(n: Long, base: Int = 8,
+                                targetBucket: Int = 32): Int = {
+    val needed = math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
+      / math.log(2.0)).toInt
+    math.max(base, needed)
+  }
+
+  /** [[cosineLshPairs]] with the plane count WIRED to the corpus size
+    * (VERDICT r11 item 1a): one count over the already-checkpointed
+    * projection picks `autoPlanes(n)`, then the identical
+    * candidate-then-verify plan runs at that width. At the gate SFs
+    * the floor makes this the literal-8 operator (spec-pinned); at
+    * 10×+ corpora the extra planes hold bucket occupancy constant. */
+  def cosineLshPairsAuto(emb: DataFrame, nTables: Int, dim: Int,
+                         minCos: Double, basePlanes: Int = 8,
+                         targetBucket: Int = 32): DataFrame = {
+    val v0 = cosinePrep(emb)
+    val planes = autoPlanes(v0.count(), basePlanes, targetBucket)
+    cosineLshPairsOver(v0, nTables, planes, minCos)
+  }
+
+  /** (id, vec, norm) projection, materialized once — it is reused on
+    * both sides of the candidate join and both verify joins (and the
+    * auto variant's count reads it for free). */
+  private def cosinePrep(emb: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession)
-    // (id, vec, norm, buckets) is reused on both sides of the candidate
-    // join and both verify joins — materialize once; it is id+vec sized.
-    // Buckets via the native graft_lsh_buckets kernel (codegen'd single
-    // pass; bitwise equal to the lshBucket HOF and the DuckDB oracle).
-    val v = emb
+    emb
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
       .withColumn("n", sqrt(dot(col("e"), col("e"))))
+      .localCheckpoint(false)
+  }
+
+  private def cosineLshPairsOver(v: DataFrame, nTables: Int,
+                                 planesPerTable: Int, minCos: Double): DataFrame = {
+    // Buckets via the native graft_lsh_buckets kernel (codegen'd single
+    // pass; bitwise equal to the lshBucket HOF and the DuckDB oracle).
+    // The bucket projection sits ABOVE the checkpoint: only the keyed
+    // branch computes it; the verify joins read (id, e, n) alone.
+    val keyed = v
       .withColumn("bks", call_function("graft_lsh_buckets",
         col("e"), lit(0), lit(planesPerTable), lit(nTables)))
-      .localCheckpoint(false)
-    val keyed = v.select(col("vec_id"),
-      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("tbl", "bucket")))
     val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -689,16 +795,63 @@ object SimilarityFunctions {
     * `ann_ivf_recall`. */
   def annIvfTopK(queries: DataFrame, candidates: DataFrame, topK: Int,
                  k: Int = 16, nprobe: Int = 12, iters: Int = 3,
-                 maxCandidates: Int = 512, fpBits: Int = 256): DataFrame = {
+                 maxCandidates: Int = 512, fpBits: Int = 256): DataFrame =
+    annIvfTopKOver(queries, ivfPrep(candidates), topK, k, nprobe, iters,
+      maxCandidates, fpBits)
+
+  /** (k, nprobe) for a corpus of n vectors (VERDICT r11 item 1c): the
+    * textbook IVF sizing k ≈ √n (cell size √n, centroid scan k — the
+    * balance point of the two terms), probing `probeFrac` of the cells
+    * so per-query candidate volume is probeFrac·n/√n·√n = probeFrac·n
+    * of the INDEX but only nprobe·(n/k) ≈ probeFrac·n fingerprints
+    * actually ranked — at probeFrac = 0.2 that is 3.75× less scan
+    * than the fixed k=16/nprobe=12 config's 75%. Below
+    * `autoThreshold` the fixed gate-SF config is returned unchanged,
+    * so the recall ≥ 0.9 pins at sf0.01/sf0.1 (n ≤ 2000) bind the
+    * identical operator. NOTE the recall trade is corpus-geometry-
+    * dependent: on THIS fixture's clusterless isotropic vectors,
+    * candidate-gen recall ≈ the probed fraction (no sublinear index
+    * does better on clusterless data — r11 scaladoc); on real
+    * (clustered) embeddings nprobe cells capture the true neighbors
+    * and the same sizing is genuinely sublinear AT recall. The sf1
+    * recall artifact measures the trade instead of hiding it. */
+  private[graft] def autoIvfParams(n: Long, autoThreshold: Long = 8192,
+                                   probeFrac: Double = 0.2): (Int, Int) =
+    if (n <= autoThreshold) (16, 12)
+    else {
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      (k, math.max(12, math.ceil(k * probeFrac).toInt))
+    }
+
+  /** [[annIvfTopK]] with (k, nprobe) WIRED to the corpus size via
+    * [[autoIvfParams]] — one count over the already-checkpointed
+    * projection, then the identical index-probe-rank-verify plan. */
+  def annIvfTopKAuto(queries: DataFrame, candidates: DataFrame, topK: Int,
+                     iters: Int = 3, maxCandidates: Int = 512,
+                     fpBits: Int = 256, autoThreshold: Long = 8192,
+                     probeFrac: Double = 0.2): DataFrame = {
+    val cv = ivfPrep(candidates)
+    val (k, nprobe) = autoIvfParams(cv.count(), autoThreshold, probeFrac)
+    annIvfTopKOver(queries, cv, topK, k, nprobe, iters, maxCandidates, fpBits)
+  }
+
+  /** (id, vec) projection, materialized once — it feeds the Lloyd
+    * passes, the index projection and the final verify join (and the
+    * auto variant's count reads it for free). */
+  private def ivfPrep(candidates: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(candidates.sparkSession)
+    candidates
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .localCheckpoint(false)
+  }
+
+  private def annIvfTopKOver(queries: DataFrame, cv: DataFrame, topK: Int,
+                             k: Int, nprobe: Int, iters: Int,
+                             maxCandidates: Int, fpBits: Int): DataFrame = {
     graft.plans.GraftExtensions.register(queries.sparkSession)
     val nWords = (fpBits + 63) / 64
     def fps(df: DataFrame, vec: String): DataFrame = df
       .withColumn("fp", fpWords(col(vec), 4096, nWords))
-    // (id, vec) feeds the Lloyd passes, the index projection and the
-    // final verify join — materialize the projection once.
-    val cv = candidates
-      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
-      .localCheckpoint(false)
     val cent = lloyd(cv, k, iters)
     val index = fps(assign(cv, cent), "v")
       .select(col("vec_id").as("cid"), col("centroid_id"),

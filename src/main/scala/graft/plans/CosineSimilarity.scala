@@ -103,6 +103,10 @@ object GraftExtensions {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children(0)): Expression),
+    (FunctionIdentifier("graft_simhash_wide"),
+      new ExpressionInfo(classOf[SimHashWide].getName, "graft_simhash_wide"),
+      (children: Seq[Expression]) => SimHashWide(children(0),
+        intLit(children(1), "words")): Expression),
     (FunctionIdentifier("graft_lsh_bits"),
       new ExpressionInfo(classOf[LshBits].getName, "graft_lsh_bits"),
       (children: Seq[Expression]) => LshBits(children(0),

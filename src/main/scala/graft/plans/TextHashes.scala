@@ -111,6 +111,51 @@ object GraftHashes {
     }
     out
   }
+
+  /** WIDE SimHash: `words` independent 64-bit simhash words over the
+    * same distinct-token set, word w voting with hashes under XXH64
+    * seed 42 + w — word 0 is bit-identical to [[simhash]] (seed 42),
+    * which is what lets a spec anchor the wide tier to the 64-bit one.
+    * Distinctness is judged by the word-0 hash, matching [[simhash]]'s
+    * dedup rule exactly. One pass over the tokens computes all words. */
+  def simhashWide(toks: ArrayData, words: Int): ArrayData = {
+    val n = toks.numElements()
+    val votes = new Array[Int](words * 64)
+    val seen = new java.util.HashSet[Long]()
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      if (seen.add(h0)) {
+        var w = 0
+        while (w < words) {
+          val h = if (w == 0) h0
+            else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L + w)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(w * 64 + j) += 1
+            else votes(w * 64 + j) -= 1
+            j += 1
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](words)
+    var w = 0
+    while (w < words) {
+      var acc = 0L
+      var j = 0
+      while (j < 64) {
+        if (votes(w * 64 + j) > 0) acc |= (1L << j)
+        j += 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_minhash(tokens array<string>, nShingle, numHashes) -> array<long>` */
@@ -146,6 +191,25 @@ case class ShingleHashes(child: Expression, n: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.GraftHashes.shingleHashes($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_simhash_wide(tokens array<string>, words) -> array<long>` */
+case class SimHashWide(child: Expression, words: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash_wide"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHashes.simhashWide(a.asInstanceOf[ArrayData], words)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.GraftHashes.simhashWide($a, $words);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

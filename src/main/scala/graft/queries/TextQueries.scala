@@ -162,6 +162,18 @@ object TextQueries {
   def dupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpansOver(docs(s, dir), SpanW)
 
+  /** The hashed tier AS A DECLARED QUERY (r12, VERDICT item 5):
+    * identical relation to text_dup_spans with 8-byte span keys. The
+    * OUTPUT exposes no engine hash (the keys are internal to the df
+    * agg and the semi join), so — like the shingle-hash Jaccard
+    * tiers — it carries the string tier's FULL DuckDB oracle: the
+    * result differs only on a cross-span xxhash64 collision
+    * (~n_spans²/2⁶⁴, and a collision would surface as the hash
+    * mismatch the gate exists to catch). string==hashed is also
+    * pinned on the real corpus in TextFunctionsSpec. */
+  def dupSpansHashed(s: SparkSession, dir: String): DataFrame =
+    dupSpansHashedOver(docs(s, dir), SpanW)
+
   private[graft] def dupSpansOver(d: DataFrame, w: Int): DataFrame =
     dupSpansKeyed(d, w, identity)
 
@@ -874,7 +886,7 @@ object TextQueries {
   // min(1, w_l * T / avail_tokens_l), and a document is kept iff its
   // CONTENT fingerprint (the oracle-checked rolling hash — re-ids and
   // re-ingests keep the same docs) lands under the rate: fp % 1e6 <
-  // rate * 1e6. zh's weight (0.3) exceeds its corpus share, so its
+  // rate * 1e6. zh's weight (0.35) exceeds its corpus share, so its
   // rate CLAMPS at 1 — the under-represented-language case a mixing
   // job must handle (you cannot upsample by filtering) is exercised,
   // not just the downsampling path. Output is the mixing report an
@@ -1112,6 +1124,7 @@ object TextQueries {
     "text_quality_thresholds" -> (qualityThresholds _),
     "text_langid" -> (langid _),
     "text_dup_spans" -> (dupSpans _),
+    "text_dup_spans_hashed" -> (dupSpansHashed _),
     "text_mix_sample" -> (mixSample _),
     "text_fingerprint" -> (fingerprint _))
 
@@ -1135,6 +1148,7 @@ object TextQueries {
     "text_quality_thresholds" -> qualityThresholdsSql,
     "text_langid" -> langidSql,
     "text_dup_spans" -> dupSpansSql,
+    "text_dup_spans_hashed" -> dupSpansSql, // same relation, 8-byte-keyed path
     "text_mix_sample" -> mixSampleSql,
     "text_fingerprint" -> fingerprintSql)
 }

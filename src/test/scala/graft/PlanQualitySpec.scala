@@ -439,6 +439,27 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("text_dup_spans_hashed: same semi-join shape as the string tier, long keys") {
+    val df = graft.queries.TextQueries.dupSpansHashed(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "dup-span membership must be a semi join")
+    // (the key TYPE is not visible in any plan level — the tokenize+
+    // hash projection sits below the eager localCheckpoint — so the
+    // 8-byte-key property is pinned by the TextFunctionsSpec
+    // string==hashed equivalence instead)
+  }
+
+  test("dedup_simhash_wide: banded candidates ride a hash join, never BNLJ/cartesian") {
+    val df = SimilarityQueries.dedupSimhashWide(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution

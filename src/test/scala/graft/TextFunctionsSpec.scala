@@ -78,7 +78,7 @@ class TextFunctionsSpec extends SparkSpecBase {
       val rows = graft.queries.TextQueries.mixSample(spark, dir)
         .as[(String, Long, Long, Double, Long, Long)].collect()
         .map(r => r._1 -> r).toMap
-      // zh's weight (0.3) exceeds its corpus share -> the clamp must
+      // zh's weight (0.35) exceeds its corpus share -> the clamp must
       // bind and clamped means keep-everything
       assert(rows("zh")._4 == 1.0, s"$dir: zh rate ${rows("zh")._4}")
       assert(rows("zh")._5 == rows("zh")._2 && rows("zh")._6 == rows("zh")._3,
