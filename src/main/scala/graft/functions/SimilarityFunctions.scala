@@ -708,8 +708,9 @@ object SimilarityFunctions {
     * would ship; MLlib's k-means keeps exactly this driver loop).
     *
     * Each Lloyd pass is ONE corpus scan: nearest-centroid assignment
-    * happens in the projection ([[assign]] — k codegen'd cosine kernels
-    * against centroid literals + an argmax, no crossJoin, no window),
+    * happens in the projection ([[assign]] — one fused
+    * `graft_cosine_argmax` kernel against the flattened centroid
+    * matrix literal, no crossJoin, no window),
     * and the new means reduce through per-dimension partial-sum
     * aggregates, so the shuffle per pass is k rows x (dim+1) columns
     * PER PARTITION (map-side combine) — corpus rows never shuffle and
@@ -756,22 +757,29 @@ object SimilarityFunctions {
     cent
   }
 
-  /** Nearest-centroid assignment as a PURE PROJECTION: k fused
-    * `graft_cosine` kernels against centroid literals, argmax via
-    * `array_max` over (sim, -id) structs (ties -> lowest centroid id,
-    * matching the old window's orderBy). Zero joins, zero shuffles,
-    * zero windows — the scan stays whole-stage-codegen. */
+  /** Centroid matrix flattened row-major in id order — the ONE literal
+    * the fused kernels take, so the expression tree stays
+    * constant-size no matter how large the auto-scaled k grows. */
+  private def flatCentroids(cent: Array[(Int, Array[Double])]): Seq[Double] =
+    cent.sortBy(_._1).flatMap(_._2).toSeq
+
+  /** Nearest-centroid assignment as a PURE PROJECTION: ONE fused
+    * `graft_cosine_argmax` kernel against the flattened centroid
+    * matrix literal (internal loop = the exact graft_cosine fold per
+    * centroid; ties -> lowest centroid id, matching the old
+    * struct-max rule). Zero joins, zero shuffles, zero windows — and,
+    * unlike the previous k-struct array expression, constant codegen
+    * size: at the auto-scaled k ≈ √n (142 at the sf1 rung) the
+    * k-literal formulation's generated code dwarfed the probe savings
+    * (measured 68 s vs 57 s fixed at sf1); the fused kernel makes k
+    * a data dimension, not an expression dimension. */
   private def assign(vecs: DataFrame,
                      cent: Array[(Int, Array[Double])]): DataFrame = {
     graft.plans.GraftExtensions.register(vecs.sparkSession)
-    val scored = array(cent.map { case (id, c) =>
-      struct(call_function("graft_cosine", col("v"), typedlit(c.toSeq)).as("s"),
-        lit(-id).as("nid"))
-    }: _*)
-    vecs
-      .withColumn("__best", array_max(scored))
-      .withColumn("centroid_id", -col("__best").getField("nid"))
-      .drop("__best")
+    val dim = cent.head._2.length
+    vecs.withColumn("centroid_id",
+      call_function("graft_cosine_argmax", col("v"),
+        typedlit(flatCentroids(cent)), lit(dim)))
   }
 
   /** IVF search, candidate-then-rank-then-verify: assign candidates to
@@ -856,17 +864,26 @@ object SimilarityFunctions {
     val index = fps(assign(cv, cent), "v")
       .select(col("vec_id").as("cid"), col("centroid_id"),
         col("fp").as("cf"))
-    // query -> its nprobe nearest centroids, via array_sort over
-    // (-sim, id) structs (ascending => best sim first, ties lowest id)
-    val ranked = array_sort(array(cent.map { case (id, c) =>
-      struct((-call_function("graft_cosine", col("qe"), typedlit(c.toSeq))).as("ns"),
-        lit(id).as("cid"))
-    }: _*))
+    // query -> its nprobe nearest centroids: ONE fused
+    // graft_cosine_many kernel gives the per-centroid sims array,
+    // then an array_sort over (-sim, id) structs BUILT FROM that
+    // array (ascending => best sim first, ties lowest id). The HOF
+    // runs over k elements of the tiny query relation only — the
+    // constant-size-expression rule matters on the corpus-sized
+    // assignment, not here, but sharing the kernel keeps one code
+    // path. Same fold, same tie rule as the old k-struct literal.
+    val dim = cent.head._2.length
     val qv = fps(queries.select(col("vec_id").as("qid"),
         toDoubleArr(col("embedding")).as("qe")), "qe")
       .localCheckpoint(false) // small by construction; feeds 3 branches
     val probes = qv
-      .withColumn("__p", explode(slice(ranked, 1, nprobe)))
+      .withColumn("__sims", call_function("graft_cosine_many",
+        col("qe"), typedlit(flatCentroids(cent)), lit(dim)))
+      .withColumn("__ranked", array_sort(
+        transform(sequence(lit(0), lit(cent.length - 1)),
+          i => struct((-element_at(col("__sims"), i + 1)).as("ns"),
+            i.cast("int").as("cid")))))
+      .withColumn("__p", explode(slice(col("__ranked"), 1, nprobe)))
       .select(col("qid"), col("fp").as("qf"),
         col("__p").getField("cid").as("centroid_id"))
     val wHam = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("cid"))

@@ -70,6 +70,99 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernels for the one-vector-vs-k-centroids expressions. The
+  * per-centroid loop is the EXACT [[CosineSimilarity]] fold (same
+  * accumulation order over the common prefix), so `graft_cosine_many`
+  * / `graft_cosine_argmax` are bitwise-equal to k separate
+  * `graft_cosine` calls — PlansSpec pins it. The point of fusing: the
+  * IVF assignment used to build an ARRAY OF k STRUCT EXPRESSIONS
+  * (k codegen'd kernels + array_max), which at the auto-scaled
+  * k ≈ √n (142 at the sf1 rung) blows generated-code size and
+  * compile time — the sf1 rung measured the auto knob LOSING time to
+  * that (68 s vs 57 fixed). With the centroid matrix as ONE flattened
+  * literal the expression tree is constant-size and k lives in data. */
+object GraftVector {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def cosineMany(v: ArrayData, flat: ArrayData, dim: Int): ArrayData = {
+    val k = flat.numElements() / dim
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val n = math.min(v.numElements(), dim)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = flat.getDouble(j * dim + i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      out(j) = dot / (math.sqrt(nx) * math.sqrt(ny))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Index of the most-cosine-similar centroid row; ties -> lowest
+    * index (the argmax-projection's old struct-max tie rule). */
+  def cosineArgmax(v: ArrayData, flat: ArrayData, dim: Int): Int = {
+    val k = flat.numElements() / dim
+    var best = Double.NegativeInfinity
+    var bi = 0
+    var j = 0
+    while (j < k) {
+      val n = math.min(v.numElements(), dim)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = flat.getDouble(j * dim + i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (s > best) { best = s; bi = j }
+      j += 1
+    }
+    bi
+  }
+}
+
+/** `graft_cosine_many(vec array<double>, flatCentroids array<double>,
+  * dim) -> array<double>` — cosine of `vec` against every dim-sized
+  * row of the flattened centroid matrix, one fused pass. */
+case class CosineMany(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_cosine_many"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVector.cosineMany(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dim)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.GraftVector.cosineMany($a, $b, $dim);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_cosine_argmax(vec array<double>, flatCentroids array<double>,
+  * dim) -> int` — nearest-centroid id in one fused pass (ties ->
+  * lowest id). The IVF assignment projection. */
+case class CosineArgmax(left: Expression, right: Expression, dim: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_cosine_argmax"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftVector.cosineArgmax(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dim)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.GraftVector.cosineArgmax($a, $b, $dim);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration for the native functions — both as a
   * `SparkSessionExtensions` (config
   * `spark.sql.extensions=graft.plans.GraftExtensions`) and as a direct
@@ -92,6 +185,14 @@ object GraftExtensions {
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)): Expression),
+    (FunctionIdentifier("graft_cosine_many"),
+      new ExpressionInfo(classOf[CosineMany].getName, "graft_cosine_many"),
+      (children: Seq[Expression]) => CosineMany(children(0), children(1),
+        intLit(children(2), "dim")): Expression),
+    (FunctionIdentifier("graft_cosine_argmax"),
+      new ExpressionInfo(classOf[CosineArgmax].getName, "graft_cosine_argmax"),
+      (children: Seq[Expression]) => CosineArgmax(children(0), children(1),
+        intLit(children(2), "dim")): Expression),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSignature(children(0),

@@ -28,6 +28,35 @@ class PlansSpec extends SparkSpecBase {
     rows.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") } // exact
   }
 
+  test("graft_cosine_many/argmax == k separate graft_cosine calls, bitwise") {
+    // the fused IVF kernels must reproduce the per-centroid fold
+    // exactly (same accumulation order), and argmax must break ties
+    // to the lowest id — the guarantees the auto-scaled assignment
+    // rests on after the k-struct-literal formulation was retired
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val k = 7
+    val cents = Array.tabulate(k)(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val flat = cents.flatMap(identity).toSeq
+    val df = (1 to 100).map(_ => Tuple1(Array.fill(dim)(rnd.nextGaussian())))
+      .toDF("v")
+    val sep = cents.zipWithIndex.map { case (c, i) =>
+      call_function("graft_cosine", $"v", typedlit(c.toSeq)).as(s"s$i")
+    }
+    val rows = df.select(
+      (call_function("graft_cosine_many", $"v", typedlit(flat), lit(dim)).as("many") +:
+        call_function("graft_cosine_argmax", $"v", typedlit(flat), lit(dim)).as("am") +:
+        sep.toSeq): _*).collect()
+    rows.foreach { r =>
+      val many = r.getSeq[Double](0)
+      val am = r.getInt(1)
+      val seps = (0 until k).map(i => r.getDouble(2 + i))
+      assert(many == seps, "fused sims must be bitwise-equal to separate kernels")
+      val best = seps.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2
+      assert(am == best, s"argmax $am != $best (ties must go to lowest id)")
+    }
+  }
+
   test("graft_editdist == builtin bounded levenshtein on random mutations") {
     val rnd = new scala.util.Random(37)
     val alphabet = "abcdefg xyz"
