@@ -14,7 +14,19 @@ object Verify {
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // set-but-empty == unset (sbt envVars can't remove a key)
-    SparkEntry.queries
+    // dev-only rung support (r12): the components oracle's recursive
+    // reach set is ~n² on the fixture's dense unigram pair graph —
+    // GRAFT_ORACLE_COMPONENTS_MOD thins the slice on BOTH ends (same
+    // operator, same oracle generator, same modulus) so the rung sweep
+    // can verify it. The driver sets nothing → the declared mod=25.
+    val componentsMod = sys.env.get("GRAFT_ORACLE_COMPONENTS_MOD").map(_.toInt)
+    val queries = componentsMod match {
+      case Some(m) => SparkEntry.queries +
+        ("dedup_components" -> ((s: SparkSession, d: String) =>
+          graft.queries.SimilarityQueries.dedupComponentsMod(m)(s, d)))
+      case None => SparkEntry.queries
+    }
+    queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -43,12 +55,13 @@ object Verify {
     // 8; GRAFT_ORACLE_PLANES regenerates the two cosine oracles from
     // the same CTE generator at that width so the sweep's DuckDB side
     // matches the operator. The driver sets nothing → gate oracles.
-    val oracles = sys.env.get("GRAFT_ORACLE_PLANES").map(_.toInt) match {
+    val oracles = (sys.env.get("GRAFT_ORACLE_PLANES").map(_.toInt) match {
       case Some(p) => SparkEntry.oracleSql ++ Map(
         "dedup_cosine_pairs" -> graft.queries.SimilarityQueries.dedupCosinePairsSqlFor(p),
         "dedup_cosine_keeper" -> graft.queries.SimilarityQueries.dedupCosineKeeperSqlFor(p))
       case None => SparkEntry.oracleSql
-    }
+    }) ++ componentsMod.map(m =>
+      "dedup_components" -> graft.queries.SimilarityQueries.dedupComponentsSqlFor(m))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

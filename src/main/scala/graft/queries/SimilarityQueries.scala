@@ -454,8 +454,18 @@ object SimilarityQueries {
     * doc_id — the canonical survivor. The oracle reproduces the
     * fixpoint as a recursive CTE, so this is a full hash-checked query.
     * See graft.operators.ConnectedComponents for the 100 TB story. */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).filter(col("doc_id") % 25 === 0)
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    dedupComponentsMod(25)(s, dir)
+
+  /** Slice-parameterized variant (r12, VERDICT item 3): the declared
+    * query fixes mod=25, but the ORACLE's recursive-CTE reach set is
+    * ~n² on this fixture's dense unigram near-dup graph, which blows
+    * any DuckDB budget at rung corpus sizes. A rung sweep verifies the
+    * SAME operator on a thinner slice (GRAFT_ORACLE_COMPONENTS_MOD in
+    * Verify swaps BOTH the Spark query and the oracle to the same
+    * modulus) — the r11 verdict's named remedy for the one skip. */
+  private[graft] def dedupComponentsMod(mod: Int)(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") % mod === 0)
     val pairs = SimilarityFunctions.jaccardPairs(d, 0.5)
       .select(col("ida").as("src"), col("idb").as("dst"))
     val nodes = d.select(col("doc_id").as("id"))
@@ -464,9 +474,11 @@ object SimilarityQueries {
       .orderBy("doc_id")
   }
 
-  val dedupComponentsSql: String =
-    """WITH RECURSIVE
-      |d AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+  val dedupComponentsSql: String = dedupComponentsSqlFor(25)
+
+  private[graft] def dedupComponentsSqlFor(mod: Int): String =
+    s"""WITH RECURSIVE
+      |d AS (SELECT doc_id, text FROM documents WHERE doc_id % $mod = 0),
       |tok AS (SELECT DISTINCT doc_id, tok FROM
       |        (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
