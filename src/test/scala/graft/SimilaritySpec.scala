@@ -548,6 +548,52 @@ class SimilaritySpec extends SparkSpecBase {
       maxBucket = 2).count() >= 2)
   }
 
+  test("wide simhash bands: occupancy stays near-singleton where 16-bit words saturate") {
+    // the knob's occupancy claim, measured on the band relations
+    // themselves: synthetic small-vocab corpora (the adversarial case —
+    // near-constant docs) at 2k and 20k docs. The 4x16-bit banding's
+    // key space is 2^16 per word, so its max bucket grows with n; the
+    // wide tier's 64-bit words collide only for (near-)identical
+    // fingerprints, so its max bucket tracks the dup-group size, not
+    // the corpus.
+    // 50-word vocab, 12 tokens/doc: the distinct-set space is huge (no
+    // full-fingerprint dups to speak of), but per-bit vote BIAS is
+    // vocab-fixed, so 16-bit words concentrate on a few modal values
+    // (p_mode ≈ Π|bias| over 16 bits is material) while 64-bit words
+    // don't (the same product over 64 bits vanishes) — exactly the
+    // corpus shape that saturated the 16-bit banding at the sf1 rung.
+    val vocab = Array.tabulate(50)(i => s"w$i")
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(5)
+      (0 until n).map(i =>
+        (i.toLong, Array.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+        .toDF("doc_id", "text")
+    }
+    def maxBucket(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy("w", "word").count()
+        .agg(max("count")).as[Long].head()
+    def narrowWords(d: org.apache.spark.sql.DataFrame) =
+      simhash(d, "text").select($"doc_id",
+        posexplode(array((0 until 4).map(w =>
+          shiftright($"simhash", 16 * w).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("w", "word")))
+    def wideWords(d: org.apache.spark.sql.DataFrame) =
+      simhashWide(d, "text", 4).select($"doc_id",
+        posexplode($"fps").as(Seq("w", "word")))
+    val (small, big) = (corpus(2000), corpus(20000))
+    val narrowGrowth = maxBucket(narrowWords(big)).toDouble /
+      maxBucket(narrowWords(small))
+    val wideSmall = maxBucket(wideWords(small))
+    val wideBig = maxBucket(wideWords(big))
+    // 16-bit words: occupancy grows with the corpus (the r11 sf1 bug)
+    assert(narrowGrowth > 3.0, s"expected 16-bit occupancy growth, got $narrowGrowth")
+    // 64-bit words: occupancy tracks duplicate-group size only — with
+    // 12^8 ≈ 4.3e8 possible docs, 10x the corpus must not 10x the
+    // bucket (allow the dup-group statistics to double)
+    assert(wideBig.toDouble / wideSmall < 3.0,
+      s"wide occupancy must not track corpus size: $wideSmall -> $wideBig")
+  }
+
   test("autoIvfParams: fixed below the threshold, k tracks sqrt(n) above") {
     assert(autoIvfParams(500L) == ((16, 12)))
     assert(autoIvfParams(2000L) == ((16, 12)))   // both gate SFs fixed
