@@ -5,15 +5,28 @@ Reads each query result parquet written by `graft.Verify`, runs the
 matching oracle SQL in DuckDB over the same testdata tables, sorts
 columns by name, and compares values. Usage:
 
-    python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
+    python3 tools/compare.py [--rtol R] <sfDir> <verifyOutDir> [query ...]
+
+Default is EXACT comparison (the driver-gate semantics at the gate
+SFs). `--rtol` is for the self-run SCALE rungs only: double SUMs are
+order-dependent, and at sf3 the Spark-vs-DuckDB summation-order
+difference reaches 1 ULP on ~6e10 aggregates (rel err ~1e-16), which
+exact compare reports as a mismatch. A tight rtol (1e-12) keeps every
+real bug visible while absorbing non-associativity; it applies only to
+float columns — everything else stays exact.
 """
 import sys, json, glob, os
+import numpy as np
 import duckdb
 import pandas as pd
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    rtol = 0.0
+    if argv and argv[0] == "--rtol":
+        rtol = float(argv[1]); argv = argv[2:]
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -44,6 +57,15 @@ def main():
             sv, dv = s[c], d[c]
             if str(sv.dtype) != str(dv.dtype):
                 mismatch = f"dtype[{c}] {sv.dtype} vs {dv.dtype}"; break
+            if rtol and str(sv.dtype).startswith("float"):
+                a = sv.reset_index(drop=True).to_numpy()
+                b = dv.reset_index(drop=True).to_numpy()
+                if not np.allclose(a, b, rtol=rtol, atol=0.0, equal_nan=True):
+                    bad = ~np.isclose(a, b, rtol=rtol, atol=0.0, equal_nan=True)
+                    i = int(np.argmax(bad))
+                    mismatch = f"value[{c}] row {i}: {a[i]!r} vs {b[i]!r} (rtol={rtol})"
+                    break
+                continue
             if not sv.reset_index(drop=True).equals(dv.reset_index(drop=True)):
                 neq = (sv.reset_index(drop=True) != dv.reset_index(drop=True))
                 try:
