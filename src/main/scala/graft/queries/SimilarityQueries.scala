@@ -612,8 +612,14 @@ object SimilarityQueries {
         maxHamming = 3, words = 4)
       .orderBy("ida", "idb")
 
-  /** Hyperplane-LSH bucketed ANN — the scale path for similarity
-    * search; compares only within sign-bit buckets. */
+  /** Hyperplane-LSH bucketed ANN; compares only within sign-bit
+    * buckets. Stays at the literal 8-plane config by MEASURED
+    * decision (r12): auto-scaled planes exist
+    * (SimilarityFunctions.annLshTopKAuto) but the AnnTune grid showed
+    * plane sharpening collapsing candidate-gen recall on this
+    * near-orthogonal geometry (0.995 -> 0.845 -> 0.47 at 8/11/14
+    * planes, hamming-2 probes) — the IVF tier (k ~ sqrt(n), auto) is
+    * the designated 10^6+ scale path here. */
   def annLshTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     SimilarityFunctions.annLshTopK(e.filter(col("vec_id") % 100 === 0), e, 10)
@@ -811,13 +817,24 @@ object SimilarityQueries {
       |      FROM (SELECT doc_id, parr, unnest(generate_series(1, len(parr))) AS i FROM e))""".stripMargin
 
   def dedupParagraphs(s: SparkSession, dir: String): DataFrame = {
+    // countDistinct(doc_id) alongside the plain aggs would make
+    // Catalyst plan an Expand (every exploded row duplicated into a
+    // distinct-branch and a non-distinct-branch copy before the first
+    // hash agg). The explicit two-phase form — pre-aggregate on
+    // (digest, doc) then roll up on digest — computes the identical
+    // relation with half the agg input and both stages map-side
+    // combinable; at the sf3 rung the Expand was the paragraph
+    // explode's dominant cost.
     docs(s, dir)
       .select(col("doc_id"), posexplode(split(paragraphedText, "\n\n")).as(Seq("para_no", "para")))
       .select(col("doc_id"), col("para_no"), md5(col("para")).as("para_md5"))
+      .groupBy("para_md5", "doc_id")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * lit(1000000L) + col("para_no")).as("mk"))
       .groupBy("para_md5")
-      .agg(count(lit(1)).as("n_occ"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id") * lit(1000000L) + col("para_no")).as("keep"))
+      .agg(sum(col("cnt")).as("n_occ"),
+        count(lit(1)).as("n_docs"),
+        min(col("mk")).as("keep"))
       .filter(col("n_occ") > 1)
       .select(col("para_md5"), col("n_occ"), col("n_docs"),
         expr("keep div 1000000").as("keep_doc"),
@@ -843,20 +860,29 @@ object SimilarityQueries {
   // globally-first occurrence of each paragraph kept (later copies of
   // boilerplate drop out). Kept paragraphs re-join in original order
   // and the md5 of the cleaned text asserts byte-identical
-  // reconstruction across engines. Scale shape: one shuffle keyed by
-  // the 16-byte digest (the global-first window), one reassembly
-  // shuffle keyed by doc_id — paragraphs travel exactly twice, and the
-  // window state per digest is the occurrence list, never the corpus.
+  // reconstruction across engines. Scale shape (r12): the global-first
+  // pick is a map-side-combinable MIN agg keyed by the digest, NOT a
+  // row_number window — a planted boilerplate digest occurs in a
+  // constant FRACTION of the corpus, and the window shuffled every
+  // occurrence to one task and sorted them (the sf3 rung measured the
+  // hot-key sort going super-linear). The min agg partial-aggregates
+  // the hot digest to one row per map partition, and because equal
+  // digests imply equal paragraph text (the operator's standing
+  // md5-collision assumption), min(para) RECONSTRUCTS the keeper row
+  // outright — no join back to the exploded relation at all.
+  // Paragraph text now crosses the wire once, pre-combined per digest.
   def paragraphClean(s: SparkSession, dir: String): DataFrame = {
     val exploded = docs(s, dir)
       .select(col("doc_id"), posexplode(split(paragraphedText, "\n\n")).as(Seq("para_no", "para")))
       .withColumn("para_md5", md5(col("para")))
-    val firstOcc = Window.partitionBy(col("para_md5"))
-      .orderBy(col("doc_id"), col("para_no"))
-    val kept = exploded
-      .withColumn("rn", row_number().over(firstOcc))
-      .filter(col("rn") === 1)
-    val keptAgg = kept.groupBy("doc_id").agg(
+    val keepers = exploded
+      .groupBy("para_md5")
+      .agg(min(col("doc_id") * lit(1000000L) + col("para_no")).as("keep"),
+        min(col("para")).as("para"))
+      .select(expr("keep div 1000000").as("doc_id"),
+        pmod(col("keep"), lit(1000000L)).cast("long").as("para_no"),
+        col("para"))
+    val keptAgg = keepers.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       md5(concat_ws("\n\n",
         transform(array_sort(collect_list(struct(col("para_no"), col("para")))),

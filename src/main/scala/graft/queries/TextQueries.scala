@@ -535,9 +535,10 @@ object TextQueries {
   // comparison), (5) paragraph cleanup (global-first window over the
   // SURVIVOR set, reassembled md5). Every stage is individually
   // oracle-checked elsewhere; this asserts the COMPOSITION end to end.
-  // Shuffle ledger at scale: digest window + paragraph digest window +
-  // doc_id reassembly — three keyed shuffles for a five-stage pipeline;
-  // the gates and scoring ride the scan.
+  // Shuffle ledger at scale: digest window + paragraph-digest MIN agg
+  // (map-side combined, r12) + doc_id reassembly — three keyed
+  // shuffles for a five-stage pipeline; the gates and scoring ride
+  // the scan.
   private[graft] val PplGateQ6 = 3700000L
 
   /** Stages 1–4 of the v2 cleanup (plant+canonicalize → normalized
@@ -572,10 +573,24 @@ object TextQueries {
         posexplode(split(SimilarityQueries.paragraphedText, "\n\n"))
           .as(Seq("para_no", "para")))
       .withColumn("para_md5", md5(col("para")))
-    val wFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("para_md5")).orderBy(col("doc_id"), col("para_no"))
+    // global-first pick per paragraph digest as a map-side-combinable
+    // MIN agg, not a row_number window (same r12 rewrite as
+    // SimilarityQueries.paragraphClean — the boilerplate digest occurs
+    // in a constant fraction of the survivor set, and the window
+    // shuffled every occurrence to one task). The keeper's doc-level
+    // columns ride along in ONE min(struct(...)): the encoded
+    // doc_id*1e6+para_no leads the struct and is unique per occurrence,
+    // so lexicographic struct-min IS the exact argmin and stays
+    // partial-aggregable.
     exploded
-      .withColumn("prn", row_number().over(wFirst)).filter(col("prn") === 1)
+      .groupBy("para_md5")
+      .agg(min(struct(
+        (col("doc_id") * lit(1000000L) + col("para_no")).as("keep"),
+        col("doc_id"), col("para_no"), col("lang"),
+        col("n_tokens"), col("nll_q6"), col("para"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.para_no").as("para_no"),
+        col("k.lang").as("lang"), col("k.n_tokens").as("n_tokens"),
+        col("k.nll_q6").as("nll_q6"), col("k.para").as("para"))
       .groupBy("doc_id", "lang", "n_tokens", "nll_q6")
       .agg(count(lit(1)).as("n_kept"),
         md5(concat_ws("\n\n",
