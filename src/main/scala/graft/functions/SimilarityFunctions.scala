@@ -975,9 +975,12 @@ object SimilarityFunctions {
       posexplode(tableBuckets(col("ce"))).as(Seq("tbl", "bucket")))
     val qKeyed = qv.select(col("qid"),
       posexplode(tableBuckets(col("qe"))).as(Seq("tbl", "bucket")))
-    // multiprobe: all bucket perturbations with <= probeHamming bit flips
-    val masks = (0L until (1L << nPlanes))
-      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    // multiprobe: all bucket perturbations with <= probeHamming bit
+    // flips, generated combinatorially (C(p,0..h) masks) — the earlier
+    // 0..2^p enumeration was fine at the literal 8 planes but is
+    // 2^16+ scans once the auto knob widens the bucket space
+    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
+      (0 until nPlanes).combinations(h).map(_.foldLeft(0L)((m, i) => m | (1L << i))))
     val probes = qKeyed.select(col("qid"), col("tbl"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     // candidate generation: hash join on (table, bucket); ids only
@@ -1003,5 +1006,35 @@ object SimilarityFunctions {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
+  }
+
+  /** [[annLshTopK]] with the per-table plane count wired to the corpus
+    * size via [[autoPlanes]] — available, MEASURED, and deliberately
+    * NOT the default for the declared ANN queries. The sf3 rung showed
+    * the fixed-8 tier's candidate-generation join growing linearly per
+    * query (bucket occupancy n/256), and this knob does hold occupancy
+    * at `targetBucket`; but on the fixture's near-orthogonal geometry
+    * (10th-neighbor cosine ~0.32, i.e. ~71°, per-plane collision
+    * ~0.6) the AnnTune grid measured the candidate-generation recall
+    * CEILING collapsing as planes sharpen: 0.995 at 8 planes /
+    * hamming-2 multiprobe, 0.845 at 11, 0.47 at 14. Hamming-3 probing
+    * recovers 0.97 at 11 planes but the probe relation (C(p,<=h)
+    * masks x tables x queries) is broadcast into the candidate join,
+    * and at the depths 14+ planes need it stops being
+    * broadcast-sized. Unlike IVF's gentle probe-fraction trade
+    * ([[autoIvfParams]]), plane sharpening on clusterless geometry
+    * buys its occupancy bound with recall the budget can't win back —
+    * so the IVF tier is the designated 10^6+ scale path for THIS
+    * geometry, and this knob is for corpora whose neighbors are
+    * actually close (where per-plane collision stays near 1 and
+    * sharpening is benign). Gate SFs (n <= 8192) sit at the 8-plane
+    * floor either way. */
+  def annLshTopKAuto(queries: DataFrame, candidates: DataFrame, k: Int,
+                     dim: Int = 64, nTables: Int = 12,
+                     probeHamming: Int = 2, maxCandidates: Int = 256,
+                     fpBits: Int = 256, targetBucket: Int = 32): DataFrame = {
+    val planes = autoPlanes(candidates.count(), 8, targetBucket)
+    annLshTopK(queries, candidates, k, planes, dim, nTables,
+      probeHamming, maxCandidates, fpBits)
   }
 }

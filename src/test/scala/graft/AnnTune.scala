@@ -37,7 +37,14 @@ object AnnTune {
       (8, 12, 2, 256, 256),
       (8, 12, 2, 512, 256),
       (8, 16, 2, 512, 256),
-      (8, 16, 2, 512, 384))
+      (8, 16, 2, 512, 384),
+      // r12 auto-plane points: autoPlanes(50k)=11, autoPlanes(500k)=14
+      (11, 12, 2, 1000000, 256), // auto candidate-gen ceiling
+      (11, 12, 2, 256, 256),     // auto @ production budget
+      (11, 12, 2, 512, 256),
+      (11, 12, 3, 256, 256),     // deeper multiprobe vs narrower buckets
+      (14, 12, 2, 256, 256),
+      (14, 12, 3, 512, 256))
     for ((p, t, h, m, fb) <- grid) {
       val t0 = System.nanoTime()
       val ann = SimilarityFunctions.annLshTopK(q, e, 10,

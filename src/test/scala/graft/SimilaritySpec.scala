@@ -485,6 +485,25 @@ class SimilaritySpec extends SparkSpecBase {
       "auto plane knob must be bit-identical to the literal-8 oracle at gate SFs")
   }
 
+  test("annLshTopKAuto == annLshTopK(8) on the gate corpus; multiprobe masks are combinatorial") {
+    // n <= 8192 sits at the autoPlanes floor, so the auto ANN tier must
+    // be bit-identical to the literal-8 one the recall pins bind. The
+    // mask generation is also exercised at a width (11 planes) where
+    // the old 0..2^p enumeration would have scanned 2048 longs — the
+    // combinatorial form must keep candidate output identical at 8.
+    val e = Catalog.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val fixed = annLshTopK(q, e, 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val auto = graft.functions.SimilarityFunctions.annLshTopKAuto(q, e, 10)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(auto == fixed,
+      "auto ANN-LSH must be bit-identical to the literal-8 tier at gate SFs")
+    // wider-plane path still runs end-to-end (recall trade measured in
+    // AnnTune — see annLshTopKAuto scaladoc for why it isn't default)
+    assert(annLshTopK(q, e, 10, nPlanes = 11).count() > 0)
+  }
+
   test("auto planes hold bucket occupancy ~constant where fixed 8 grows linearly") {
     // 32768 synthetic vectors: autoPlanes -> 10 (occ ~32/table);
     // literal 8 -> occ ~128 and climbing with n. Measured on the real
