@@ -911,12 +911,20 @@ object SimilarityQueries {
         |ORDER BY t.doc_id""".stripMargin
 
   /** HLL / exact distinct side-by-side (approx_count_distinct is
-    * engine-specific → rows-only). */
+    * engine-specific → rows-only). Both aggs run over the
+    * PRE-DISTINCTED token relation: HLL sketches are
+    * duplicate-insensitive (identical estimate on a multiset and its
+    * support), so deduping first changes nothing semantically while
+    * replacing the mixed-distinct Expand (every exploded token row
+    * duplicated into two agg branches — 11x on 3x data at the sf3
+    * rung) with one map-side-combined distinct whose shuffle is the
+    * vocabulary, not the corpus. */
   def hllDistinctTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
+      .distinct()
       .agg(
-        countDistinct(col("tok")).as("exact_distinct"),
+        count(col("tok")).as("exact_distinct"),
         approx_count_distinct(col("tok"), 0.02).as("approx_distinct"))
 
   /** Count-min-sketch heavy hitters (rows-only sketch tier, like HLL):
