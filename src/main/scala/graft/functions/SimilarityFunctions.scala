@@ -672,6 +672,13 @@ object SimilarityFunctions {
     emb
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
       .withColumn("n", sqrt(dot(col("e"), col("e"))))
+      // the raw scan's partition count (file bytes / maxPartitionBytes)
+      // is what localCheckpoint freezes — repartition first so every
+      // downstream corpus pass runs at full width (2 scan partitions
+      // at the sf10 rung otherwise; values unchanged, all kernels are
+      // deterministic per-row and the caps are window-ordered)
+      .repartition(emb.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
       .localCheckpoint(false)
   }
 
@@ -848,8 +855,15 @@ object SimilarityFunctions {
     * auto variant's count reads it for free). */
   private def ivfPrep(candidates: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(candidates.sparkSession)
+    val spark = candidates.sparkSession
+    // repartition BEFORE the checkpoint: the raw parquet scan yields
+    // ~(bytes / maxPartitionBytes) partitions — 2 at the sf10 rung —
+    // and localCheckpoint freezes that, serializing every downstream
+    // corpus pass (assignment argmax, fingerprints) onto 2 cores. One
+    // cheap vector shuffle buys full-width parallelism for all of them.
     candidates
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .localCheckpoint(false)
   }
 
@@ -861,9 +875,16 @@ object SimilarityFunctions {
     def fps(df: DataFrame, vec: String): DataFrame = df
       .withColumn("fp", fpWords(col(vec), 4096, nWords))
     val cent = lloyd(cv, k, iters)
+    // materialize the index ONCE (ids + centroid + fingerprint — a few
+    // longs per corpus row). Without the barrier, codegen collapses the
+    // fingerprint projection past the broadcast probe join and
+    // re-evaluates the 256-bit lshBits kernel PER JOINED ROW — a
+    // multiplicity of ~queries*nprobe/k that grows with the corpus
+    // (the sf10 rung measured a single 940 s task doing exactly that).
     val index = fps(assign(cv, cent), "v")
       .select(col("vec_id").as("cid"), col("centroid_id"),
         col("fp").as("cf"))
+      .localCheckpoint(false)
     // query -> its nprobe nearest centroids: ONE fused
     // graft_cosine_many kernel gives the per-centroid sims array,
     // then an array_sort over (-sim, id) structs BUILT FROM that
@@ -961,6 +982,10 @@ object SimilarityFunctions {
       df.select(col("vec_id").as(idName),
           toDoubleArr(col("embedding")).as(vecName))
         .withColumn("fp", fpWords(col(vecName), 4096, nWords))
+        // full-width before the checkpoint freezes the scan's 1-2
+        // partitions (see cosinePrep)
+        .repartition(df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt)
     // vectors + norms + fingerprints are computed once per side and
     // re-attached by id; each relation feeds 2-3 plan branches.
     val qv = withKeys(queries, "qid", "qe")
