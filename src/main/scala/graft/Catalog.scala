@@ -125,6 +125,17 @@ object GraftSession {
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan split size caps SCAN-STAGE parallelism, and the scan stage
+      // is where this engine does most of its work (scan-local gates,
+      // digests, kernels, partial aggs all ride it). The 128 MB default
+      // gave the sf10 rung's single-file tables 4-6 partitions on 32
+      // cores — one task ground a partial agg for 10+ minutes while the
+      // rest idled. 16 MB keeps small-SF behavior identical (files
+      // under 16 MB are one split either way) and gives big single-file
+      // rungs ~2 tasks/core. On a real cluster this scales the same
+      // way: size splits so every core sees work.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
