@@ -130,12 +130,13 @@ object GraftSession {
       // digests, kernels, partial aggs all ride it). The 128 MB default
       // gave the sf10 rung's single-file tables 4-6 partitions on 32
       // cores — one task ground a partial agg for 10+ minutes while the
-      // rest idled. 16 MB keeps small-SF behavior identical (files
-      // under 16 MB are one split either way) and gives big single-file
-      // rungs ~2 tasks/core. On a real cluster this scales the same
-      // way: size splits so every core sees work.
+      // rest idled. 2 MB, not a timid 16: the fixture's text compresses
+      // ~20x, so split FILE bytes understate scan-local CPU by that
+      // factor (a 14 MB text row group is ~125k documents on one core),
+      // and extra tasks cost ~ms each. Files under 2 MB (every sf0.01
+      // table) are one split either way.
       .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

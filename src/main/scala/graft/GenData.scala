@@ -211,10 +211,23 @@ object GenData {
 
   /** Write `df` as a single parquet FILE at `<outDir>/<name>.parquet`,
     * the driver's testdata layout. Coalesce(1) only serializes the
-    * WRITE; the generating plan upstream stays parallel. */
+    * WRITE; the generating plan upstream stays parallel. Row groups are
+    * written at 2 MB: Spark's scan splits cannot cross row-group
+    * boundaries, so the 128 MB writer default made a single-file sf10
+    * table effectively 4-6-way parallel no matter what
+    * `files.maxPartitionBytes` asked for — read parallelism of a
+    * single-file rung is decided HERE, at write time. 2 MB (not 16)
+    * because the fixture's 31-word vocabulary compresses text ~20x:
+    * split size is FILE bytes, but the scan-local work (split /
+    * shingle / digest / LM) tracks UNCOMPRESSED rows, so a 14 MB text
+    * row group is ~125k documents of CPU on one core. On a real
+    * cluster the same reasoning sizes row groups by decompressed
+    * compute, not just IO. */
   private def writeTable(df: DataFrame, outDir: String, name: String): Unit = {
     val tmp = s"$outDir/_gen_$name"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 2L * 1024 * 1024)
+      .parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sessionState.newHadoopConf())
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
