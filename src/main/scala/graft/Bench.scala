@@ -94,6 +94,9 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = GraftSession.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // scan-split size from the dir's own footers (compression-ratio-
+    // derived; env override wins) — see Sources.calibrateScanSplit
+    graft.sources.Sources.calibrateScanSplit(spark, sfDir)
     val steal0 = stealJiffies()
 
     // A throwing query must NOT bench as ~0 s and silently pass: record

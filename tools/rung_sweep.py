@@ -28,7 +28,13 @@ def main():
             if r.returncode == 0:
                 print(f"{line}  [{dt:.1f}s]"); n_pass += 1
             else:
-                print(f"{line}  [{dt:.1f}s]"); n_fail += 1
+                # on FAIL keep the full compare.py output (mismatch
+                # detail is on later stdout lines; a traceback is on
+                # stderr) — first-line-only lost it from the artifact
+                detail = r.stdout.strip()
+                if r.stderr.strip():
+                    detail += ("\n--- stderr ---\n" + r.stderr.strip())
+                print(f"{detail or '(no output)'}  [{dt:.1f}s]"); n_fail += 1
         except subprocess.TimeoutExpired:
             print(f"SKIP(oracle>{budget:.0f}s) {q}"); n_skip += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} budget-skip")
