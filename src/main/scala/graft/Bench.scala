@@ -120,9 +120,16 @@ object Bench {
     }
 
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for targeted profiling.
+    // SPARK_GRAFT_SKIP=q3,q4 excludes queries — the sf10+ rung switch:
+    // the documented quadratic-BY-ROLE exact anchors (each paired with
+    // a measured sub-linear scale twin that stays IN the run) would be
+    // multi-hour singletons there; skipped names are recorded in the
+    // JSON (`skipped`) so the artifact states its own coverage.
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.split(',').toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").filter(_.nonEmpty)
+      .map(_.split(',').toSet).getOrElse(Set.empty[String])
     val selected = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
 
     val passes =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
@@ -218,7 +225,8 @@ object Bench {
     // official measurement: write its detail to bench_probe.json so it
     // can never clobber the full-suite bench_full.json artifact (which
     // has been overwritten by partial/contaminated probes before).
-    val detailFile = if (only.isDefined) "bench_probe.json" else "bench_full.json"
+    val detailFile =
+      if (only.isDefined || skip.nonEmpty) "bench_probe.json" else "bench_full.json"
     val topN = 40
     val slowest = results.toSeq.sortBy(-_._2._1).take(topN)
     val qsCompact = slowest.map { case (k, (v, _)) => "\"" + k + "\":" + r2(v) }
@@ -233,6 +241,9 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""cold_queries":$cs,"ok":$oks,"all_ok":$allOk,""" +
         s""""anchors":$anchorsJson,""" +
+        (if (skip.nonEmpty)
+          s""""skipped":${skip.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},"""
+         else "") +
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +
         s""""steal_attempts":$stealAttemptsJson,"steal_gate":$stealGate,""" +
@@ -247,6 +258,9 @@ object Bench {
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""n_queries":${results.size},"all_ok":$allOk,""" +
         s""""anchors":$anchorsJson,""" +
+        (if (skip.nonEmpty)
+          s""""skipped":${skip.toSeq.sorted.mkString("[\"", "\",\"", "\"]")},"""
+         else "") +
         (if (failed.nonEmpty) s""""failed":${failed.mkString("[\"", "\",\"", "\"]")},""" else "") +
         s""""steal_delta":$stealDelta,"steal_cold":$stealCold,""" +
         s""""steal_passes":$stealPassesJson,""" +
