@@ -20,7 +20,10 @@ object Verify {
     // GRAFT_ORACLE_COMPONENTS_MOD thins the slice on BOTH ends (same
     // operator, same oracle generator, same modulus) so the rung sweep
     // can verify it. The driver sets nothing → the declared mod=25.
-    val componentsMod = sys.env.get("GRAFT_ORACLE_COMPONENTS_MOD").map(_.toInt)
+    // set-but-empty == unset, like GRAFT_VERIFY_ONLY (sbt envVars can't
+    // remove a key once set in a session)
+    val componentsMod = sys.env.get("GRAFT_ORACLE_COMPONENTS_MOD")
+      .filter(_.nonEmpty).map(_.toInt)
     val queries = componentsMod match {
       case Some(m) => SparkEntry.queries +
         ("dedup_components" -> ((s: SparkSession, d: String) =>
@@ -56,7 +59,7 @@ object Verify {
     // 8; GRAFT_ORACLE_PLANES regenerates the two cosine oracles from
     // the same CTE generator at that width so the sweep's DuckDB side
     // matches the operator. The driver sets nothing → gate oracles.
-    val oracles = (sys.env.get("GRAFT_ORACLE_PLANES").map(_.toInt) match {
+    val oracles = (sys.env.get("GRAFT_ORACLE_PLANES").filter(_.nonEmpty).map(_.toInt) match {
       case Some(p) => SparkEntry.oracleSql ++ Map(
         "dedup_cosine_pairs" -> graft.queries.SimilarityQueries.dedupCosinePairsSqlFor(p),
         "dedup_cosine_keeper" -> graft.queries.SimilarityQueries.dedupCosineKeeperSqlFor(p))

@@ -577,6 +577,86 @@ object SimilarityFunctions {
       .select("ida", "idb", "dist")
   }
 
+  // --- edit-distance near-dup: pigeonhole banding (scale tier) ---------
+
+  /** Exact edit-distance pairs within (lang, n_chars) blocks — the
+    * all-pairs-in-block candidate shape the declared
+    * `dedup_editdist_pairs` query uses. Input contract: (doc_id, lang,
+    * text, n_chars). Correct at any size, but candidates grow as
+    * n²/|blocks| with a FIXED block space — the sf10 rung measured the
+    * drift (7.7 → 61.2 s on 3.3× docs). [[editdistBandedPairs]] is the
+    * same relation with sub-quadratic candidates. */
+  def editdistBlockPairs(c: DataFrame, maxDist: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(c.sparkSession)
+    val a = c.select(col("doc_id").as("ida"), col("lang").as("la"),
+      col("text").as("ta"), col("n_chars").as("na"))
+    val b = c.select(col("doc_id").as("idb"), col("lang").as("lb"),
+      col("text").as("tb"), col("n_chars").as("nb"))
+    a.join(b, col("la") === col("lb") && col("na") === col("nb") &&
+        col("ida") < col("idb"))
+      .withColumn("dist", call_function("graft_editdist",
+        col("ta"), col("tb"), lit(maxDist)))
+      .filter(col("dist") >= 0)
+      .select("ida", "idb", "dist")
+  }
+
+  /** The SAME relation as [[editdistBlockPairs]] with PIGEONHOLE-banded
+    * candidates (PartEnum-style): split each text into `maxDist + 1`
+    * contiguous segments at integer thirds — at most `maxDist` edits
+    * must leave ≥ 1 segment untouched, and that segment's image in the
+    * partner string (equal length, by the block key) sits at a shift
+    * bounded by the net insertions before it, i.e. within
+    * ±maxDist. So candidates are a hash JOIN on (lang, n_chars, seg_no,
+    * segment text), with the higher-id side emitting each segment
+    * window at every shift in [-maxDist, maxDist] — a superset of the
+    * true pairs by the pigeonhole argument, then the native Ukkonen
+    * `graft_editdist` kernel verifies. Segment keys are ~n/3 chars, so
+    * bucket population is driven by actual near-duplicate text, not by
+    * the (lang, length) block's corpus-linear occupancy: candidates
+    * scale with TRUE pair count. Docs shorter than `maxDist + 1` chars
+    * cannot be 3-partitioned and take the block-local all-pairs path
+    * (bounded: equal-length sub-3-char strings).
+    *
+    * Everything here is raw substring arithmetic on literal offsets —
+    * a DuckDB oracle reproduces candidates and verification exactly,
+    * so the banded tier carries a FULL oracle, not a rows-only pin. */
+  def editdistBandedPairs(c: DataFrame, maxDist: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(c.sparkSession)
+    val nSeg = maxDist + 1
+    val base = c.selectExpr("doc_id AS id", "lang AS l", "n_chars AS n", "text AS t")
+    // stack(nSeg, segNo, start, len, ...): boundaries at integer
+    // fractions — segment i covers (((i-1)*n) div nSeg, (i*n) div nSeg]
+    val stackExpr = (1 to nSeg).map { i =>
+      s"$i, CAST(((${i - 1} * n) div $nSeg) + 1 AS INT), " +
+        s"CAST((($i * n) div $nSeg) - ((${i - 1} * n) div $nSeg) AS INT)"
+    }.mkString(s"stack($nSeg, ", ", ", ") AS (seg, st, ln)")
+    val segged = base.selectExpr("id", "l", "n", "t", stackExpr).where("ln > 0")
+    val ka = segged.selectExpr("id", "l", "n", "seg", "substring(t, st, ln) AS k")
+    val shifts = (-maxDist to maxDist).mkString("array(", ",", ")")
+    val kb = segged
+      .selectExpr("id", "l", "n", "t", "seg", "st", "ln", s"explode($shifts) AS d")
+      .where("st + d >= 1 AND st + d + ln - 1 <= n")
+      .selectExpr("id", "l", "n", "seg", "substring(t, st + d, ln) AS k")
+    val banded = ka.as("x").join(kb.as("y"),
+        col("x.l") === col("y.l") && col("x.n") === col("y.n") &&
+          col("x.seg") === col("y.seg") && col("x.k") === col("y.k") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"))
+    val shortDocs = base.filter(col("n") < nSeg)
+    val shortPairs = shortDocs.select(col("id").as("ida"), col("l").as("la"), col("n").as("na"))
+      .join(shortDocs.select(col("id").as("idb"), col("l").as("lb"), col("n").as("nb")),
+        col("la") === col("lb") && col("na") === col("nb") && col("ida") < col("idb"))
+      .select("ida", "idb")
+    val cand = banded.union(shortPairs).distinct()
+    cand
+      .join(c.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+      .join(c.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+      .withColumn("dist", call_function("graft_editdist",
+        col("ta"), col("tb"), lit(maxDist)))
+      .filter(col("dist") >= 0)
+      .select("ida", "idb", "dist")
+  }
+
   // --- hyperplane-LSH ANN (scale tier) ---------------------------------
 
   /** Deterministic pseudo-random hyperplane component for plane j,

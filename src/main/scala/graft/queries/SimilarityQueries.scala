@@ -435,31 +435,43 @@ object SimilarityQueries {
     * blocking key keeps buckets O(docs per (lang,len)) — the measured
     * max bucket is 11 docs at sf0.1 — and the O(len²) verify runs only
     * inside buckets. */
-  def dedupEditdistPairs(s: SparkSession, dir: String): DataFrame = {
+  def dedupEditdistPairs(s: SparkSession, dir: String): DataFrame =
+    // Bounded edit-distance verify through the native `graft_editdist`
+    // kernel: true Ukkonen band, O(k·n) per candidate (Spark's builtin
+    // 3-arg levenshtein still walks O(n·m) byte positions to track
+    // UTF-8 widths — measured ~90 µs/pair vs ~3 µs here; the unbounded
+    // form cost 18 s at sf0.1). Returns -1 above the bound, so kept
+    // rows carry the true distance and the plain-levenshtein oracle
+    // matches exactly.
+    SimilarityFunctions.editdistBlockPairs(editdistCorpus(s, dir), 2)
+      .orderBy("ida", "idb")
+
+  /** The planted-near-dup corpus both editdist tiers read: every 10th
+    * doc re-enters under a shifted id with its first character
+    * substituted (edit distance exactly 1, length preserved, so the
+    * planted pair always shares its (lang, n_chars) block). */
+  private[graft] def editdistCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
     val planted = d.filter(col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
       .withColumn("text", concat(lit("x"), expr("substring(text, 2)")))
-    val c = d.union(planted)
-    val a = c.select(col("doc_id").as("ida"), col("lang").as("la"),
-      col("text").as("ta"), col("n_chars").as("na"))
-    val b = c.select(col("doc_id").as("idb"), col("lang").as("lb"),
-      col("text").as("tb"), col("n_chars").as("nb"))
-    // Bounded (banded) edit-distance verify through the native
-    // `graft_editdist` kernel: true Ukkonen band, O(k·n) per candidate
-    // (Spark's builtin 3-arg levenshtein still walks O(n·m) byte
-    // positions to track UTF-8 widths — measured ~90 µs/pair vs ~3 µs
-    // here; the unbounded form cost 18 s at sf0.1). Returns -1 above
-    // the bound, so kept rows carry the true distance and the
-    // plain-levenshtein oracle matches exactly.
-    graft.plans.GraftExtensions.register(s)
-    a.join(b, col("la") === col("lb") && col("na") === col("nb") &&
-        col("ida") < col("idb"))
-      .withColumn("dist", call_function("graft_editdist", col("ta"), col("tb"), lit(2)))
-      .filter(col("dist") >= 0)
-      .select("ida", "idb", "dist")
-      .orderBy("ida", "idb")
+    d.union(planted)
   }
+
+  /** The SCALE tier of the editdist family (r13): identical relation to
+    * `dedup_editdist_pairs` with PIGEONHOLE-banded candidates
+    * (SimilarityFunctions.editdistBandedPairs — 3 segments × ±2-shift
+    * windows, hash join on raw substrings) instead of all-pairs within
+    * the (lang, n_chars) block. The sf10 rung measured the block tier's
+    * candidate drift (7.7 → 61.2 s on 3.3× docs: block space is fixed,
+    * so block population is corpus-linear and pairs quadratic); banded
+    * candidates scale with the true near-dup count. Raw substring
+    * arithmetic either side → FULL DuckDB oracle, and banded == block
+    * is spec-pinned on corpora with substitution AND ins+del planted
+    * pairs (the shift-window path). */
+  def dedupEditdistBanded(s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.editdistBandedPairs(editdistCorpus(s, dir), 2)
+      .orderBy("ida", "idb")
 
   val dedupEditdistPairsSql: String =
     """WITH c AS (
@@ -471,6 +483,44 @@ object SimilarityQueries {
       |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
       |FROM c a JOIN c b
       |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.text, b.text) <= 2
+      |ORDER BY ida, idb""".stripMargin
+
+  // Pigeonhole-banded twin: candidates from 3-segment × ±2-shift raw
+  // substring matches (integer-division boundaries identical to the
+  // Spark side), then the same levenshtein <= 2 verify. Sub-3-char docs
+  // take the block-local all-pairs fallback, mirroring the engine.
+  val dedupEditdistBandedSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang, text, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, 'x' || substring(text, 2), n_chars
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |g AS (SELECT doc_id, lang, n_chars AS n, text, seg,
+      |        CASE seg WHEN 1 THEN 1
+      |                 WHEN 2 THEN n_chars // 3 + 1
+      |                 ELSE (2 * n_chars) // 3 + 1 END AS st,
+      |        CASE seg WHEN 1 THEN n_chars // 3
+      |                 WHEN 2 THEN (2 * n_chars) // 3 - n_chars // 3
+      |                 ELSE n_chars - (2 * n_chars) // 3 END AS ln
+      |      FROM c, (SELECT unnest([1, 2, 3]) AS seg)),
+      |ka AS (SELECT doc_id, lang, n, seg, substring(text, CAST(st AS INT), CAST(ln AS INT)) AS k
+      |       FROM g WHERE ln > 0),
+      |kb AS (SELECT doc_id, lang, n, seg,
+      |         substring(text, CAST(st + d AS INT), CAST(ln AS INT)) AS k
+      |       FROM g, (SELECT unnest([-2, -1, 0, 1, 2]) AS d)
+      |       WHERE ln > 0 AND st + d >= 1 AND st + d + ln - 1 <= n),
+      |shortp AS (SELECT a.doc_id AS ida, b.doc_id AS idb FROM c a JOIN c b
+      |           ON a.lang = b.lang AND a.n_chars = b.n_chars
+      |              AND a.n_chars < 3 AND a.doc_id < b.doc_id),
+      |cand AS (SELECT DISTINCT ida, idb FROM (
+      |          SELECT x.doc_id AS ida, y.doc_id AS idb FROM ka x JOIN kb y
+      |            ON x.lang = y.lang AND x.n = y.n AND x.seg = y.seg
+      |               AND x.k = y.k AND x.doc_id < y.doc_id
+      |          UNION ALL SELECT ida, idb FROM shortp))
+      |SELECT cand.ida, cand.idb,
+      |  CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+      |FROM cand JOIN c a ON a.doc_id = cand.ida JOIN c b ON b.doc_id = cand.idb
       |WHERE levenshtein(a.text, b.text) <= 2
       |ORDER BY ida, idb""".stripMargin
 
@@ -992,6 +1042,7 @@ object SimilarityQueries {
     "dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "dedup_shingle_lsh" -> (dedupShingleLsh _),
     "dedup_editdist_pairs" -> (dedupEditdistPairs _),
+    "dedup_editdist_banded" -> (dedupEditdistBanded _),
     "dedup_components" -> (dedupComponents _),
     "dedup_keeper_quality" -> (dedupKeeperQuality _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
@@ -1020,6 +1071,7 @@ object SimilarityQueries {
     "dedup_ngram_prefix" -> dedupNgramJaccardSql, // same relation, exact prefix-filtered path
     "dedup_shingle_lsh" -> dedupNgramJaccardSql, // same relation, scale-shaped path
     "dedup_editdist_pairs" -> dedupEditdistPairsSql,
+    "dedup_editdist_banded" -> dedupEditdistBandedSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_keeper_quality" -> dedupKeeperQualitySql,
     "dedup_cosine_pairs" -> dedupCosinePairsSql,

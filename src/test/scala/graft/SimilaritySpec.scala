@@ -658,6 +658,44 @@ class SimilaritySpec extends SparkSpecBase {
     graft.queries.SimilarityQueries.bruteCacheClear()
   }
 
+  // --- r13: pigeonhole-banded editdist tier ----------------------------
+
+  test("editdist banded tier == block tier, incl. ins+del shift-window pairs") {
+    // fixture corpora: the declared queries' substitution-planted pairs
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val c = graft.queries.SimilarityQueries.editdistCorpus(spark, dir)
+      val blocked = editdistBlockPairs(c, 2).as[(Long, Long, Int)].collect().toSet
+      val banded = editdistBandedPairs(c, 2).as[(Long, Long, Int)].collect().toSet
+      assert(blocked.nonEmpty, dir)
+      assert(banded == blocked, s"$dir: banded must equal the block tier")
+    }
+    // synthetic corpus whose planted pairs are 1 deletion + 1 append —
+    // same length (same block), but the interior SHIFTS by one char, so
+    // only the ±shift segment windows can catch them (a substitution
+    // pair never exercises that path)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 120).map { i =>
+      val len = 30 + rnd.nextInt(40)
+      (i.toLong, if (i % 2 == 0) "en" else "de",
+        (0 until len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    }
+    val planted = base.collect {
+      case (id, lang, t) if id % 5 == 0 =>
+        (id + 10000L, lang, t.substring(0, 3) + t.substring(4) + "q")
+    }
+    val all = (base ++ planted)
+      .map { case (id, lang, t) => (id, lang, t, t.length.toLong) }
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val blocked = editdistBlockPairs(all, 2).as[(Long, Long, Int)].collect().toSet
+    val banded = editdistBandedPairs(all, 2).as[(Long, Long, Int)].collect().toSet
+    assert(banded == blocked)
+    // every planted shifted pair is found by the banded candidates
+    planted.foreach { case (pid, _, _) =>
+      assert(banded.exists(x => x._1 == pid - 10000L && x._2 == pid),
+        s"missing shifted pair ${pid - 10000L} <-> $pid")
+    }
+  }
+
   // --- r13: gated widen-before-checkpoint (VERDICT r12 item 4) ---------
 
   test("shouldWiden: narrow+big widens; tiny, already-wide, or in-memory corpora skip") {
