@@ -286,14 +286,20 @@ object TextQueries {
 
   def chunks(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
+    // n_tok is ARITHMETIC — least(size, n - start + 1) — not a re-split
+    // of every produced chunk: chunks overlap 32/24, so the re-split
+    // walked ~1.33x the corpus a second time for a count the window
+    // geometry already knows (r13; the sf10 rung flagged the query's
+    // constant factor).
     docs(s, dir)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(toks), lit(ChunkStride)),
-          start => concat_ws(" ", slice(toks, start, lit(ChunkSize)))))
-          .as(Seq("chunk_no", "chunk_text")))
-      .withColumn("n_tok",
-        size(split(col("chunk_text"), " ")).cast("int"))
-      .select("doc_id", "chunk_no", "n_tok", "chunk_text")
+          start => struct(
+            least(lit(ChunkSize), size(toks) - start + 1).cast("int").as("n_tok"),
+            concat_ws(" ", slice(toks, start, lit(ChunkSize))).as("chunk_text"))))
+          .as(Seq("chunk_no", "c")))
+      .select(col("doc_id"), col("chunk_no"),
+        col("c.n_tok").as("n_tok"), col("c.chunk_text").as("chunk_text"))
       .orderBy("doc_id", "chunk_no")
   }
 
@@ -304,7 +310,7 @@ object TextQueries {
        |      FROM t)
        |SELECT doc_id,
        |  CAST((i - 1) // $ChunkStride AS INTEGER) AS chunk_no,
-       |  CAST(len(list_slice(toks, i, i + ${ChunkSize - 1})) AS INTEGER) AS n_tok,
+       |  CAST(least($ChunkSize, len(toks) - i + 1) AS INTEGER) AS n_tok,
        |  array_to_string(list_slice(toks, i, i + ${ChunkSize - 1}), ' ') AS chunk_text
        |FROM s ORDER BY doc_id, chunk_no""".stripMargin
 
