@@ -1125,6 +1125,130 @@ object TextQueries {
         |FROM d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
         |ORDER BY d2.doc_id""".stripMargin
 
+  // --- text_dsir_weights: importance weights for data selection -------
+  // The standard targeted-data-selection operator for LM pretraining
+  // corpora (importance resampling over n-gram features, per the public
+  // DSIR line of work): estimate a feature distribution on a small
+  // trusted TARGET slice and on the RAW pool, then weight every document
+  // by the log-likelihood ratio of its features under the two
+  // distributions — high-weight docs "look like" the target corpus, and
+  // resampling by weight shifts the mix toward it. Features are word
+  // bigrams over a top-[[LmVocabCap]] vocabulary: the oracle-checkable
+  // analog of DSIR's hashed bigrams (a hash bucket can't be replicated
+  // in DuckDB; a capped exact vocabulary with the (count DESC, bigram
+  // ASC) tiebreak can). Scale posture = the perplexity gate's: training
+  // is two map-side-combined bigram counts (shuffle = vocabulary, not
+  // corpus) + one TakeOrderedAndProject cap, the driver holds ≤ 2·cap
+  // entries, and scoring is a pure scan-local HOF over LITERAL maps —
+  // zero joins, zero corpus shuffle (PlanQualitySpec). Each per-feature
+  // log-ratio is quantized to a BIGINT (round(ln·10⁶)) BEFORE summing
+  // (SURVEY §7: integer sums are order-independent), so the per-doc
+  // score hash-matches DuckDB exactly.
+
+  /** The trusted target slice: a curated source allowlist (the
+    * fixture's stand-in for "Wikipedia-like" provenance). Declared
+    * before [[dsirSql]] — object-init order, the [[LmVocabCap]] rule. */
+  private[graft] final val DsirTargetSources = Seq("src0", "src1", "src2")
+  private val dsirTargetSqlList = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+
+  /** Memoized DSIR training artifacts per (dir, cap, corpus
+    * fingerprint): (target bigram counts restricted to the vocab, the
+    * raw-side vocab counts, |vocab|, total target bigram occurrences,
+    * total raw bigram occurrences). The driver holds ≤ 2·cap entries +
+    * 3 scalars regardless of corpus size; fingerprint keying retrains
+    * on a regenerated fixture (the lmCache rule). */
+  private val dsirCache = scala.collection.mutable
+    .Map[(String, Int, String), (Map[String, Long], Map[String, Long], Long, Long, Long)]()
+
+  private[graft] def dsirCountsCapped(s: SparkSession, dir: String, cap: Int)
+      : (Map[String, Long], Map[String, Long], Long, Long, Long) =
+    dsirCache.synchronized {
+      dsirCache.getOrElseUpdate((dir, cap, corpusFingerprint(dir)), {
+        val toks = split(col("text"), " ")
+        val bigramsCol = when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => concat_ws(" ", slice(toks, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))
+        val d = docs(s, dir)
+        val raw = d.filter(col("doc_id") % 10 === 0)
+        val tgt = d.filter(col("source").isin(DsirTargetSources: _*))
+        val rawVocab = raw.select(explode(bigramsCol).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("bg"))
+          .limit(cap)
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        // target counts RESTRICTED to the vocab BEFORE the collect (a
+        // literal-map membership filter, not a join) — what reaches the
+        // driver is ≤ cap rows even when the target slice is huge
+        val vocabKeys = typedlit(rawVocab.map { case (b, _) => b -> 1 }.toMap)
+        val tgtCounts = tgt.select(explode(bigramsCol).as("bg"))
+          .filter(element_at(vocabKeys, col("bg")).isNotNull)
+          .groupBy("bg").agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val tTot = tgt.agg(coalesce(sum(size(bigramsCol).cast("long")), lit(0L)))
+          .head().getLong(0)
+        val rTot = raw.agg(coalesce(sum(size(bigramsCol).cast("long")), lit(0L)))
+          .head().getLong(0)
+        (tgtCounts.toMap, rawVocab.toMap, rawVocab.length.toLong, tTot, rTot)
+      })
+    }
+
+  /** Per-document importance weight: sum over the doc's bigrams of
+    * q6(ln( p̂_target(b) / p̂_raw(b) )) with add-one smoothing over the
+    * shared vocabulary — an out-of-vocab bigram contributes the
+    * constant ln((rTot+V)/(tTot+V)) since both sides smooth it to
+    * 1/(tot+V). Output: (doc_id, n_feats, dsir_q6) for EVERY doc
+    * (docs under two tokens score 0 over 0 features); the resampling
+    * step itself is an ORDER BY dsir_q6 over this relation. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val (ct, cr, v, tTot, rTot) = dsirCountsCapped(s, dir, LmVocabCap)
+    val toks = split(col("text"), " ")
+    val bigramsCol = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val tMap = typedlit(ct)
+    val rMap = typedlit(cr)
+    val w = aggregate(bigramsCol, lit(0L), (acc, b) => {
+      val num = (coalesce(element_at(tMap, b), lit(0L)).cast("double") + lit(1.0)) *
+        lit((rTot + v).toDouble)
+      val den = (coalesce(element_at(rMap, b), lit(0L)).cast("double") + lit(1.0)) *
+        lit((tTot + v).toDouble)
+      acc + round(log(num / den) * lit(1000000.0), 0).cast("long")
+    })
+    docs(s, dir)
+      .select(col("doc_id"), size(bigramsCol).cast("long").as("n_feats"),
+        w.as("dsir_q6"))
+      .orderBy("doc_id")
+  }
+
+  val dsirSql: String =
+    """WITH d2 AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      |bg AS (SELECT doc_id, source, l[i] || ' ' || l[i+1] AS b
+      |       FROM (SELECT doc_id, source, l, unnest(generate_series(1, len(l)-1)) AS i
+      |             FROM d2 WHERE len(l) >= 2)),
+      |vocab AS (SELECT b, c
+      |          FROM (SELECT b, count(*) AS c FROM bg WHERE doc_id % 10 = 0 GROUP BY 1)
+      |          ORDER BY c DESC, b LIMIT """.stripMargin + LmVocabCap + """),
+      |tc AS (SELECT bg.b, count(*) AS c FROM bg JOIN vocab ON bg.b = vocab.b
+      |       WHERE bg.source IN (""".stripMargin + dsirTargetSqlList + """) GROUP BY 1),
+      |tot AS (SELECT
+      |    (SELECT count(*) FROM bg WHERE source IN (""".stripMargin + dsirTargetSqlList + """)) AS t_tot,
+      |    (SELECT count(*) FROM bg WHERE doc_id % 10 = 0) AS r_tot,
+      |    (SELECT count(*) FROM vocab) AS v),
+      |terms AS (SELECT bg.doc_id,
+      |    CAST(round(ln(((COALESCE(tc.c, 0) + 1.0) * (tot.r_tot + tot.v)) /
+      |                  ((COALESCE(vc.c, 0) + 1.0) * (tot.t_tot + tot.v))) * 1000000, 0) AS BIGINT) AS q
+      |  FROM bg LEFT JOIN vocab vc ON bg.b = vc.b
+      |          LEFT JOIN tc ON bg.b = tc.b
+      |          CROSS JOIN tot),
+      |agg AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(q) AS BIGINT) AS dsir_q6
+      |        FROM terms GROUP BY 1)
+      |SELECT d2.doc_id, COALESCE(a.n_feats, 0) AS n_feats,
+      |  COALESCE(a.dsir_q6, 0) AS dsir_q6
+      |FROM d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
+      |ORDER BY d2.doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_stats" -> (domainStats _),
     "text_domain_survivors" -> (domainSurvivors _),
@@ -1147,6 +1271,7 @@ object TextQueries {
     "text_dup_spans" -> (dupSpans _),
     "text_dup_spans_hashed" -> (dupSpansHashed _),
     "text_mix_sample" -> (mixSample _),
+    "text_dsir_weights" -> (dsirWeights _),
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
@@ -1171,5 +1296,6 @@ object TextQueries {
     "text_dup_spans" -> dupSpansSql,
     "text_dup_spans_hashed" -> dupSpansSql, // same relation, 8-byte-keyed path
     "text_mix_sample" -> mixSampleSql,
+    "text_dsir_weights" -> dsirSql,
     "text_fingerprint" -> fingerprintSql)
 }

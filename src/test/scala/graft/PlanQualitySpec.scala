@@ -178,6 +178,17 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "scoring must be join-free (map literals)")
   }
 
+  test("text_dsir_weights: scoring is scan-local — literal ratio maps, zero corpus shuffle") {
+    val df = graft.queries.TextQueries.dsirWeights(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // both distributions re-enter the plan as literal maps (the
+    // perplexity pattern), so scoring is scan → project → sort
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"dsir scoring must not shuffle the corpus:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "scoring must be join-free (map literals)")
+  }
+
   test("pipeline_corpus_clean2: five stages, shuffles only on digest/doc keys") {
     val df = graft.queries.TextQueries.corpusClean2(spark, dir)
     df.collect()

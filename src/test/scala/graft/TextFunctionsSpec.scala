@@ -133,6 +133,46 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(c1k == c1FromTopK, "c1 must derive from the CAPPED c2")
   }
 
+  test("dsir: driver maps bounded by the cap; vocab is the deterministic raw top-K") {
+    import graft.queries.TextQueries
+    val dir = "/root/testdata/sf0.01"
+    val (ct, cr, v, tTot, rTot) =
+      TextQueries.dsirCountsCapped(spark, dir, TextQueries.LmVocabCap)
+    assert(cr.size <= TextQueries.LmVocabCap && ct.size <= cr.size)
+    assert(ct.keySet.subsetOf(cr.keySet), "target counts restricted to the vocab")
+    assert(v == cr.size && tTot > 0 && rTot > 0)
+    // a tiny cap keeps exactly the raw-side top-K under the
+    // (count DESC, bigram ASC) tiebreak the DuckDB oracle uses
+    val k = 5
+    assert(cr.size > k, "fixture must exceed the tiny test cap")
+    val (ctk, crk, vk, tTotK, rTotK) = TextQueries.dsirCountsCapped(spark, dir, k)
+    val topK = cr.toSeq.sortBy { case (b, c) => (-c, b) }.take(k).toMap
+    assert(crk == topK, s"capped vocab must be the deterministic top-$k")
+    assert(ctk.keySet.subsetOf(crk.keySet))
+    assert(vk == k.toLong, "|vocab| follows the cap")
+    assert(tTotK == tTot && rTotK == rTot, "totals count ALL occurrences, cap-independent")
+  }
+
+  test("dsir: target-like docs outscore raw-only docs") {
+    import graft.queries.TextQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    // doc 0 is in BOTH slices (raw via %10, target via src0); doc 10 is
+    // raw-only; docs 1 and 2 are the scored probes — 1 repeats the
+    // target-favored bigram, 2 the raw-only bigram
+    Seq(
+      (0L, "aa bb aa bb aa bb", "src0"),
+      (10L, "cc dd cc dd cc dd", "src9"),
+      (1L, "aa bb aa bb", "src9"),
+      (2L, "cc dd cc dd", "src9"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.dsirWeights(spark, tmp)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) > got(2L),
+      s"target-like doc must outscore raw-only doc: ${got(1L)} <= ${got(2L)}")
+    assert(got(0L) > got(10L), "same ordering for the training docs themselves")
+  }
+
   test("bigram LM cache: retrains when the corpus files change") {
     import graft.queries.TextQueries
     val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
