@@ -126,8 +126,20 @@ object Bench {
     // multi-hour singletons there; skipped names are recorded in the
     // JSON (`skipped`) so the artifact states its own coverage.
     val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty).map(_.split(',').toSet)
-    val skip = sys.env.get("SPARK_GRAFT_SKIP").filter(_.nonEmpty)
+    val skipRaw = sys.env.get("SPARK_GRAFT_SKIP").filter(_.nonEmpty)
       .map(_.split(',').toSet).getOrElse(Set.empty[String])
+    // A typo'd skip name must not be recorded as covered-by-exclusion
+    // while the intended query silently runs (r13 ADVICE): validate
+    // against the known keys, FAIL on unknowns, and emit `skipped`
+    // from the intersection only.
+    val unknownSkips = skipRaw -- SparkEntry.queries.keySet
+    if (unknownSkips.nonEmpty) {
+      System.err.println(
+        s"SPARK_GRAFT_SKIP names not in SparkEntry.queries: ${unknownSkips.toSeq.sorted.mkString(",")}")
+      spark.stop()
+      sys.exit(2)
+    }
+    val skip = skipRaw
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
 

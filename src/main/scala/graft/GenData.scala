@@ -229,6 +229,40 @@ object GenData {
       cluster.cast("int").as("label"))
   }
 
+  /** SPARSE planted near-dup corpus (r13 VERDICT item 2): a documents
+    * table whose token-set Jaccard (>= 0.5) pair graph is
+    * ~n-PROPORTIONAL by construction, so a rung can measure
+    * ConnectedComponents' slope in |E| separated from the pair-
+    * GENERATION cost that dominated the dense-geometry sf10 run. Base
+    * docs draw 10..99 words from a 4,194,304-word synthetic vocabulary
+    * — two random docs share ≈ 0 tokens, so no accidental J >= 0.5
+    * edge exists, AND per-token document frequency stays ~constant in
+    * n, so the candidate tier's Σdf² cost is ~linear at every rung
+    * this generator can emit (a 65k vocab measured quadratic: its df
+    * grows with n, 47 s at 50k docs and ~100x that at 500k); every
+    * `dupEvery`-th doc gets
+    * exactly ONE planted twin at doc_id + n whose text is the base
+    * minus its last word (set Jaccard >= (k-1)/k >= 0.9 — an edge by
+    * any threshold <= 0.9). |E| == n/dupEvery exactly (n divisible by
+    * dupEvery), and components are all size-2 — the shape a REAL
+    * deduplicated web corpus has after exact-dedup, where near-dup
+    * graphs are sparse and shallow. Schema == documents. */
+  def documentsPlanted(s: SparkSession, n: Long, dupEvery: Long = 50): DataFrame = {
+    val nWords = (pmod(xxhash64(lit(seed), lit("pd_n"), col("id")), lit(90L)) + 10L).cast("int")
+    val words = transform(sequence(lit(1), nWords), i =>
+      concat(lit("w"), pmod(xxhash64(lit(seed), lit("pd_w"), col("id"), i), lit(4194304L))))
+    def row(docId: Column, text: Column) = Seq(
+      docId.as("doc_id"), text.as("text"),
+      pick("doc_lang", Seq("de", "en", "es", "fr", "zh")).as("lang"),
+      concat(lit("src"), uint("doc_src", 20)).as("source"),
+      length(text).cast("long").as("n_chars"))
+    val base = s.range(n).select(row(col("id"), array_join(words, " ")): _*)
+    val twins = s.range(n).filter(col("id") % dupEvery === 0)
+      .select(row(col("id") + n,
+        array_join(slice(words, lit(1), nWords - lit(1)), " ")): _*)
+    base.union(twins)
+  }
+
   def embeddings(s: SparkSession, n: Long): DataFrame = {
     // sum of 3 uniforms, centered+scaled → bell-shaped in ±0.54 like the
     // driver's vectors; per-dimension tag keeps dimensions independent
@@ -281,6 +315,13 @@ object GenData {
     // embeddings have a 500-row floor in the driver data (500 @ sf0.01,
     // 2000 @ sf0.1 — linear above, floored below)
     val nDocs = n(50000); val nEmb = math.max(500L, n(20000))
+    // Several dedup/multimodal fixtures plant duplicate rows at
+    // doc_id + 1_000_000 (a literal BOTH engines can splice into SQL —
+    // a max(doc_id)-derived offset could not be a plan constant). Keep
+    // the id spaces disjoint at every rung this generator can emit
+    // (r13 ADVICE: sf >= 20 would collide).
+    require(nDocs < 1000000L,
+      s"sf=$sf gives nDocs=$nDocs >= 1,000,000: planted-duplicate ids would collide with real doc_ids")
     // driver tables are TIMESTAMP(MICROS); Spark's default INT96 output
     // reads back as ns in pyarrow/duckdb and would skew the oracle
     s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -299,8 +340,11 @@ object GenData {
 
   /** `runMain graft.GenData <sf> <outDir>` — the full table set;
     * `runMain graft.GenData emb-clustered <n> <outDir> [nClusters]` —
-    * just a clustered `embeddings.parquet` (the ANN rung fixture; the
-    * dir is consumable by anything that reads the embeddings table). */
+    * just a clustered `embeddings.parquet` (the ANN rung fixture);
+    * `runMain graft.GenData docs-planted <n> <outDir> [dupEvery]` —
+    * just the sparse planted-near-dup `documents.parquet` (the
+    * connected-components rung fixture). Either single-table dir is
+    * consumable by anything that reads that table. */
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-gendata")
     spark.sparkContext.setLogLevel("WARN")
@@ -310,6 +354,11 @@ object GenData {
         val k = args.lift(3).map(_.toInt).getOrElse(100)
         new java.io.File(outDir).mkdirs()
         writeTable(embeddingsClustered(spark, n, k), outDir, "embeddings")
+      case "docs-planted" =>
+        val n = args(1).toLong; val outDir = args(2)
+        val dupEvery = args.lift(3).map(_.toLong).getOrElse(50L)
+        new java.io.File(outDir).mkdirs()
+        writeTable(documentsPlanted(spark, n, dupEvery), outDir, "documents")
       case sfStr =>
         generate(spark, sfStr.toDouble, args(1))
     }

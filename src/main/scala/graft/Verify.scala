@@ -24,12 +24,18 @@ object Verify {
     // remove a key once set in a session)
     val componentsMod = sys.env.get("GRAFT_ORACLE_COMPONENTS_MOD")
       .filter(_.nonEmpty).map(_.toInt)
-    val queries = componentsMod match {
-      case Some(m) => SparkEntry.queries +
-        ("dedup_components" -> ((s: SparkSession, d: String) =>
-          graft.queries.SimilarityQueries.dedupComponentsMod(m)(s, d)))
-      case None => SparkEntry.queries
-    }
+    // same pattern for the shingle-LSH tier (r13 VERDICT item 3): the
+    // EXACT trigram oracle relation spills DuckDB past rung disk
+    // budgets (55 GB at sf10) — thin the slice identically on both ends
+    val shingleMod = sys.env.get("GRAFT_ORACLE_SHINGLE_MOD")
+      .filter(_.nonEmpty).map(_.toInt)
+    val queries = SparkEntry.queries ++
+      componentsMod.map(m =>
+        "dedup_components" -> ((s: SparkSession, d: String) =>
+          graft.queries.SimilarityQueries.dedupComponentsMod(m)(s, d))).toMap ++
+      shingleMod.map(m =>
+        "dedup_shingle_lsh" -> ((s: SparkSession, d: String) =>
+          graft.queries.SimilarityQueries.dedupShingleLshMod(m)(s, d))).toMap
     queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -65,7 +71,9 @@ object Verify {
         "dedup_cosine_keeper" -> graft.queries.SimilarityQueries.dedupCosineKeeperSqlFor(p))
       case None => SparkEntry.oracleSql
     }) ++ componentsMod.map(m =>
-      "dedup_components" -> graft.queries.SimilarityQueries.dedupComponentsSqlFor(m))
+      "dedup_components" -> graft.queries.SimilarityQueries.dedupComponentsSqlFor(m)) ++
+      shingleMod.map(m =>
+        "dedup_shingle_lsh" -> graft.queries.SimilarityQueries.dedupNgramJaccardSqlFor(m))
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1111,9 +1111,17 @@ object SimilarityFunctions {
     // passes.
     def withKeys(df: DataFrame, idName: String, vecName: String): DataFrame =
       // full-width before the checkpoint freezes a narrow scan's
-      // partitioning — gated like cosinePrep (the query side is 1% of
-      // the corpus and never qualifies; unconditional repartition here
-      // was BENCH_r12's only per-query regression)
+      // partitioning — gated like cosinePrep. Caveat (r13 ADVICE):
+      // inputBytes sees the TABLE's files, not the filter's
+      // selectivity, so at rung scale the 1%-of-corpus query side
+      // passes the byte gate and widens too. That is acceptable by
+      // construction: the widen exists to unfreeze checkpoint
+      // parallelism, and a too-wide tiny relation costs one small
+      // shuffle (the pre-gate behavior everywhere) while a too-narrow
+      // big one serializes every downstream pass — the asymmetric
+      // failure the gate guards. Only the gate-SF corpora, where the
+      // byte floor fails for BOTH sides, needed the skip
+      // (BENCH_r12's only per-query regression).
       widenForCheckpoint(df.select(col("vec_id").as(idName),
           toDoubleArr(col("embedding")).as(vecName))
         .withColumn("fp", fpWords(col(vecName), 4096, nWords)))
@@ -1165,8 +1173,9 @@ object SimilarityFunctions {
   }
 
   /** [[annLshTopK]] with the per-table plane count wired to the corpus
-    * size via [[autoPlanes]] — available, MEASURED, and deliberately
-    * NOT the default for the declared ANN queries. The sf3 rung showed
+    * size via [[autoPlanes]] — declared as `ann_lsh_topk_auto` (the
+    * scale tier; the literal-8 key stays as the gate-SF anchor, which
+    * this equals bit-for-bit below n = 8192). The sf3 rung showed
     * the fixed-8 tier's candidate-generation join growing linearly per
     * query (bucket occupancy n/256), and this knob does hold occupancy
     * at `targetBucket`; but on the fixture's near-orthogonal geometry

@@ -52,4 +52,43 @@ object PrefixSum {
       .withColumn("cum", col("__part") + col("__off"))
       .drop("__shard", "__part", "__off")
   }
+
+  /** Adds `rnk` = 1-based dense position in (`valueCol` DESC, `tieCol`
+    * ASC) order — a rank IS a running count in rank order, so this is
+    * [[runningSum]]'s shape applied to the VALUE axis: range-shard the
+    * value domain (one broadcast min/max join, no global sort),
+    * per-shard `row_number` with an ordinary partitioned window, then
+    * offset each shard by the row count of every higher-value shard
+    * (an nShards-row window — driver-scale). Nothing funnels the data
+    * through one task, unlike the naive empty-`partitionBy` rank
+    * window. `valueCol` may be negative (shards are offset from the
+    * broadcast min; width uses `div` BEFORE multiply so the math can't
+    * overflow on wide domains); `tieCol` must be distinct for a
+    * deterministic total order. Equal-width value shards assume a
+    * non-degenerate weight spread — a pathological corpus where one
+    * value carries most rows degrades to the single-partition window
+    * (correct, just not parallel); quantile-based bounds are the
+    * production escalation. The RESULT is shard-independent, so an
+    * oracle can use a plain `row_number() OVER (ORDER BY ...)`. */
+  def descRank(df: DataFrame, valueCol: String, tieCol: String,
+      nShards: Int = 32): DataFrame = {
+    val bounds = df.agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    val sharded = df.crossJoin(broadcast(bounds))
+      .withColumn("__shard",
+        expr(s"($valueCol - __mn) div ((__mx - __mn) div $nShards + 1)"))
+      .drop("__mn", "__mx")
+    val wIn = Window.partitionBy("__shard")
+      .orderBy(col(valueCol).desc, col(tieCol))
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__shard").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("__shard")
+      .agg(count(lit(1)).as("__scnt"))
+      .withColumn("__off", coalesce(sum(col("__scnt")).over(wOff), lit(0L)))
+      .select("__shard", "__off")
+    sharded
+      .withColumn("__r", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), "__shard")
+      .withColumn("rnk", col("__r") + col("__off"))
+      .drop("__shard", "__r", "__off")
+  }
 }

@@ -124,11 +124,26 @@ object SimilarityQueries {
   // p < 5e-8 — SimilarityFunctions.jaccardPairsNgramLsh scaladoc);
   // candidate cost is one (band, key) shuffle instead of sum(df^2).
   def dedupShingleLsh(s: SparkSession, dir: String): DataFrame =
-    SimilarityFunctions.jaccardPairsNgramLsh(docs(s, dir), 3, 0.4)
-      .orderBy("ida", "idb")
+    dedupShingleLshMod(1)(s, dir)
 
-  val dedupNgramJaccardSql: String =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+  /** Slice-parameterized variant (r13 VERDICT item 3, the
+    * dedup_components precedent): the declared query runs un-sliced,
+    * but the ORACLE's exact trigram self-join spills DuckDB past rung
+    * disk budgets (55 GB at sf10). GRAFT_ORACLE_SHINGLE_MOD in Verify
+    * swaps BOTH the Spark query and the oracle to the same modulus so
+    * the rung sweep verifies the tier instead of documenting a skip. */
+  private[graft] def dedupShingleLshMod(mod: Int)(s: SparkSession, dir: String): DataFrame = {
+    val d = if (mod <= 1) docs(s, dir)
+            else docs(s, dir).filter(col("doc_id") % mod === 0)
+    SimilarityFunctions.jaccardPairsNgramLsh(d, 3, 0.4)
+      .orderBy("ida", "idb")
+  }
+
+  val dedupNgramJaccardSql: String = dedupNgramJaccardSqlFor(1)
+
+  private[graft] def dedupNgramJaccardSqlFor(mod: Int): String = {
+    val slice = if (mod <= 1) "" else s" WHERE doc_id % $mod = 0"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents$slice),
       |tok AS (SELECT DISTINCT doc_id, tok FROM (
       |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
@@ -144,6 +159,7 @@ object SimilarityQueries {
       |JOIN sizes sb ON idb = sb.doc_id
       |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.4
       |ORDER BY ida, idb""".stripMargin
+  }
 
   // --- brute-force cosine top-k (oracle tier) --------------------------
 
@@ -233,6 +249,15 @@ object SimilarityQueries {
               "graft-brute-" + java.security.MessageDigest.getInstance("MD5")
                 .digest((dir + "|" + fp).getBytes("UTF-8"))
                 .map("%02x".format(_)).mkString)
+            // a pre-existing dest is trusted only with parquet's
+            // _SUCCESS commit marker inside: a partial tree left here
+            // by a crashed run of the pre-r12 code (which wrote
+            // mode-overwrite directly to the final path) would
+            // otherwise be accepted forever (r13 ADVICE). The rename
+            // path always carries the marker — the job committed
+            // before the rename.
+            if (out.exists() && !new java.io.File(out, "_SUCCESS").exists())
+              rmTree(out)
             if (!out.exists()) {
               val tmp = new java.io.File(out.getParent,
                 out.getName + ".tmp-" + ProcessHandle.current().pid() +
@@ -449,7 +474,10 @@ object SimilarityQueries {
   /** The planted-near-dup corpus both editdist tiers read: every 10th
     * doc re-enters under a shifted id with its first character
     * substituted (edit distance exactly 1, length preserved, so the
-    * planted pair always shares its (lang, n_chars) block). */
+    * planted pair always shares its (lang, n_chars) block). The
+    * 1_000_000 offset must stay a LITERAL (both engines splice it into
+    * plan/SQL constants); GenData asserts nDocs < 1_000_000 at every
+    * rung so planted ids can never collide with real ones. */
   private[graft] def editdistCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
     val planted = d.filter(col("doc_id") % 10 === 0)
@@ -691,12 +719,12 @@ object SimilarityQueries {
 
   /** Hyperplane-LSH bucketed ANN; compares only within sign-bit
     * buckets. Stays at the literal 8-plane config by MEASURED
-    * decision (r12): auto-scaled planes exist
-    * (SimilarityFunctions.annLshTopKAuto) but the AnnTune grid showed
-    * plane sharpening collapsing candidate-gen recall on this
-    * near-orthogonal geometry (0.995 -> 0.845 -> 0.47 at 8/11/14
-    * planes, hamming-2 probes) — the IVF tier (k ~ sqrt(n), auto) is
-    * the designated 10^6+ scale path here. */
+    * decision (r12): the AnnTune grid showed plane sharpening
+    * collapsing candidate-gen recall on this near-orthogonal geometry
+    * (0.995 -> 0.845 -> 0.47 at 8/11/14 planes, hamming-2 probes), so
+    * this key is the gate-SF anchor; the declared SCALE path is the
+    * auto-plane twin `ann_lsh_topk_auto` (r13 verdict item 1) plus
+    * the IVF tier (k ~ sqrt(n), auto). */
   def annLshTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     SimilarityFunctions.annLshTopK(e.filter(col("vec_id") % 100 === 0), e, 10)
@@ -744,6 +772,45 @@ object SimilarityQueries {
     val brute = bruteTopk(s, dir).select("qid", "cid")
     val ivf = SimilarityFunctions.annIvfTopK(q, e, 10).select("qid", "cid")
     val hits = ivf.join(brute, Seq("qid", "cid"), "inner")
+      .agg(count(lit(1)).as("hits"))
+    brute.agg(count(lit(1)).as("brute_pairs"))
+      .crossJoin(hits)
+      .select(col("brute_pairs"), col("hits"),
+        (col("hits").cast("double") / col("brute_pairs").cast("double")).as("recall"))
+  }
+
+  /** The SCALE-SAFE hyperplane-LSH ANN tier as a declared query
+    * (VERDICT r13 item 1): per-table plane count wired to the corpus
+    * size via `autoPlanes` so bucket occupancy stays ~`targetBucket`
+    * at ANY n — the property that makes the candidate join linear
+    * instead of the literal-8 tier's quadratic drift (922.6 s at the
+    * sf10 rung vs 26.5 s for this plan, AnnLshScaleProbe / SCALE.md).
+    * At the gate SFs (n ≤ 8192) `autoPlanes` sits at the 8-plane
+    * floor, so this IS `ann_lsh_topk` bit-for-bit where the DuckDB
+    * driver runs — the same exact/scale two-key pattern as the
+    * editdist and ngram families. Plane sharpening costs recall only
+    * on clusterless geometry (AnnTune); on clustered corpora — the
+    * geometry real embeddings have — SimilaritySpec pins recall ≥ 0.9
+    * at the auto width. Rows-only (§7-5, engine-seeded hyperplanes). */
+  def annLshTopkAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilarityFunctions.annLshTopKAuto(e.filter(col("vec_id") % 100 === 0), e, 10,
+        knownN = Some(embCount(s, dir)))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Recall artifact for the auto-plane LSH tier against the brute
+    * tier — the accuracy side of the occupancy-vs-recall trade the
+    * auto knob makes, surfaced as data per rung (the fixed-8 twin's
+    * `ann_lsh_recall` stays as the gate anchor). Rows-only. */
+  def annLshRecallAuto(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val brute = bruteTopk(s, dir).select("qid", "cid")
+    val ann = SimilarityFunctions.annLshTopKAuto(q, e, 10,
+        knownN = Some(embCount(s, dir)))
+      .select("qid", "cid")
+    val hits = ann.join(brute, Seq("qid", "cid"), "inner")
       .agg(count(lit(1)).as("hits"))
     brute.agg(count(lit(1)).as("brute_pairs"))
       .crossJoin(hits)
@@ -1054,6 +1121,8 @@ object SimilarityQueries {
     "dedup_simhash_wide" -> (dedupSimhashWide _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_lsh_recall" -> (annLshRecall _),
+    "ann_lsh_topk_auto" -> (annLshTopkAuto _),
+    "ann_lsh_recall_auto" -> (annLshRecallAuto _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_recall" -> (annIvfRecall _),
     "dedup_exact_digest" -> (dedupExactDigest _),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Catalog
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over `documents` — north_star extensions:
@@ -1201,6 +1201,18 @@ object TextQueries {
     * (docs under two tokens score 0 over 0 features); the resampling
     * step itself is an ORDER BY dsir_q6 over this relation. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val (nFeats, w) = dsirCols(s, dir)
+    docs(s, dir)
+      .select(col("doc_id"), nFeats.as("n_feats"), w.as("dsir_q6"))
+      .orderBy("doc_id")
+  }
+
+  /** The (n_feats, dsir_q6) scoring columns over a `text` column —
+    * shared by the batch query, the resampling step, and the streaming
+    * twin. Stateless by construction (the trained distributions are
+    * LITERAL maps baked into the plan, exactly like [[perplexityCols]]),
+    * which is what makes the stream==batch parity hold trivially. */
+  private[graft] def dsirCols(s: SparkSession, dir: String): (Column, Column) = {
     val (ct, cr, v, tTot, rTot) = dsirCountsCapped(s, dir, LmVocabCap)
     val toks = split(col("text"), " ")
     val bigramsCol = when(size(toks) >= 2,
@@ -1216,13 +1228,37 @@ object TextQueries {
         lit((tTot + v).toDouble)
       acc + round(log(num / den) * lit(1000000.0), 0).cast("long")
     })
-    docs(s, dir)
-      .select(col("doc_id"), size(bigramsCol).cast("long").as("n_feats"),
-        w.as("dsir_q6"))
-      .orderBy("doc_id")
+    (size(bigramsCol).cast("long"), w)
   }
 
-  val dsirSql: String =
+  /** The DSIR RESAMPLING step (r13 verdict item 4): select the top
+    * ceil-free n/10 documents by importance weight with the
+    * deterministic (dsir_q6 DESC, doc_id ASC) tiebreak — the "shift
+    * the mix toward the target" selection the weights exist for. The
+    * rank comes from [[graft.operators.PrefixSum.descRank]]: value-axis
+    * range shards + per-shard windows + an nShards-row offset window,
+    * so no global sort and no single-partition window anywhere in the
+    * plan — the 100 TB shape. k derives from the parquet footer row
+    * count (driver metadata, job-free). The selected SET and ranks are
+    * implementation-independent given the total order, so the DuckDB
+    * oracle is a plain row_number window — full oracle, no shard-math
+    * mirroring needed (unlike `sample_weighted`, whose cum axis is in
+    * the output). */
+  def dsirSample(s: SparkSession, dir: String): DataFrame = {
+    val (_, w) = dsirCols(s, dir)
+    val scored = docs(s, dir).select(col("doc_id"), w.as("dsir_q6"))
+    val k = math.max(1L,
+      graft.sources.Sources.footerRowCount(s, s"$dir/documents.parquet") / 10)
+    graft.operators.PrefixSum.descRank(scored, "dsir_q6", "doc_id")
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("dsir_q6"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  /** The shared training + scoring CTE chain (through `agg`) — the
+    * weights query and the resampling query differ only in their final
+    * SELECT, so the trained-distribution SQL is written once. */
+  private val dsirCtes: String =
     """WITH d2 AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
       |bg AS (SELECT doc_id, source, l[i] || ' ' || l[i+1] AS b
       |       FROM (SELECT doc_id, source, l, unnest(generate_series(1, len(l)-1)) AS i
@@ -1243,11 +1279,26 @@ object TextQueries {
       |          LEFT JOIN tc ON bg.b = tc.b
       |          CROSS JOIN tot),
       |agg AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(q) AS BIGINT) AS dsir_q6
-      |        FROM terms GROUP BY 1)
+      |        FROM terms GROUP BY 1)""".stripMargin
+
+  val dsirSql: String = dsirCtes + """
       |SELECT d2.doc_id, COALESCE(a.n_feats, 0) AS n_feats,
       |  COALESCE(a.dsir_q6, 0) AS dsir_q6
       |FROM d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id
       |ORDER BY d2.doc_id""".stripMargin
+
+  /** Resampling oracle: the selected set and ranks are functions of the
+    * (dsir_q6 DESC, doc_id) total order alone, so a plain window rank
+    * reproduces the engine's sharded rank exactly. */
+  val dsirSampleSql: String = dsirCtes + """,
+      |w AS (SELECT d2.doc_id, COALESCE(a.dsir_q6, 0) AS dsir_q6
+      |      FROM d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id),
+      |r AS (SELECT doc_id, dsir_q6,
+      |        CAST(row_number() OVER (ORDER BY dsir_q6 DESC, doc_id) AS BIGINT) AS rnk
+      |      FROM w)
+      |SELECT doc_id, dsir_q6, rnk FROM r
+      |WHERE rnk <= GREATEST(1, (SELECT count(*) // 10 FROM d2))
+      |ORDER BY rnk""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_stats" -> (domainStats _),
@@ -1272,6 +1323,7 @@ object TextQueries {
     "text_dup_spans_hashed" -> (dupSpansHashed _),
     "text_mix_sample" -> (mixSample _),
     "text_dsir_weights" -> (dsirWeights _),
+    "text_dsir_sample" -> (dsirSample _),
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
@@ -1297,5 +1349,6 @@ object TextQueries {
     "text_dup_spans_hashed" -> dupSpansSql, // same relation, 8-byte-keyed path
     "text_mix_sample" -> mixSampleSql,
     "text_dsir_weights" -> dsirSql,
+    "text_dsir_sample" -> dsirSampleSql,
     "text_fingerprint" -> fingerprintSql)
 }

@@ -265,14 +265,22 @@ object Sources {
     val chosen = existing match {
       case Some(v) => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
       case None =>
+        // existence via the same Hadoop FileSystem the footer readers
+        // use — a java.io.File probe is always false for non-local URIs
+        // (e.g. a SubsetCli --src), silently skipping calibration
+        // (r13 ADVICE)
+        val conf = spark.sessionState.newHadoopConf()
         val vals = tables.flatMap { t =>
-          val p = s"$dir/$t.parquet"
-          if (new java.io.File(p).exists())
-            Some(scanSplitBytes(spark, p, targetDecompressed))
+          val p = new Path(s"$dir/$t.parquet")
+          if (p.getFileSystem(conf).exists(p))
+            Some(scanSplitBytes(spark, p.toString, targetDecompressed))
           else None
         }
-        if (vals.isEmpty) spark.sessionState.conf.filesMaxPartitionBytes
-        else vals.min
+        if (vals.isEmpty) {
+          System.err.println(
+            s"calibrateScanSplit: no calibration table (${tables.mkString(",")}) under $dir — keeping session default")
+          spark.sessionState.conf.filesMaxPartitionBytes
+        } else vals.min
     }
     spark.conf.set("spark.sql.files.maxPartitionBytes", chosen)
     chosen

@@ -527,6 +527,34 @@ object EventStreams {
         col("n_tokens"), col("nll_q6"))
   }
 
+  /** Streaming twin of `text_dsir_weights` — DSIR importance scoring on
+    * ingest. The trained target/raw bigram distributions are LITERAL
+    * maps baked into the plan at construction (batch-side, once — the
+    * perplexity-gate pattern), so every arriving document scores
+    * scan-locally with ZERO streaming state: no watermark, no keyed
+    * state store, trivially exactly-once under retries. This is the
+    * deployment shape for weight-on-ingest at 100 TB: train offline on
+    * the frozen target slice, ship the literal maps with the query. */
+  def streamDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.TextQueries
+    val (nFeats, w) = TextQueries.dsirCols(spark, dir)
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), nFeats.as("n_feats"), w.as("dsir_q6"))
+  }
+
+  def startDsirWeightsToMemory(spark: SparkSession, dir: String,
+                               name: String): StreamingQuery =
+    streamDsirWeights(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def startCorpusClean2ToMemory(spark: SparkSession, dir: String,
                                 name: String): StreamingQuery =
     streamCorpusClean2(spark, dir)

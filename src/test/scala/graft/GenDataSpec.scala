@@ -11,6 +11,7 @@ import java.nio.file.Files
   * every column is a pure function of the row id, independent of
   * partitioning), at the smallest rung so the spec stays fast. */
 class GenDataSpec extends SparkSpecBase {
+  import spark.implicits._
 
   private lazy val genDir = {
     val d = Files.createTempDirectory("graft-gendata").toString
@@ -47,6 +48,35 @@ class GenDataSpec extends SparkSpecBase {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
         s"$t: generated content differs between runs")
     }
+  }
+
+  test("docs-planted: Jaccard pair graph is EXACTLY the planted edge set") {
+    // The sparse-components rung stands on this identity: with a
+    // 4,194,304-word vocabulary no accidental J >= 0.5 pair exists, so
+    // |E| == n/dupEvery and every edge is (base, base + n) — which is
+    // what lets the probe attribute cost to |E| instead of geometry.
+    val n = 2000L; val dupEvery = 50L
+    val d = GenData.documentsPlanted(spark, n, dupEvery).localCheckpoint(true)
+    assert(d.count() == n + n / dupEvery)
+    // name+type identity (nullability differs between an in-memory
+    // relation and a parquet round-trip; writeTable flattens it anyway)
+    val ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").schema
+    assert(d.schema.map(f => (f.name, f.dataType)) == ref.map(f => (f.name, f.dataType)))
+    val pairs = graft.functions.SimilarityFunctions.jaccardPairs(d, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    val want = (0L until n by dupEvery).map(i => (i, i + n)).toSet
+    assert(pairs == want,
+      s"pair graph must be exactly the ${n / dupEvery} planted edges; got ${pairs.size}")
+    // and components over it: every planted pair collapses to the base
+    // id, everything else is a singleton
+    val cc = graft.operators.ConnectedComponents.components(
+        d.select(col("doc_id").as("id")),
+        graft.functions.SimilarityFunctions.jaccardPairs(d, 0.5)
+          .select(col("ida").as("src"), col("idb").as("dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == n + n / dupEvery)
+    for (i <- 0L until n by dupEvery) assert(cc(i + n) == i && cc(i) == i)
+    assert(cc(1L) == 1L)
   }
 
   test("FK-validity: every generated foreign key resolves") {

@@ -21,6 +21,27 @@ class PrefixSumSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("descRank == single-partition window rank, negative values and ties included") {
+    // Negative weights (DSIR log-ratios are signed), duplicate values
+    // (the tiebreak must decide), and a spread wide enough that the
+    // div-before-multiply shard math sees several shards.
+    val df = Seq(5L -> -300L, 9L -> 1200L, 11L -> 0L, 14L -> 1200L,
+        20L -> -300L, 31L -> 999999L, 40L -> -1000000L, 55L -> 7L)
+      .toDF("id", "w")
+    val got = PrefixSum.descRank(df, "w", "id", nShards = 4)
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    val win = Window.orderBy($"w".desc, $"id")
+    val want = df.withColumn("rnk", row_number().over(win).cast("long"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // degenerate spread (all values equal) stays correct: one shard,
+    // rank = tiebreak order
+    val flat = Seq(1L -> 5L, 2L -> 5L, 3L -> 5L).toDF("id", "w")
+    val gotFlat = PrefixSum.descRank(flat, "w", "id")
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    assert(gotFlat == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("runningSum spreads rows across shards (no single-partition funnel)") {
     val df = (1L to 1000L).map(i => (i, 1L)).toDF("k", "v")
     val out = PrefixSum.runningSum(df, "k", "v", nShards = 8)

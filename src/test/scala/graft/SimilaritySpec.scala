@@ -753,6 +753,25 @@ class SimilaritySpec extends SparkSpecBase {
       f"clustered IVF recall $recall%.3f < 0.9 at probed fraction ${nprobe.toDouble / k}%.3f")
   }
 
+  test("auto-plane LSH on clustered geometry: recall >= 0.9 ABOVE the plane floor") {
+    // The declared scale tier (ann_lsh_topk_auto, r13 verdict item 1)
+    // sharpens planes as n grows; AnnTune measured that costing recall
+    // only on near-orthogonal geometry. On the clustered fixture — the
+    // geometry real embedding corpora have — recall must hold at the
+    // widened count. n = 12288 -> autoPlanes = 9 (> the 8-plane floor),
+    // so this pins the floor exactly where the knob starts to bind.
+    val n = 12288L
+    assert(autoPlanes(n) > 8, "fixture must sit above the plane floor")
+    val e = GenData.embeddingsClustered(spark, n).localCheckpoint(true)
+    val q = e.filter($"vec_id" % 100 === 0)
+    val brute = cosineTopK(q, e, 10).select("qid", "cid").localCheckpoint(true)
+    val ann = annLshTopKAuto(q, e, 10, knownN = Some(n))
+      .select("qid", "cid").localCheckpoint(true)
+    val recall = ann.join(brute, Seq("qid", "cid")).count().toDouble / brute.count()
+    assert(recall >= 0.9,
+      f"clustered auto-LSH recall $recall%.3f < 0.9 at ${autoPlanes(n)} planes")
+  }
+
   test("auto knobs pick identical parameters from footer counts as from count() (job-free construction)") {
     for (dir <- Catalog.testdataSfDirs) {
       val e = Catalog.table(spark, dir, "embeddings")

@@ -138,6 +138,22 @@ class StreamingSpec extends SparkSpecBase {
         "is keeper-dependent — parity contract needs re-deriving")
   }
 
+  test("streaming DSIR weights (stateless literal-map scoring) == batch text_dsir_weights") {
+    // 13th parity twin: importance weighting on ingest. The trained
+    // distributions are plan literals, so the stream carries zero state
+    // and parity is exact per-row — same contract as the perplexity
+    // gate inside streamCorpusClean2, surfaced for the standalone
+    // scorer the resampling step consumes.
+    val q = EventStreams.startDsirWeightsToMemory(spark, dir, "t_dsir")
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT doc_id, n_feats, dsir_q6 FROM t_dsir")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.queries.TextQueries.dsirWeights(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming minhash near-dup (keyed bucket state) == batch LSH pairs") {
     val q = EventStreams.startNearDupToMemory(spark, dir, "t_neardup")
     q.awaitTermination()
