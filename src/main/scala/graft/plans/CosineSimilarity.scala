@@ -232,6 +232,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => LshBuckets(children(0),
         intLit(children(1), "offset"), intLit(children(2), "nPlanes"),
         intLit(children(3), "nTables")): Expression),
+    (FunctionIdentifier("graft_dsir_score"),
+      new ExpressionInfo(classOf[LmScores.DsirScore].getName, "graft_dsir_score"),
+      (children: Seq[Expression]) => LmScores.DsirScore(children(0), children(1),
+        children(2), children(3), children(4)): Expression),
+    (FunctionIdentifier("graft_lm_nll"),
+      new ExpressionInfo(classOf[LmScores.LmNll].getName, "graft_lm_nll"),
+      (children: Seq[Expression]) => LmScores.LmNll(children(0), children(1),
+        children(2), children(3)): Expression),
     (FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
       (children: Seq[Expression]) => ZOrder2(children(0), children(1)): Expression),

@@ -1061,21 +1061,17 @@ object TextQueries {
     * canonicalized survivors with the same model). */
   private[graft] def perplexityCols(s: SparkSession, dir: String)
       : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    graft.plans.GraftExtensions.register(s)
     val toks = split(col("text"), " ")
-    val bigramsCol = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
     val (c2, c1, vocabN) = lmCounts(s, dir)
-    val bgMap = typedlit(c2)
-    val w1Map = typedlit(c1)
-    val nll = aggregate(bigramsCol, lit(0L), (acc, b) => {
-      val cbg = coalesce(element_at(bgMap, b), lit(0L))
-      val cw1 = coalesce(element_at(w1Map, substring_index(b, " ", 1)), lit(0L))
-      acc - round(log((cbg.cast("double") + lit(1.0)) /
-        (cw1.cast("double") + lit(vocabN.toDouble))) * lit(1000000.0), 0).cast("long")
-    })
-    (size(bigramsCol).cast("long"), nll)
+    // native kernel (r14) — same O(|vocab|)-per-lookup fix as
+    // graft_dsir_score: per-bigram contributions (and the per-first-word
+    // back-off) precomputed with bit-identical arithmetic, scored via
+    // hash lookups; kernel == HOF pinned in LmScoresSpec.
+    val nll = call_function("graft_lm_nll", toks, typedlit(c2), typedlit(c1),
+      lit(vocabN.toDouble))
+    val nPairs = when(size(toks) >= 2, size(toks) - 1).otherwise(0).cast("long")
+    (nPairs, nll)
   }
 
   def perplexity(s: SparkSession, dir: String): DataFrame = {
@@ -1213,22 +1209,20 @@ object TextQueries {
     * LITERAL maps baked into the plan, exactly like [[perplexityCols]]),
     * which is what makes the stream==batch parity hold trivially. */
   private[graft] def dsirCols(s: SparkSession, dir: String): (Column, Column) = {
+    graft.plans.GraftExtensions.register(s)
     val (ct, cr, v, tTot, rTot) = dsirCountsCapped(s, dir, LmVocabCap)
     val toks = split(col("text"), " ")
-    val bigramsCol = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    val tMap = typedlit(ct)
-    val rMap = typedlit(cr)
-    val w = aggregate(bigramsCol, lit(0L), (acc, b) => {
-      val num = (coalesce(element_at(tMap, b), lit(0L)).cast("double") + lit(1.0)) *
-        lit((rTot + v).toDouble)
-      val den = (coalesce(element_at(rMap, b), lit(0L)).cast("double") + lit(1.0)) *
-        lit((tTot + v).toDouble)
-      acc + round(log(num / den) * lit(1000000.0), 0).cast("long")
-    })
-    (size(bigramsCol).cast("long"), w)
+    // native kernel (r14): the HOF formulation's element_at on a
+    // 50k-entry literal map is an O(|vocab|) LINEAR scan per bigram —
+    // 47 s for 50k docs at sf1, hidden from count-shaped benches by
+    // column pruning until the resampling checkpoint surfaced it.
+    // graft_dsir_score precomputes each key's quantized contribution
+    // once (bit-identical arithmetic — LmScoresSpec pins kernel == HOF
+    // on the real corpus) and scores via hash lookups.
+    val w = call_function("graft_dsir_score", toks, typedlit(ct), typedlit(cr),
+      lit((rTot + v).toDouble), lit((tTot + v).toDouble))
+    val nFeats = when(size(toks) >= 2, size(toks) - 1).otherwise(0).cast("long")
+    (nFeats, w)
   }
 
   /** The DSIR RESAMPLING step (r13 verdict item 4): select the top
@@ -1246,7 +1240,15 @@ object TextQueries {
     * the output). */
   def dsirSample(s: SparkSession, dir: String): DataFrame = {
     val (_, w) = dsirCols(s, dir)
+    // Materialize the 16-byte-per-doc scored projection BEFORE the rank:
+    // descRank's plan references its input from several branches
+    // (bounds agg, shard counts, the main window), and each branch
+    // would otherwise re-ship the two 50k-entry literal score maps
+    // through every stage — measured 89 s at sf1 un-checkpointed vs
+    // ~the weights query's cost with the checkpoint. The checkpoint is
+    // the scored RELATION (corpus-linear, 2 longs/doc), not the corpus.
     val scored = docs(s, dir).select(col("doc_id"), w.as("dsir_q6"))
+      .localCheckpoint(false)
     val k = math.max(1L,
       graft.sources.Sources.footerRowCount(s, s"$dir/documents.parquet") / 10)
     graft.operators.PrefixSum.descRank(scored, "dsir_q6", "doc_id")
