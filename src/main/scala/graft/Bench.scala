@@ -19,6 +19,17 @@ import org.apache.spark.sql.SparkSession
   * pass total. Set SPARK_GRAFT_WARMUP=0 for single-pass cold timing;
   * SPARK_GRAFT_PASSES=1 restores single-pass timing.
   *
+  * Measurement shape caveat: the timed action is `count()`, so Catalyst
+  * prunes output columns no downstream operator consumes (and
+  * EliminateSorts drops a final ORDER BY) — a pure-projection scoring
+  * query benches as its scan, not its arithmetic. This is the standard
+  * count-shaped-bench artifact and it is kept DELIBERATELY for
+  * cross-round comparability; queries whose expensive work is prunable
+  * are instead timed where they materialize (the Verify dump, the
+  * checkpoint-bearing consumers — see SCALE.md r14, where exactly this
+  * illusion hid an O(|vocab|)-per-lookup scoring cost until the DSIR
+  * resampling query forced evaluation).
+  *
   * Steal gate: min-of-N only helps when at least one pass is quiet, and
   * three consecutive rounds produced artifacts where EVERY timed pass
   * carried hundreds-to-thousands of steal jiffies — min-of-2 degrades
