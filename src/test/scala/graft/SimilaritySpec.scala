@@ -99,6 +99,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pref.toSeq == exact.toSeq)
   }
 
+  test("jaccardPairsNgramPrefix(n=1) == unigram jaccardPairs on the real corpus") {
+    // r14: dedup_components' pair stage moved from the inverted-index
+    // tier to the prefix tier at the UNIGRAM basis (n=1 shingles ==
+    // distinct tokens, hashed). The two tiers must emit the identical
+    // exact-Jaccard relation — jaccardPairs scores string token sets,
+    // the prefix tier scores their 64-bit hash sets, equal absent an
+    // intra-pair collision — so the declared query's oracle (which
+    // keeps the string-token inverted-index CTE) stays valid.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Catalog.table(spark, dir, "documents")
+    val exact = jaccardPairs(docs, 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val pref = jaccardPairsNgramPrefix(docs, 1, 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(exact.nonEmpty, "fixture must contain unigram near-dup pairs")
+    assert(pref.toSeq == exact.toSeq)
+  }
+
   test("jaccardPairsNgramPrefix == jaccardPairsNgram on random corpora at several thresholds") {
     // the completeness argument (df-ascending prefix of length
     // |x| - ceil(t|x|) + 1 + length filter) must hold on ANY corpus;
