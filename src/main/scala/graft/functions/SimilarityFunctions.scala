@@ -97,7 +97,8 @@ object SimilarityFunctions {
     * `graft_shingle_hashes` kernel — one codegen'd concat+hash pass,
     * replacing an interpreted transform HOF + string explode), not the
     * shingle strings: set arithmetic over the hashes is identical
-    * absent an intra-pair collision (vanishing at ~|union|²/2⁶³; a
+    * absent an intra-pair collision (full 64-bit XXH64 basis —
+    * vanishing at ~|union|²/2⁶⁴; a
     * collision would surface as a DuckDB hash mismatch), and the
     * self-join shuffles and compares longs instead of 20-40 byte
     * strings — measured ~3x on this tier at sf0.1. */

@@ -21,7 +21,15 @@ object GraftHashes {
 
   final val MersennePrime = 2147483647L // 2^31 - 1
 
-  private def shingleHash(toks: ArrayData, start: Int, n: Int): Long = {
+  /** Full-width XXH64 of the `n`-token shingle at `start` — the
+    * identity basis for [[shingleHashes]]. NOT Mersenne-reduced: set
+    * arithmetic over these hashes stands in for set arithmetic over
+    * the shingle strings, and the collision exposure quoted by the
+    * consumers (~|union|²/2⁶⁴ per pair) requires the full 64-bit
+    * space — the earlier mod-2³¹−1 basis put per-corpus collisions
+    * at ~d²/2³² (expected ≥1 at rung doc counts, r14 ADVICE). Only
+    * [[minhash]] needs the reduction, for its permutation arithmetic. */
+  private def shingleHash64(toks: ArrayData, start: Int, n: Int): Long = {
     // n-token shingle joined by ' ' — same bytes as concat_ws(" ", slice)
     var s = toks.getUTF8String(start)
     var j = 1
@@ -29,7 +37,13 @@ object GraftHashes {
       s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(start + j))
       j += 1
     }
-    val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+  }
+
+  /** [[shingleHash64]] reduced mod 2³¹−1 — the minhash-permutation
+    * domain (`(h*(1+2k) + c_k) mod p` needs h in [0, p)). */
+  private def shingleHash(toks: ArrayData, start: Int, n: Int): Long = {
+    val h = shingleHash64(toks, start, n)
     val m = h % MersennePrime
     if (m < 0) m + MersennePrime else m
   }
@@ -64,8 +78,10 @@ object GraftHashes {
     * self-join's shuffle and comparator cost, and the concat+hash loop
     * here replaces an interpreted `transform` HOF pass per row. Set
     * arithmetic over hashes equals set arithmetic over shingles absent
-    * an intra-pair collision (~|union|²/2⁶³ per pair — vanishing, and
-    * the DuckDB oracle would surface one as a hash mismatch). */
+    * an intra-pair collision — FULL 64-bit XXH64 (not the minhash
+    * tiers' mod-2³¹−1 reduction), so that's ~|union|²/2⁶⁴ per pair —
+    * vanishing, and the DuckDB oracle would surface one as a hash
+    * mismatch. */
   def shingleHashes(toks: ArrayData, n: Int): ArrayData = {
     val nTok = toks.numElements()
     val nSh = nTok - n + 1
@@ -73,7 +89,7 @@ object GraftHashes {
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var i = 0
     while (i < nSh) {
-      seen.add(shingleHash(toks, i, n))
+      seen.add(shingleHash64(toks, i, n))
       i += 1
     }
     val out = new Array[Long](seen.size)

@@ -580,8 +580,15 @@ object SimilarityQueries {
     // pair stage was 1451 s of the 3095 s total on the stopword-dense
     // unigram vocabulary, exactly the blowup the positional+length
     // filters prune. The DuckDB oracle keeps the inverted-index form:
-    // same relation, independently derived.
-    val pairs = SimilarityFunctions.jaccardPairsNgramPrefix(d, 1, 0.5)
+    // same relation, independently derived. maxDf is explicitly
+    // UNCAPPED at this oracle-checked callsite (r14 ADVICE): above the
+    // cap the two tiers' semantics diverge from each other AND from
+    // the uncapped oracle CTE (jaccardPairs approximates scores,
+    // prefix keeps scores exact but can miss pairs), and the fixture's
+    // stopword-dense unigram df plausibly crosses the 100k default at
+    // rung slices. Uncapped, both tiers are fully exact.
+    val pairs = SimilarityFunctions.jaccardPairsNgramPrefix(d, 1, 0.5,
+      maxDf = Int.MaxValue)
       .select(col("ida").as("src"), col("idb").as("dst"))
     val nodes = d.select(col("doc_id").as("id"))
     graft.operators.ConnectedComponents.components(nodes, pairs)

@@ -742,7 +742,8 @@ object TextQueries {
   // SCAN-LOCALLY via a broadcast semi join — no corpus shuffle at all;
   // only the (rare) hits shuffle into the per-doc count, map-side
   // combined. Hashes stand in for shingle strings exactly as in
-  // jaccardPairsNgram (collision odds ~2^-63, surfaced by the oracle).
+  // jaccardPairsNgram (full 64-bit XXH64; collision odds ~2^-64 per
+  // shared-shingle pair, surfaced by the oracle).
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     val sh = docs(s, dir).select(col("doc_id"),

@@ -150,6 +150,46 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("maxDf over-cap semantics: index tier approximates scores, prefix tier stays exact but can miss") {
+    // r14 ADVICE: above the df cap the two exact tiers DIVERGE — the
+    // inverted-index tier drops over-cap tokens from index AND sizes
+    // (approximate scores), the prefix tier from the index only (exact
+    // scores, but a pair whose qualifying support is all over-cap is
+    // missed). Oracle-checked callsites therefore pass a cap above the
+    // corpus max df (dedupComponentsMod passes Int.MaxValue). This
+    // corpus engineers both regimes at maxDf=2: "s" (df=6) and "u"
+    // (df=3) are over-cap; "a"/"x" (df=2) are not.
+    val docs = Seq(
+      (1L, "s a b"), (2L, "s a c"),   // J=0.5 via under-cap "a"
+      (3L, "s x y"), (4L, "s x z"),   // J=0.5 via under-cap "x"
+      (5L, "s u"), (6L, "s u"),       // J=1.0, support ALL over-cap
+      (7L, "u q q2 q3 q4 q5")         // third "u" holder, no pair
+    ).toDF("doc_id", "text")
+    val uncappedIdx = jaccardPairs(docs, 0.3, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val uncappedPref = jaccardPairsNgramPrefix(docs, 1, 0.3, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = Set((1L, 2L, 0.5), (3L, 4L, 0.5), (5L, 6L, 1.0))
+    assert(uncappedIdx == expected)
+    assert(uncappedPref == expected, "uncapped, the tiers agree exactly")
+    // over-cap, inverted-index tier: "s"/"u" leave index AND sizes, so
+    // (1,2) rescores as {a,b}~{a,c} = 1/3 and (5,6) vanishes (empty
+    // capped sets) — approximate scores, the documented semantics
+    val cappedIdx = jaccardPairs(docs, 0.3, maxDf = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cappedIdx == Set((1L, 2L, 1.0 / 3), (3L, 4L, 1.0 / 3)),
+      s"index tier must rescore on capped sets, got $cappedIdx")
+    // over-cap, prefix tier: candidates only via under-cap tokens, but
+    // verify arrays keep the FULL sets — (1,2)/(3,4) emit at their
+    // exact 0.5; (5,6)'s only shared tokens are over-cap -> missed.
+    // That is the "strictly broader miss condition" its docstring
+    // documents, pinned here.
+    val cappedPref = jaccardPairsNgramPrefix(docs, 1, 0.3, maxDf = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cappedPref == Set((1L, 2L, 0.5), (3L, 4L, 0.5)),
+      s"prefix tier must keep exact scores and miss only over-cap-supported pairs, got $cappedPref")
+  }
+
   test("brute top-k memo: regenerated embeddings invalidate the session cache") {
     // bruteTopk is memoized per (dir, file fingerprint) — same contract
     // as the bigram-LM cache: a fixture regenerated within one JVM
