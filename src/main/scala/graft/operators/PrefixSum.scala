@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,31 +55,90 @@ object PrefixSum {
 
   /** Adds `rnk` = 1-based dense position in (`valueCol` DESC, `tieCol`
     * ASC) order — a rank IS a running count in rank order, so this is
-    * [[runningSum]]'s shape applied to the VALUE axis: range-shard the
-    * value domain (one broadcast min/max join, no global sort),
-    * per-shard `row_number` with an ordinary partitioned window, then
-    * offset each shard by the row count of every higher-value shard
-    * (an nShards-row window — driver-scale). Nothing funnels the data
-    * through one task, unlike the naive empty-`partitionBy` rank
-    * window. `valueCol` may be negative (shards are offset from the
-    * broadcast min; width uses `div` BEFORE multiply so the math can't
-    * overflow on wide domains); `tieCol` must be distinct for a
-    * deterministic total order. Equal-width value shards assume a
-    * non-degenerate weight spread — a pathological corpus where one
-    * value carries most rows degrades to the single-partition window
-    * (correct, just not parallel); quantile-based bounds are the
-    * production escalation. The RESULT is shard-independent, so an
-    * oracle can use a plain `row_number() OVER (ORDER BY ...)`. */
+    * [[runningSum]]'s shape applied to the VALUE axis: shard the key
+    * space along the sort order, per-shard `row_number` with an
+    * ordinary partitioned window, then offset each shard by the row
+    * count of every earlier shard (an nShards-row window —
+    * driver-scale). Nothing funnels the data through one task, unlike
+    * the naive empty-`partitionBy` rank window.
+    *
+    * Shard bounds are QUANTILE-derived (r14 verdict item 5 — the
+    * production escalation the equal-width version only named): one
+    * map-side-combined `approx_percentile` pass yields nShards-1
+    * value-axis cut points, so shard POPULATIONS are near-balanced on
+    * any spread, not just a uniform one. The degenerate corpus the
+    * equal-width math funnels — one value carrying most rows, which a
+    * post-dedup DSIR weight column really produces — shows up as a
+    * REPEATED quantile value; each such heavy value is sub-split by a
+    * second conditional-quantile pass over `tieCol` restricted to that
+    * value (one agg, one column per heavy value, ≤ nShards of them),
+    * so even a 100%-constant column spreads across nShards tie-range
+    * shards. Cut points are composite (value, tie) thresholds and
+    * shard assignment is a ≤ nShards-term monotone comparison chain —
+    * scan-local, codegen-friendly, exact integer compares.
+    *
+    * `valueCol` may be negative; `tieCol` must be distinct for a
+    * deterministic total order; both BIGINT. The two boundary aggs
+    * collect O(nShards) scalars to the driver (the bounded-collect
+    * pattern the IVF centroids use). approx_percentile's merge is not
+    * bitwise order-stable across runs, but the RESULT is
+    * shard-independent — any monotone cut set yields identical ranks —
+    * so an oracle can use a plain `row_number() OVER (ORDER BY ...)`. */
   def descRank(df: DataFrame, valueCol: String, tieCol: String,
-      nShards: Int = 32): DataFrame = {
-    val bounds = df.agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
-    val sharded = df.crossJoin(broadcast(bounds))
-      .withColumn("__shard",
-        expr(s"($valueCol - __mn) div ((__mx - __mn) div $nShards + 1)"))
-      .drop("__mn", "__mx")
+      nShards: Int = 32): DataFrame =
+    descRankSharded(df, valueCol, tieCol, nShards).drop("__shard")
+
+  /** [[descRank]] with the internal `__shard` column retained, so the
+    * no-funnel property (every heavy value spread over > 1 populated
+    * shard) is spec-assertable — PrefixSumSpec reads it directly. */
+  private[graft] def descRankSharded(df: DataFrame, valueCol: String,
+      tieCol: String, nShards: Int): DataFrame = {
+    val v = col(valueCol)
+    val t = col(tieCol)
+    // pass 1: value-axis quantiles (nShards-1 interior cut points)
+    val probs = (1 until nShards).map(_.toDouble / nShards)
+    val q0 = df.agg(
+      percentile_approx(v, typedlit(probs), lit(10000)).as("q")).head()
+    val qs: Seq[Long] =
+      if (q0.isNullAt(0)) Seq.empty else q0.getSeq[Long](0)
+    // a value swallowing >= 2 quantile slots carries >= 1/nShards of
+    // the rows — sub-split its rows by tieCol into that many ranges
+    val byVal: Seq[(Long, Int)] = qs.groupBy(identity).view
+      .mapValues(_.size).toSeq.sortBy(-_._1) // distinct values, DESC
+    val heavy: Map[Long, Seq[Long]] = {
+      val hs = byVal.collect { case (hv, k) if k >= 2 => (hv, k) }
+      if (hs.isEmpty) Map.empty
+      else {
+        val aggs = hs.map { case (hv, k) =>
+          val tp = (1 until k).map(_.toDouble / k)
+          percentile_approx(when(v === hv, t), typedlit(tp), lit(10000))
+            .as(s"__t$hv")
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        hs.zipWithIndex.map { case ((hv, _), i) =>
+          hv -> (if (r.isNullAt(i)) Seq.empty[Long] else r.getSeq[Long](i))
+        }.toMap
+      }
+    }
+    // composite cut points in SORT order (value desc, tie asc): a row
+    // is AFTER pure cut (cv) iff v <= cv, and AFTER tie cut (cv, ct)
+    // iff v < cv || (v == cv && t > ct). Shard = #cuts the row is
+    // after — each predicate is monotone along the sort order, so the
+    // count is too, which is all the offset math needs.
+    val cuts: Seq[Column] = byVal.flatMap { case (cv, k) =>
+      val enter = (v <= cv): Column
+      enter +: heavy.getOrElse(cv, Seq.empty).sorted.reverseIterator
+        .map(ct => (v < cv) || (v === cv && t > ct)).toSeq
+    }
+    val shardExpr =
+      if (cuts.isEmpty) lit(0) // empty df / single-value quantile-free
+      else cuts.map(c => when(c, 1).otherwise(0)).reduce(_ + _)
+    val sharded = df.withColumn("__shard", shardExpr)
     val wIn = Window.partitionBy("__shard")
-      .orderBy(col(valueCol).desc, col(tieCol))
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("__shard").desc)
+      .orderBy(v.desc, t)
+    // shard 0 holds the TOP of the desc order, so offsets accumulate
+    // ascending; the window ranges over <= nShards aggregate rows
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = sharded.groupBy("__shard")
       .agg(count(lit(1)).as("__scnt"))
@@ -89,6 +148,6 @@ object PrefixSum {
       .withColumn("__r", row_number().over(wIn).cast("long"))
       .join(broadcast(offsets), "__shard")
       .withColumn("rnk", col("__r") + col("__off"))
-      .drop("__shard", "__r", "__off")
+      .drop("__r", "__off")
   }
 }

@@ -243,6 +243,24 @@ class PlanQualitySpec extends SparkSpecBase {
       "the cents prefix-sum window must partition by __shard")
   }
 
+  test("text_dsir_sample: no single-partition data window (quantile-sharded descRank)") {
+    // r14 verdict item 3 guard: descRank's data-bearing row_number
+    // window must partition by the quantile-derived __shard column —
+    // the only permissible single-partition window is the <= nShards
+    // aggregate-row offset accumulation (partitioned by a constant).
+    val df = graft.queries.TextQueries.dsirSample(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("hashpartitioning(__shard"),
+      "descRank must shard the rank window")
+    val dataWindows = p.linesIterator.filter(l =>
+      l.contains("Window ") && l.contains("row_number") &&
+        l.contains("dsir_q6")).toSeq
+    assert(dataWindows.nonEmpty, "expected the sharded rank window in the plan")
+    assert(dataWindows.forall(_.contains("__shard")),
+      s"the dsir rank window must partition by __shard:\n${dataWindows.mkString("\n")}")
+  }
+
   test("pipeline_corpus_clean: scan-local gates, one dedup shuffle, no joins") {
     val df = graft.queries.TextQueries.corpusClean(spark, dir)
     df.collect()

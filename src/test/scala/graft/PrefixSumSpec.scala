@@ -42,6 +42,38 @@ class PrefixSumSpec extends SparkSpecBase {
     assert(gotFlat == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("descRank: near-constant value column spreads across tie-range shards") {
+    // r14 verdict item 5: equal-width value shards degrade to ONE
+    // populated shard when one value carries most rows — the exact
+    // shape a post-dedup DSIR weight column produces. The quantile
+    // cut points must detect the heavy value (it swallows repeated
+    // percentile slots) and sub-split it by tieCol, so the data-scale
+    // window never sees the full relation in one partition. The RESULT
+    // is shard-independent, so the plain-window oracle is unchanged.
+    val n = 2000
+    val df = (1 to n).map { i =>
+      // 95% of rows at weight 7, the rest spread
+      (i.toLong, if (i % 20 == 0) 1000L + i else 7L)
+    }.toDF("id", "w")
+    val sharded = PrefixSum.descRankSharded(df, "w", "id", nShards = 8)
+    val got = sharded.select("id", "rnk").as[(Long, Long)].collect().toMap
+    val win = Window.orderBy($"w".desc, $"id")
+    val want = df.withColumn("rnk", row_number().over(win).cast("long"))
+      .select("id", "rnk").as[(Long, Long)].collect().toMap
+    assert(got == want, "ranks must equal the single-partition window oracle")
+    // the no-funnel property itself: the constant-weight rows (95% of
+    // the relation) must be spread over SEVERAL populated shards — the
+    // conditional tie-quantile sub-split, not one data-scale window
+    val heavyShards = sharded.filter($"w" === 7L)
+      .select("__shard").distinct().count()
+    assert(heavyShards > 1,
+      s"heavy value funneled through $heavyShards shard(s)")
+    // and shards are usefully balanced: no shard holds > half the rows
+    val maxShard = sharded.groupBy("__shard").count()
+      .agg(max($"count")).as[Long].head()
+    assert(maxShard <= n / 2, s"largest shard holds $maxShard of $n rows")
+  }
+
   test("runningSum spreads rows across shards (no single-partition funnel)") {
     val df = (1L to 1000L).map(i => (i, 1L)).toDF("k", "v")
     val out = PrefixSum.runningSum(df, "k", "v", nShards = 8)
