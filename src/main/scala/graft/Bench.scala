@@ -175,11 +175,25 @@ object Bench {
     // unless a subset audit query is actually selected)
     val setupSecs = {
       val needsDumps = selected.keys.exists(_.startsWith("subset_"))
+      // once-per-corpus LM/DSIR training (r14 verdict item 6): warmed
+      // here — and persisted across JVMs by the fingerprint-keyed disk
+      // store — so cold passes of the scoring queries price SCORING,
+      // with training attributed to session_setup like the dumps
+      val lmKeys = Set("text_perplexity", "pipeline_corpus_clean2")
+      val dsirKeys = Set("text_dsir_weights", "text_dsir_sample")
+      val needsLm = selected.keys.exists(lmKeys)
+      val needsDsir = selected.keys.exists(dsirKeys)
       val t0 = System.nanoTime()
       if (needsDumps)
         try graft.queries.CoreQueries.prepareSessionDumps(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"bench session setup failed: ${e.getMessage}")
+        }
+      if (needsLm || needsDsir)
+        try graft.queries.TextQueries.prepareLmModels(spark, sfDir,
+          lm = needsLm, dsir = needsDsir)
+        catch { case e: Throwable =>
+          System.err.println(s"bench LM setup failed: ${e.getMessage}")
         }
       (System.nanoTime() - t0) / 1e9
     }

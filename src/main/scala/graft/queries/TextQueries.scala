@@ -1024,6 +1024,98 @@ object TextQueries {
   private val lmCache = scala.collection.mutable
     .Map[(String, Int, String), (Map[String, Long], Map[String, Long], Long)]()
 
+  // --- cross-session persistence of the trained literal-map models ----
+  // (r14 verdict item 6): the in-memory caches amortize training WITHIN
+  // a JVM, but rung benches start a fresh JVM per run, so every cold
+  // rung re-priced once-per-corpus training (48.8 s of the sf10
+  // text_dsir_sample entry) inside whichever query trained first. The
+  // stores below persist the trained maps to tmpdir keyed on the SAME
+  // (dir, cap, corpus fingerprint) triple the caches use — the brute
+  // memo's store pattern specialized to a single file, where an atomic
+  // rename IS the commit marker (a crashed partial write never lands at
+  // the final path). Training now runs once per (fixture, cap) per
+  // machine; cold passes load <= 2*cap entries from disk. Bench
+  // attributes the warm-up to `session_setup` via [[prepareLmModels]].
+  // Corrupt/truncated stores are deleted and retrained; a regenerated
+  // fixture changes the fingerprint, so staleness is impossible by
+  // construction (same rule the caches enforce).
+
+  private def modelStorePath(kind: String, dir: String, cap: Int,
+      fp: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-" + kind + "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest((dir + "|" + cap + "|" + fp).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString + ".bin")
+
+  private val ModelMagic = 0x47524d31 // "GRM1"
+
+  private def storeModel(f: java.io.File, maps: Seq[Map[String, Long]],
+      scalars: Seq[Long]): Unit = {
+    val tmp = java.io.File.createTempFile(f.getName + ".", ".tmp",
+      f.getParentFile)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp)))
+    try {
+      out.writeInt(ModelMagic)
+      out.writeInt(maps.size)
+      maps.foreach { m =>
+        out.writeInt(m.size)
+        m.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+      }
+      out.writeInt(scalars.size)
+      scalars.foreach(out.writeLong)
+    } finally out.close()
+    // rename is atomic on a local fs; the loser of a concurrent race
+    // discards its tmp — the winner's store has identical content
+    if (!tmp.renameTo(f)) { tmp.delete(); () }
+  }
+
+  private def loadModel(f: java.io.File, nMaps: Int, nScalars: Int)
+      : Option[(Seq[Map[String, Long]], Seq[Long])] = {
+    if (!f.exists()) return None
+    try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(f)))
+      try {
+        require(in.readInt() == ModelMagic && in.readInt() == nMaps)
+        val maps = Seq.fill(nMaps) {
+          val n = in.readInt()
+          val b = Map.newBuilder[String, Long]
+          var i = 0
+          while (i < n) { b += in.readUTF() -> in.readLong(); i += 1 }
+          b.result()
+        }
+        require(in.readInt() == nScalars)
+        val scalars = Seq.fill(nScalars)(in.readLong())
+        Some((maps, scalars))
+      } finally in.close()
+    } catch { case _: Throwable => f.delete(); None }
+  }
+
+  /** Warm the LM and/or DSIR trained models for `dir` — Bench calls
+    * this from its session-setup block (timed as `session_setup`, like
+    * the subset dumps) when a scoring query is selected, so cold rung
+    * passes price SCORING, not once-per-corpus training. Idempotent:
+    * hits the disk store when a previous process already trained. */
+  def prepareLmModels(s: SparkSession, dir: String,
+      lm: Boolean = true, dsir: Boolean = true): Unit = {
+    if (lm) { lmCounts(s, dir); () }
+    if (dsir) { dsirCountsCapped(s, dir, LmVocabCap); () }
+  }
+
+  /** Test hook: drop the IN-MEMORY model caches (disk stores stay), so
+    * a spec can force the load-from-store path within one JVM. */
+  private[graft] def dropModelMemoryCaches(): Unit = {
+    lmCache.synchronized(lmCache.clear())
+    dsirCache.synchronized(dsirCache.clear())
+  }
+
+  /** Test hook: the store file a (kind, dir, cap) triple resolves to at
+    * the CURRENT corpus fingerprint. */
+  private[graft] def modelStoreFor(kind: String, dir: String,
+      cap: Int): java.io.File =
+    modelStorePath(kind, dir, cap, corpusFingerprint(dir))
+
   /** Cheap change-detection signature of `dir`/documents.parquet —
     * shared helper since r11 (the brute-top-k memo keys on the same
     * shape for embeddings). */
@@ -1036,23 +1128,30 @@ object TextQueries {
 
   private[graft] def lmCountsCapped(s: SparkSession, dir: String, cap: Int)
       : (Map[String, Long], Map[String, Long], Long) = lmCache.synchronized {
-    lmCache.getOrElseUpdate((dir, cap, corpusFingerprint(dir)), {
-      val toks = split(col("text"), " ")
-      val bigramsCol = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", slice(toks, i, lit(2)))))
-        .otherwise(array().cast("array<string>"))
-      val train = docs(s, dir).filter(col("doc_id") % 10 === 0)
-      val c2 = train.select(explode(bigramsCol).as("bg"))
-        .groupBy("bg").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("bg"))
-        .limit(cap)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val c1 = c2.groupBy(_._1.takeWhile(_ != ' '))
-        .map { case (w, m) => w -> m.map(_._2).sum }
-      val vocabN = train.select(explode(toks).as("w"))
-        .agg(countDistinct(col("w"))).head().getLong(0)
-      (c2.toMap, c1.toMap, vocabN)
+    val fp = corpusFingerprint(dir)
+    lmCache.getOrElseUpdate((dir, cap, fp), {
+      val store = modelStorePath("lm", dir, cap, fp)
+      loadModel(store, nMaps = 2, nScalars = 1) match {
+        case Some((Seq(c2, c1), Seq(vocabN))) => (c2, c1, vocabN)
+        case _ =>
+          val toks = split(col("text"), " ")
+          val bigramsCol = when(size(toks) >= 2,
+              transform(sequence(lit(1), size(toks) - 1),
+                i => concat_ws(" ", slice(toks, i, lit(2)))))
+            .otherwise(array().cast("array<string>"))
+          val train = docs(s, dir).filter(col("doc_id") % 10 === 0)
+          val c2 = train.select(explode(bigramsCol).as("bg"))
+            .groupBy("bg").agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("bg"))
+            .limit(cap)
+            .collect().map(r => r.getString(0) -> r.getLong(1))
+          val c1 = c2.groupBy(_._1.takeWhile(_ != ' '))
+            .map { case (w, m) => w -> m.map(_._2).sum }
+          val vocabN = train.select(explode(toks).as("w"))
+            .agg(countDistinct(col("w"))).head().getLong(0)
+          storeModel(store, Seq(c2.toMap, c1.toMap), Seq(vocabN))
+          (c2.toMap, c1.toMap, vocabN)
+      }
     })
   }
 
@@ -1160,7 +1259,19 @@ object TextQueries {
   private[graft] def dsirCountsCapped(s: SparkSession, dir: String, cap: Int)
       : (Map[String, Long], Map[String, Long], Long, Long, Long) =
     dsirCache.synchronized {
-      dsirCache.getOrElseUpdate((dir, cap, corpusFingerprint(dir)), {
+      val fp = corpusFingerprint(dir)
+      dsirCache.getOrElseUpdate((dir, cap, fp), {
+        val store = modelStorePath("dsir", dir, cap, fp)
+        loadModel(store, nMaps = 2, nScalars = 3) match {
+          case Some((Seq(ct, cr), Seq(v, tTot, rTot))) => (ct, cr, v, tTot, rTot)
+          case _ => trainDsir(s, dir, cap, store)
+        }
+      })
+    }
+
+  private def trainDsir(s: SparkSession, dir: String, cap: Int,
+      store: java.io.File)
+      : (Map[String, Long], Map[String, Long], Long, Long, Long) = {
         val toks = split(col("text"), " ")
         val bigramsCol = when(size(toks) >= 2,
             transform(sequence(lit(1), size(toks) - 1),
@@ -1186,9 +1297,10 @@ object TextQueries {
           .head().getLong(0)
         val rTot = raw.agg(coalesce(sum(size(bigramsCol).cast("long")), lit(0L)))
           .head().getLong(0)
+        storeModel(store, Seq(tgtCounts.toMap, rawVocab.toMap),
+          Seq(rawVocab.length.toLong, tTot, rTot))
         (tgtCounts.toMap, rawVocab.toMap, rawVocab.length.toLong, tTot, rTot)
-      })
-    }
+  }
 
   /** Per-document importance weight: sum over the doc's bigrams of
     * q6(ln( p̂_target(b) / p̂_raw(b) )) with add-one smoothing over the
