@@ -29,13 +29,27 @@ object Verify {
     // budgets (55 GB at sf10) — thin the slice identically on both ends
     val shingleMod = sys.env.get("GRAFT_ORACLE_SHINGLE_MOD")
       .filter(_.nonEmpty).map(_.toInt)
+    // dedup_semantic rung knobs: SEM_PLANES regenerates the oracle at
+    // the rung's auto-selected plane width (matching the declared
+    // query's autoPlanes choice there); SEM_MOD additionally thins the
+    // corpus on BOTH ends where the oracle's n×k assignment join
+    // outgrows DuckDB. The driver sets neither → gate oracle at the
+    // 4-plane floor.
+    val semPlanes = sys.env.get("GRAFT_ORACLE_SEM_PLANES")
+      .filter(_.nonEmpty).map(_.toInt)
+    val semMod = sys.env.get("GRAFT_ORACLE_SEM_MOD")
+      .filter(_.nonEmpty).map(_.toInt)
     val queries = SparkEntry.queries ++
       componentsMod.map(m =>
         "dedup_components" -> ((s: SparkSession, d: String) =>
           graft.queries.SimilarityQueries.dedupComponentsMod(m)(s, d))).toMap ++
       shingleMod.map(m =>
         "dedup_shingle_lsh" -> ((s: SparkSession, d: String) =>
-          graft.queries.SimilarityQueries.dedupShingleLshMod(m)(s, d))).toMap
+          graft.queries.SimilarityQueries.dedupShingleLshMod(m)(s, d))).toMap ++
+      semMod.map(m =>
+        "dedup_semantic" -> ((s: SparkSession, d: String) =>
+          graft.queries.SimilarityQueries.dedupSemanticMod(m,
+            semPlanes.getOrElse(graft.queries.SimilarityQueries.SemPlanes))(s, d))).toMap
     queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -73,7 +87,12 @@ object Verify {
     }) ++ componentsMod.map(m =>
       "dedup_components" -> graft.queries.SimilarityQueries.dedupComponentsSqlFor(m)) ++
       shingleMod.map(m =>
-        "dedup_shingle_lsh" -> graft.queries.SimilarityQueries.dedupNgramJaccardSqlFor(m))
+        "dedup_shingle_lsh" -> graft.queries.SimilarityQueries.dedupNgramJaccardSqlFor(m)) ++
+      (if (semPlanes.isDefined || semMod.isDefined)
+        Map("dedup_semantic" -> graft.queries.SimilarityQueries.dedupSemanticSqlFor(
+          semPlanes.getOrElse(graft.queries.SimilarityQueries.SemPlanes),
+          semMod.getOrElse(1)))
+      else Map.empty[String, String])
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1204,4 +1204,134 @@ object SimilarityFunctions {
     annLshTopK(queries, candidates, k, planes, dim, nTables,
       probeHamming, maxCandidates, fpBits)
   }
+
+  // --- SemDeDup-style cluster-scoped semantic dedup --------------------
+
+  /** Plane family reserved for semantic-cluster seeding — disjoint
+    * from the cosine-LSH tables (offsets 0..~200) and fingerprint
+    * planes (4096+), so the cluster geometry is independent of the
+    * candidate tiers' hash tables. */
+  private[graft] val SemPlaneOffset = 256
+
+  /** Deterministic cluster seeds ("leaders"): sign-bucket every vector
+    * under `planes` hyperplanes from the [[SemPlaneOffset]] family and
+    * take the MINIMUM-vec_id member of each occupied bucket as that
+    * bucket's leader. Exact set arithmetic end to end (bucket = integer
+    * sign fold over literal planes, leader = integer min), so a DuckDB
+    * oracle re-derives the identical leaders from the data — unlike
+    * k-means centroids, whose float-mean accumulation is partition-
+    * order sensitive. Returns (bucket, leaderVec) sorted by bucket;
+    * driver-held by construction: ≤ 2^planes rows × dim doubles — the
+    * same bounded payload the IVF centroid matrix ships.
+    *
+    * Input `v` must be a (vec_id, e: array<double>) projection. */
+  private[graft] def semanticLeaders(v: DataFrame,
+                                     planes: Int): Array[(Long, Array[Double])] = {
+    graft.plans.GraftExtensions.register(v.sparkSession)
+    val withB = v.withColumn("__bks", call_function("graft_lsh_buckets",
+        col("e"), lit(SemPlaneOffset), lit(planes), lit(1)))
+      .select(col("vec_id"), element_at(col("__bks"), 1).as("bucket"))
+    withB.groupBy("bucket").agg(min("vec_id").as("vec_id"))
+      .join(v, "vec_id")
+      .select(col("bucket"), col("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+  }
+
+  /** Semantic (embedding-space) deduplication, SemDeDup-style
+    * [Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"]: partition the corpus
+    * into clusters, find cosine-τ duplicate pairs ONLY within
+    * clusters, group them transitively, and in each group KEEP the
+    * member LEAST similar to its cluster centre (the most "marginal"
+    * copy — SemDeDup's keeper rule; ties → lowest vec_id). Returns one
+    * row per multi-member duplicate group:
+    * (component, cluster, keeper, n_vecs, keeper_csim).
+    *
+    * This is the published curation path for web-scale embedding
+    * dedup, and the 100 TB shape is what makes it one: pair search is
+    * confined to clusters, so after ONE shuffle keyed by cluster the
+    * candidate space is Σ|c|² — with the plane count auto-scaled for
+    * constant occupancy ([[autoPlanes]] with `targetCluster`) that is
+    * n·occupancy ≈ LINEAR in the corpus, embarrassingly parallel per
+    * cluster, vs the global τ-graph's fixture-quadratic |E|
+    * (`dedup_components` at the sf10 rung: 405k pairs, 1451 s). The
+    * cluster assignment itself is a pure scan-local projection (one
+    * fused `graft_cosine_many` kernel against the flattened leader
+    * matrix literal — k is a data dimension, not an expression
+    * dimension), and components/keeper ship ids + one double.
+    *
+    * The declared tier seeds clusters with [[semanticLeaders]] (exact,
+    * SQL-reproducible — the full pipeline carries a DuckDB oracle);
+    * [[semanticDedupRefined]] swaps in Lloyd-refined k-means centroids
+    * for real clustered corpora, pinned by spec on the clustered
+    * fixture instead (float means are not oracle-expressible). */
+  def semanticDedup(emb: DataFrame, tau: Double, basePlanes: Int = 4,
+                    targetCluster: Int = 128,
+                    knownN: Option[Long] = None): DataFrame = {
+    val v = cosinePrep(emb)
+    val planes = autoPlanes(knownN.getOrElse(v.count()), basePlanes, targetCluster)
+    semanticDedupOver(v, tau, semanticLeaders(v, planes))
+  }
+
+  /** [[semanticDedup]] over Lloyd-refined spherical k-means centroids
+    * ([[ivfCentroids]]' deterministic seeding + fixed iterations) —
+    * the tier for REAL corpora, whose embedding geometry is clustered:
+    * there the refined centres track the true modes and nearly every
+    * near-dup pair co-clusters. Cluster scoping is approximate BY
+    * DESIGN (SemDeDup's own contract): a τ-pair split across two
+    * cells is missed, but no false pair is ever emitted (within-cell
+    * pairs are exact-cosine verified). SemanticDedupSpec pins pair
+    * recall ≥ 0.9 + the zero-false-pair side on the planted clustered
+    * fixture. `cluster` in the output is the centroid index (0..k-1). */
+  def semanticDedupRefined(emb: DataFrame, tau: Double, k: Int,
+                           iters: Int = 3): DataFrame = {
+    val cent = ivfCentroids(emb, k, iters)
+    semanticDedupOver(cosinePrep(emb), tau,
+      cent.map { case (id, c) => (id.toLong, c) }.sortBy(_._1))
+  }
+
+  private def semanticDedupOver(v: DataFrame, tau: Double,
+      leaders: Array[(Long, Array[Double])]): DataFrame = {
+    graft.plans.GraftExtensions.register(v.sparkSession)
+    val dim = leaders.head._2.length
+    val flat = typedlit(leaders.flatMap(_._2).toSeq)
+    val buckets = typedlit(leaders.map(_._1).toSeq)
+    // assignment + centre-similarity in ONE scan-local projection:
+    // graft_cosine_many gives the per-leader score array; argmax =
+    // first index of the max (ties → lowest bucket, since leaders are
+    // sorted by bucket) — bitwise the oracle's (csim DESC, bucket) rule.
+    val scored = v
+      .withColumn("__sims", call_function("graft_cosine_many",
+        col("e"), flat, lit(dim)))
+      .withColumn("__idx",
+        array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
+      .select(col("vec_id"), col("e"), col("n"),
+        element_at(buckets, col("__idx")).as("cluster"),
+        element_at(col("__sims"), col("__idx")).as("csim"))
+      .localCheckpoint(false) // feeds both pair-join sides + the keeper
+    // within-cluster pairs: hash join on cluster, exact cosine ≥ τ via
+    // the proven (dot / (na·nb)) fold — never a global pair space.
+    val a = scored.select(col("cluster"), col("vec_id").as("ida"),
+      col("e").as("ea"), col("n").as("an"))
+    val b = scored.select(col("cluster"), col("vec_id").as("idb"),
+      col("e").as("eb"), col("n").as("bn"))
+    val pairs = a.join(b, "cluster")
+      .filter(col("ida") < col("idb"))
+      .filter(dot(col("ea"), col("eb")) / (col("an") * col("bn")) >= tau)
+      .select(col("ida").as("src"), col("idb").as("dst"))
+    val comp = graft.operators.ConnectedComponents.components(
+      scored.select(col("vec_id").as("id")), pairs)
+    val byComp = Window.partitionBy("component")
+    val pick = Window.partitionBy("component")
+      .orderBy(col("csim").asc, col("id"))
+    comp
+      .join(scored.select(col("vec_id").as("id"), col("cluster"), col("csim")), "id")
+      .withColumn("n_vecs", count(lit(1)).over(byComp))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("n_vecs") >= 2 && col("rn") === 1)
+      .select(col("component"), col("cluster"), col("id").as("keeper"),
+        col("n_vecs"), col("csim").as("keeper_csim"))
+  }
 }

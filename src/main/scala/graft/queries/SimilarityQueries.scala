@@ -682,6 +682,101 @@ object SimilarityQueries {
       |SELECT id AS doc_id, min(lab) AS component
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  // --- dedup_semantic: SemDeDup-style cluster-scoped embedding dedup --
+  /** Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023):
+    * cluster the embeddings, find cosine-τ pairs ONLY within clusters,
+    * group transitively, keep the member LEAST similar to its cluster
+    * centre per group. The declared tier seeds clusters with the
+    * deterministic per-LSH-bucket leaders
+    * ([[SimilarityFunctions.semanticLeaders]]) so EVERY stage —
+    * bucketing, leader election, argmax assignment, within-cluster
+    * cosine, components, keeper — is exact fold/integer arithmetic the
+    * DuckDB oracle reproduces bitwise (a full hash-checked query, like
+    * the cosine tiers; the Lloyd-refined tier for real clustered
+    * corpora is spec-pinned instead — float means aren't
+    * SQL-reproducible). τ=0.3 (vs the pair tier's 0.35) fattens the
+    * within-cluster pair count on this near-orthogonal fixture, where
+    * cluster-scoping is the SEMANTICS (cross-cluster pairs are
+    * excluded by construction, as in the published method).
+    *
+    * Plane count auto-scales for constant cluster occupancy
+    * ([[SimilarityFunctions.autoPlanes]] base 4 / target 128 — the
+    * gate SFs and sf0.1, n ≤ 2000, all sit at the 4-plane floor the
+    * static oracle embeds); at a rung the sweep regenerates the oracle
+    * at the auto width via GRAFT_ORACLE_SEM_PLANES (and
+    * GRAFT_ORACLE_SEM_MOD thins both ends where the oracle's n×k
+    * assignment join outgrows DuckDB). */
+  private[graft] val SemPlanes = 4
+  private val SemTau = 0.3
+  private val SemTargetCluster = 128
+
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.semanticDedup(emb(s, dir), SemTau,
+        basePlanes = SemPlanes, targetCluster = SemTargetCluster,
+        knownN = Some(embCount(s, dir)))
+      .orderBy("component")
+
+  /** Rung variant: thin the corpus to `vec_id % mod = 0` on BOTH ends
+    * and pin the plane count exactly (targetCluster → MaxValue keeps
+    * the auto formula at the floor = `planes`). Dev-only — Verify
+    * swaps it in when GRAFT_ORACLE_SEM_MOD is set. */
+  private[graft] def dedupSemanticMod(mod: Int, planes: Int)(
+      s: SparkSession, dir: String): DataFrame =
+    SimilarityFunctions.semanticDedup(
+        emb(s, dir).filter(col("vec_id") % mod === 0), SemTau,
+        basePlanes = planes, targetCluster = Int.MaxValue)
+      .orderBy("component")
+
+  val dedupSemanticSql: String = dedupSemanticSqlFor(SemPlanes, 1)
+
+  private[graft] def dedupSemanticSqlFor(planes: Int, mod: Int): String = {
+    def planeDot(j: Int): String =
+      Det.sqlFoldChain(i => s"(e[$i] * ${
+        SimilarityFunctions.planeComponent(
+          SimilarityFunctions.SemPlaneOffset + j, i - 1)})", 64)
+    val bucketExpr = (0 until planes).map { j =>
+      s"(CASE WHEN ${planeDot(j)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val dotML = Det.sqlFoldChain(i => s"(m.e[$i] * l.le[$i])", 64)
+    val nM = Det.sqlFoldChain(i => s"(m.e[$i] * m.e[$i])", 64)
+    val nL = Det.sqlFoldChain(i => s"(l.le[$i] * l.le[$i])", 64)
+    val dotAB = Det.sqlFoldChain(i => s"(va.e[$i] * vb.e[$i])", 64)
+    val nA = Det.sqlFoldChain(i => s"(va.e[$i] * va.e[$i])", 64)
+    val nB = Det.sqlFoldChain(i => s"(vb.e[$i] * vb.e[$i])", 64)
+    val modFilter = if (mod == 1) "" else s" WHERE vec_id % $mod = 0"
+    s"""WITH RECURSIVE
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings$modFilter),
+       |bkt AS (SELECT vec_id, e, CAST($bucketExpr AS BIGINT) AS bucket FROM v),
+       |lid AS (SELECT bucket, min(vec_id) AS lvid FROM bkt GROUP BY bucket),
+       |l AS (SELECT lid.bucket, v.e AS le FROM lid JOIN v ON v.vec_id = lid.lvid),
+       |sc AS (SELECT m.vec_id, l.bucket, $dotML / (sqrt($nM) * sqrt($nL)) AS csim
+       |       FROM bkt m CROSS JOIN l),
+       |asg AS (SELECT vec_id, bucket AS cluster, csim FROM (
+       |          SELECT vec_id, bucket, csim, row_number() OVER (
+       |            PARTITION BY vec_id ORDER BY csim DESC, bucket) AS rn
+       |          FROM sc) t WHERE rn = 1),
+       |p AS (SELECT x.vec_id AS ida, y.vec_id AS idb
+       |      FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |      JOIN v va ON va.vec_id = x.vec_id JOIN v vb ON vb.vec_id = y.vec_id
+       |      WHERE $dotAB / (sqrt($nA) * sqrt($nB)) >= $SemTau),
+       |edges AS (SELECT ida AS src, idb AS dst FROM p
+       |          UNION ALL SELECT idb, ida FROM p),
+       |reach(id, lab) AS (
+       |  SELECT vec_id, vec_id FROM v
+       |  UNION
+       |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.id),
+       |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT c.component, a.cluster, c.id, a.csim,
+       |    count(*) OVER (PARTITION BY c.component) AS n_vecs,
+       |    row_number() OVER (PARTITION BY c.component
+       |                       ORDER BY a.csim ASC, c.id) AS rn
+       |  FROM comp c JOIN asg a ON a.vec_id = c.id)
+       |SELECT component, cluster, id AS keeper, n_vecs, csim AS keeper_csim
+       |FROM ranked WHERE n_vecs >= 2 AND rn = 1
+       |ORDER BY component""".stripMargin
+  }
+
   // --- dedup_keeper_quality: near-dup groups → quality keeper ---------
   // The step AFTER grouping that a real cleanup pipeline runs: inside
   // each near-dup component, keep the best copy — here "longest text
@@ -1190,6 +1285,7 @@ object SimilarityQueries {
     "dedup_editdist_banded" -> (dedupEditdistBanded _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_sparse" -> (dedupComponentsSparse _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_keeper_quality" -> (dedupKeeperQuality _),
     "dedup_cosine_pairs" -> (dedupCosinePairs _),
     "dedup_cosine_keeper" -> (dedupCosineKeeper _),
@@ -1222,6 +1318,7 @@ object SimilarityQueries {
     "dedup_editdist_banded" -> dedupEditdistBandedSql,
     "dedup_components" -> dedupComponentsSql,
     "dedup_components_sparse" -> dedupComponentsSparseSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "dedup_keeper_quality" -> dedupKeeperQualitySql,
     "dedup_cosine_pairs" -> dedupCosinePairsSql,
     "dedup_cosine_keeper" -> dedupCosineKeeperSql,
