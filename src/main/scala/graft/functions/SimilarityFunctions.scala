@@ -1231,8 +1231,10 @@ object SimilarityFunctions {
     val withB = v.withColumn("__bks", call_function("graft_lsh_buckets",
         col("e"), lit(SemPlaneOffset), lit(planes), lit(1)))
       .select(col("vec_id"), element_at(col("__bks"), 1).as("bucket"))
-    withB.groupBy("bucket").agg(min("vec_id").as("vec_id"))
-      .join(v, "vec_id")
+    // fetch the ≤2^planes leader vectors with a BROADCAST of the tiny
+    // (bucket, vec_id) side — the corpus streams, nothing reshuffles
+    v.join(broadcast(withB.groupBy("bucket").agg(min("vec_id").as("vec_id"))),
+        "vec_id")
       .select(col("bucket"), col("e"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
