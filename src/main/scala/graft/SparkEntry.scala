@@ -23,7 +23,8 @@ object SparkEntry {
     (TextQueries.defs, TextQueries.oracle),
     (SimilarityQueries.defs, SimilarityQueries.oracle),
     (EventQueries.defs, EventQueries.oracle),
-    (MultimodalQueries.defs, MultimodalQueries.oracle))
+    (MultimodalQueries.defs, MultimodalQueries.oracle),
+    (ProfileQueries.defs, ProfileQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

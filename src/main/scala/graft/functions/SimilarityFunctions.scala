@@ -1294,35 +1294,46 @@ object SimilarityFunctions {
       cent.map { case (id, c) => (id.toLong, c) }.sortBy(_._1))
   }
 
-  private def semanticDedupOver(v: DataFrame, tau: Double,
+  /** Assignment + centre-similarity in ONE scan-local projection:
+    * graft_cosine_many gives the per-leader score array; argmax =
+    * first index of the max (ties → lowest bucket, since leaders are
+    * sorted by bucket) — bitwise the oracle's (csim DESC, bucket)
+    * rule. No shuffle, no join: k is a data dimension inside the fused
+    * kernel, not an expression dimension. Package-visible so
+    * PlanQualitySpec can pin the shuffle-free shape. */
+  private[graft] def semanticScored(v: DataFrame,
       leaders: Array[(Long, Array[Double])]): DataFrame = {
     graft.plans.GraftExtensions.register(v.sparkSession)
     val dim = leaders.head._2.length
     val flat = typedlit(leaders.flatMap(_._2).toSeq)
     val buckets = typedlit(leaders.map(_._1).toSeq)
-    // assignment + centre-similarity in ONE scan-local projection:
-    // graft_cosine_many gives the per-leader score array; argmax =
-    // first index of the max (ties → lowest bucket, since leaders are
-    // sorted by bucket) — bitwise the oracle's (csim DESC, bucket) rule.
-    val scored = v
-      .withColumn("__sims", call_function("graft_cosine_many",
+    v.withColumn("__sims", call_function("graft_cosine_many",
         col("e"), flat, lit(dim)))
       .withColumn("__idx",
         array_position(col("__sims"), array_max(col("__sims"))).cast("int"))
       .select(col("vec_id"), col("e"), col("n"),
         element_at(buckets, col("__idx")).as("cluster"),
         element_at(col("__sims"), col("__idx")).as("csim"))
-      .localCheckpoint(false) // feeds both pair-join sides + the keeper
-    // within-cluster pairs: hash join on cluster, exact cosine ≥ τ via
-    // the proven (dot / (na·nb)) fold — never a global pair space.
+  }
+
+  /** Within-cluster pairs: hash join on cluster, exact cosine ≥ τ via
+    * the proven (dot / (na·nb)) fold — never a global pair space. */
+  private[graft] def semanticPairs(scored: DataFrame, tau: Double): DataFrame = {
     val a = scored.select(col("cluster"), col("vec_id").as("ida"),
       col("e").as("ea"), col("n").as("an"))
     val b = scored.select(col("cluster"), col("vec_id").as("idb"),
       col("e").as("eb"), col("n").as("bn"))
-    val pairs = a.join(b, "cluster")
+    a.join(b, "cluster")
       .filter(col("ida") < col("idb"))
       .filter(dot(col("ea"), col("eb")) / (col("an") * col("bn")) >= tau)
       .select(col("ida").as("src"), col("idb").as("dst"))
+  }
+
+  private def semanticDedupOver(v: DataFrame, tau: Double,
+      leaders: Array[(Long, Array[Double])]): DataFrame = {
+    val scored = semanticScored(v, leaders)
+      .localCheckpoint(false) // feeds both pair-join sides + the keeper
+    val pairs = semanticPairs(scored, tau)
     val comp = graft.operators.ConnectedComponents.components(
       scored.select(col("vec_id").as("id")), pairs)
     val byComp = Window.partitionBy("component")

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Catalog
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table/column profiling — the ANALYZE-style statistics pass a
+  * curation pipeline runs before planning anything else (target sizes,
+  * dedup keys, shard counts all start from row/null/distinct counts).
+  * Upstream exposes per-table row counts and PK/FK shape through its
+  * catalog; this is the generalized, column-level version.
+  *
+  * One row per (table, column): exact row/null/distinct counts,
+  * min/max rendered to strings through the Det contract (ints as
+  * digits, money through DECIMAL(12,2), timestamps as epoch seconds —
+  * so the DuckDB oracle reproduces every byte), and mean string length
+  * for text columns (exact BIGINT length sum → one IEEE division).
+  *
+  * 100 TB shape: ONE full scan per table. count/min/max/sum are
+  * map-side-combinable aggregates; the multi-column exact
+  * `count(DISTINCT …)` rides Catalyst's standard Expand rewrite (k+1
+  * row-projections of the same scan, partially aggregated before the
+  * single shuffle) — exact-by-role here, matching the oracle; at
+  * corpus scale the sketch tier (`hll_distinct_tokens`,
+  * approx_count_distinct) is the declared approximate path. String
+  * distincts hash to 32-hex md5 digests BEFORE the Expand, so the
+  * distinct shuffle ships 32 bytes per text, never whole documents
+  * (sf10 measured: 74.4 → see SCALE.md r15; DuckDB computes the
+  * identical md5, so the count stays hash-checked). The final
+  * aggregate is ONE row; the per-column explode is arithmetic on it.
+  */
+object ProfileQueries {
+
+  /** kind ∈ str | int | money | ts — picks the Det rendering. */
+  private final case class ColSpec(name: String, kind: String)
+
+  private val docCols = Seq(
+    ColSpec("doc_id", "int"), ColSpec("lang", "str"),
+    ColSpec("n_chars", "int"), ColSpec("source", "str"),
+    ColSpec("text", "str"))
+  private val orderCols = Seq(
+    ColSpec("o_custkey", "int"), ColSpec("o_orderdate", "ts"),
+    ColSpec("o_orderkey", "int"), ColSpec("o_orderpriority", "str"),
+    ColSpec("o_orderstatus", "str"), ColSpec("o_totalprice", "money"))
+
+  private def detView(c: ColSpec): Column = c.kind match {
+    case "money" => Det.dec2(col(c.name))
+    case "ts"    => Det.epochS(col(c.name))
+    case _       => col(c.name)
+  }
+
+  /** Profile one table in a single scan: every metric for every column
+    * comes out of ONE `agg`, then the 1-row result explodes into the
+    * per-column rows. Package-visible for ProfileSpec's null-handling
+    * fixture. */
+  private[graft] def profileOne(df: DataFrame, tbl: String,
+                                cols: Seq[(String, String)]): DataFrame = {
+    val specs = cols.map { case (n, k) => ColSpec(n, k) }
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: specs.flatMap { c =>
+      val v = detView(c)
+      // string distincts run over the 32-hex md5 DIGEST, not the value:
+      // the Expand copy and the distinct shuffle carry 32 bytes per
+      // text instead of whole documents (the dedup_exact_digest
+      // precedent — DuckDB computes the identical md5)
+      val dv = if (c.kind == "str") md5(col(c.name).cast("binary")) else v
+      Seq(count(v).as(s"${c.name}__nn"),
+        countDistinct(dv).as(s"${c.name}__nd"),
+        min(v).cast("string").as(s"${c.name}__min"),
+        max(v).cast("string").as(s"${c.name}__max")) ++
+        (if (c.kind == "str") Seq(sum(length(col(c.name))).as(s"${c.name}__len"))
+         else Nil)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = specs.map { c =>
+      struct(
+        lit(tbl).as("tbl"), lit(c.name).as("col_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"${c.name}__nn")).as("n_null"),
+        col(s"${c.name}__nd").as("n_distinct"),
+        col(s"${c.name}__min").as("min_str"),
+        col(s"${c.name}__max").as("max_str"),
+        (if (c.kind == "str")
+          col(s"${c.name}__len").cast("double") /
+            col(s"${c.name}__nn").cast("double")
+        else lit(null).cast("double")).as("avg_len"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  def profileTables(s: SparkSession, dir: String): DataFrame =
+    profileOne(Catalog.table(s, dir, "documents"), "documents",
+        docCols.map(c => (c.name, c.kind)))
+      .union(profileOne(Catalog.table(s, dir, "orders"), "orders",
+        orderCols.map(c => (c.name, c.kind))))
+      .orderBy("tbl", "col_name")
+
+  private def armSql(tbl: String, c: ColSpec): String = {
+    val v = c.kind match {
+      case "money" => Det.sql.dec2(c.name)
+      case "ts"    => Det.sql.epochS(c.name)
+      case _       => c.name
+    }
+    val avg =
+      if (c.kind == "str")
+        s"CAST(sum(length(${c.name})) AS DOUBLE) / CAST(count(${c.name}) AS DOUBLE)"
+      else "CAST(NULL AS DOUBLE)"
+    val dv = if (c.kind == "str") s"md5(${c.name})" else v
+    s"""SELECT '$tbl' AS tbl, '${c.name}' AS col_name,
+       |  count(*) AS n_rows,
+       |  count(*) - count($v) AS n_null,
+       |  count(DISTINCT $dv) AS n_distinct,
+       |  CAST(min($v) AS VARCHAR) AS min_str,
+       |  CAST(max($v) AS VARCHAR) AS max_str,
+       |  $avg AS avg_len
+       |FROM $tbl""".stripMargin
+  }
+
+  val profileTablesSql: String =
+    (docCols.map(armSql("documents", _)) ++ orderCols.map(armSql("orders", _)))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_tables" -> (profileTables _))
+
+  def oracle: Map[String, String] = Map(
+    "profile_tables" -> profileTablesSql)
+}

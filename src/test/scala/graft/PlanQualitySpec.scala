@@ -489,6 +489,52 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_semantic: assignment is a shuffle-free kernel projection; pairs ride the cluster hash join") {
+    val e = graft.Catalog.table(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.SimilarityFunctions.toDoubleArr(
+          org.apache.spark.sql.functions.col("embedding")).as("e"))
+      .withColumn("n", org.apache.spark.sql.functions.sqrt(
+        graft.functions.SimilarityFunctions.dot(
+          org.apache.spark.sql.functions.col("e"),
+          org.apache.spark.sql.functions.col("e"))))
+      .localCheckpoint(true)
+    val leaders = graft.functions.SimilarityFunctions.semanticLeaders(e, 4)
+    // assignment: one projection over the checkpointed relation — the
+    // n×k cosine lives inside the fused kernel, no join, no Exchange
+    val scored = graft.functions.SimilarityFunctions.semanticScored(e, leaders)
+    val sp = plan(scored)
+    assert(sp.contains("graft_cosine_many"), "assignment must use the fused kernel")
+    assert(!sp.contains("Exchange"), s"assignment must be scan-local:\n$sp")
+    assert(!sp.contains("Join"), "assignment must not join the leader matrix")
+    // candidate pairs: hash/merge join keyed on cluster, never a
+    // global pair space
+    val pairs = graft.functions.SimilarityFunctions.semanticPairs(
+      scored.localCheckpoint(true), 0.3)
+    pairs.collect()
+    val pp = pairs.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!pp.contains("BroadcastNestedLoopJoin"))
+    assert(!pp.contains("CartesianProduct"))
+    // the declared query end-to-end keeps the same discipline
+    val df = SimilarityQueries.dedupSemantic(spark, dir)
+    df.collect()
+    val qp = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!qp.contains("BroadcastNestedLoopJoin"))
+    assert(!qp.contains("CartesianProduct"))
+  }
+
+  test("profile_tables: one scan per table, multi-distinct rides Expand, no joins or windows") {
+    val df = graft.queries.ProfileQueries.profileTables(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Expand"), "exact multi-column distinct must use the Expand rewrite")
+    assert(!p.contains("Join"), "profiling never joins")
+    assert(!p.contains("Window "), "profiling never windows")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans == 2, s"exactly one scan per profiled table, got $scans")
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution

@@ -1,0 +1,48 @@
+package graft
+
+import graft.queries.ProfileQueries
+
+/** Pins for the column profiler's per-kind semantics on a fixture with
+  * the edge cases the real tables don't have (nulls in every kind,
+  * duplicate values) — the DuckDB oracle covers the declared tables. */
+class ProfileSpec extends SparkSpecBase {
+
+  test("profileOne: nulls, distincts and Det renderings across all four kinds") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'ab',   CAST(12.34 AS DOUBLE), TIMESTAMP'2020-01-01 00:00:00'),
+        |  (2L, NULL,   CAST(56.78 AS DOUBLE), NULL),
+        |  (2L, 'cdef', CAST(12.34 AS DOUBLE), TIMESTAMP'2020-01-02 00:00:01')
+        |AS t(k, s, m, ts)""".stripMargin)
+    val got = ProfileQueries.profileOne(df, "t",
+        Seq(("k", "int"), ("s", "str"), ("m", "money"), ("ts", "ts")))
+      .collect()
+      .map(r => r.getString(1) -> r).toMap
+
+    val k = got("k")
+    assert(k.getLong(2) == 3 && k.getLong(3) == 0 && k.getLong(4) == 2)
+    assert(k.getString(5) == "1" && k.getString(6) == "2" && k.isNullAt(7))
+
+    val s = got("s")
+    assert(s.getLong(3) == 1 && s.getLong(4) == 2)
+    assert(s.getString(5) == "ab" && s.getString(6) == "cdef")
+    assert(s.getDouble(7) == 3.0) // (2 + 4) / 2 non-null strings
+
+    val m = got("m")
+    assert(m.getLong(3) == 0 && m.getLong(4) == 2)
+    assert(m.getString(5) == "12.34" && m.getString(6) == "56.78")
+
+    val ts = got("ts")
+    assert(ts.getLong(3) == 1 && ts.getLong(4) == 2)
+    assert(ts.getString(5) == "1577836800" && ts.getString(6) == "1577923201")
+  }
+
+  test("declared query: one row per profiled column, total order") {
+    val out = ProfileQueries.profileTables(spark, Catalog.testdataSfDirs.head)
+      .collect()
+    assert(out.length == 11) // 5 documents + 6 orders columns
+    val keys = out.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys == keys.sorted, "output carries its total order")
+    assert(out.forall(_.getLong(2) > 0))
+  }
+}
