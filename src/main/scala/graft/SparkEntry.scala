@@ -24,7 +24,8 @@ object SparkEntry {
     (SimilarityQueries.defs, SimilarityQueries.oracle),
     (EventQueries.defs, EventQueries.oracle),
     (MultimodalQueries.defs, MultimodalQueries.oracle),
-    (ProfileQueries.defs, ProfileQueries.oracle))
+    (ProfileQueries.defs, ProfileQueries.oracle),
+    (GraphQueries.defs, GraphQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

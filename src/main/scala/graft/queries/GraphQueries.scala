@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Catalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components: PageRank-style
+  * link centrality over the domain-transition graph a web corpus
+  * implies. Crawl-prioritization and quality-weighting pipelines rank
+  * hosts by navigational centrality (the classic power-iteration
+  * PageRank of Page et al. 1999); this module re-expresses the power
+  * iteration as K unrolled join+aggregate stages so the whole
+  * computation stays declarative and — unlike float PageRank, whose
+  * sums are partition-order-sensitive — EXACT: ranks live in integer
+  * mass units (1e9 total), every per-edge contribution is a BIGINT
+  * `div`, and sums of integers are order-independent, so a DuckDB
+  * oracle can replay the identical arithmetic CTE-for-CTE.
+  *
+  * Graph derivation (the only corpus-scale stage): events are keyed to
+  * the 13 planted hosts (the `text_domain_stats` plant — floor(sqrt(
+  * event_id % 169)) has a skewed (2k+1) size profile), and each user's
+  * consecutive events in event_id order yield one src→dst transition
+  * (`lead` over the user window — the sessionize shuffle shape). Edges
+  * aggregate to (src, dst, weight) with one map-side-combined groupBy;
+  * from there every iteration touches only |V|+|E| aggregated rows.
+  *
+  * 100 TB shape: the events scan shuffles ONCE by user for the lead
+  * window and once more into the (src, dst) edge rollup — both
+  * map-side combined. The K iterations are joins keyed on src and
+  * aggregates keyed on dst over the edge relation (web-scale: vertex-
+  * partitioned Pregel-as-joins, AQE-planned; here |V| = 13 so every
+  * iteration broadcasts). Rank state is |V| rows — never corpus rows.
+  *
+  * Semantics pinned (both engines identically):
+  *  - r0(v)   = SCALE div n
+  *  - c_i(u→v)= (r_{i-1}(u) * w(u,v)) div W(u)   summed over u
+  *  - r_i(v)  = (15*(SCALE div n)) div 100 + (85 * Σc) div 100
+  *  - no dangling-mass redistribution (a sink vertex's mass leaks; the
+  *    transition graph has none by construction, and the operator's
+  *    contract documents the choice rather than hiding a float
+  *    renormalization the oracle could not replay).
+  * Overflow bound: rank ≤ 1e9 and w ≤ |events|, so rank*w ≤ 1e9·|E|
+  * stays under 2^63 through ~10^9 events per edge key; ANSI mode would
+  * fail loudly beyond it.
+  */
+object GraphQueries {
+
+  private val PrScale = 1000000000L // total rank mass, integer units
+  private val PrIters = 5
+
+  /** Power iteration over an explicit (src, dst, w) edge list.
+    * Package-visible so GraphSpec can replay a hand-computed graph. */
+  private[graft] def pageRankEdges(edges: DataFrame): DataFrame = {
+    val outW = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val e = edges.join(outW, "src") // src, dst, w, out_w
+    val verts = edges.select(col("src").as("domain"))
+      .union(edges.select(col("dst").as("domain"))).distinct()
+    val nDf = verts.agg(count(lit(1)).as("n"))
+    // base/r0 depend only on |V|: one broadcast 1-row cross join
+    val vb = verts.crossJoin(broadcast(nDf))
+      .select(col("domain"),
+        expr(s"$PrScale div n").as("r0"),
+        expr(s"(15 * ($PrScale div n)) div 100").as("base"))
+    var rank = vb.select(col("domain"), col("r0").as("rank"))
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(rank.withColumnRenamed("domain", "src"), "src")
+        .select(col("dst").as("domain"),
+          expr("(rank * w) div out_w").as("c"))
+        .groupBy("domain").agg(sum(col("c")).as("sc"))
+      rank = vb.join(contrib, Seq("domain"), "left")
+        .select(col("domain"),
+          (col("base") + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+    }
+    rank.join(outW.withColumnRenamed("src", "domain"), Seq("domain"), "left")
+      .select(col("domain"), col("rank"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"))
+      .orderBy(col("rank").desc, col("domain"))
+  }
+
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.table(s, dir, "events")
+    val host = concat(lit("site-"),
+      floor(sqrt(pmod(col("event_id"), lit(169L)).cast("double"))).cast("long").cast("string"),
+      lit(".example.com"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val trans = ev.select(col("user_id"), col("event_id"), host.as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    val edges = trans.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    pageRankEdges(edges)
+  }
+
+  /** The identical arithmetic, CTE-for-CTE, with the K iterations
+    * unrolled (DuckDB's recursive CTEs reject aggregates in the
+    * recursive term; a fixed K unrolls exactly). Every quantity is
+    * BIGINT; `//` is DuckDB's integer division, equal to Spark's `div`
+    * on the all-positive operands here. */
+  val pageRankSql: String = {
+    val head =
+      s"""WITH h AS (SELECT user_id, event_id,
+         |    'site-' || CAST(CAST(floor(sqrt(event_id % 169)) AS BIGINT) AS VARCHAR)
+         |      || '.example.com' AS d
+         |  FROM events),
+         |t AS (SELECT d AS src,
+         |        lead(d) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+         |      FROM h),
+         |e0 AS (SELECT src, dst, count(*) AS w FROM t
+         |       WHERE dst IS NOT NULL GROUP BY src, dst),
+         |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w
+         |      FROM e0 JOIN ow ON ow.src = e0.src),
+         |v AS (SELECT DISTINCT domain FROM
+         |        (SELECT src AS domain FROM e0 UNION ALL SELECT dst FROM e0)),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |vb AS (SELECT v.domain,
+         |         CAST($PrScale // n AS BIGINT) AS r0,
+         |         CAST((15 * ($PrScale // n)) // 100 AS BIGINT) AS base
+         |       FROM v CROSS JOIN nn),
+         |r0 AS (SELECT domain, r0 AS rank FROM vb)""".stripMargin
+    val iters = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS domain,
+         |        CAST(sum((r.rank * e.w) // e.out_w) AS BIGINT) AS sc
+         |      FROM e JOIN r${i - 1} r ON r.domain = e.src GROUP BY e.dst),
+         |r$i AS (SELECT vb.domain,
+         |        CAST(vb.base + (85 * coalesce(c$i.sc, 0)) // 100 AS BIGINT) AS rank
+         |      FROM vb LEFT JOIN c$i ON c$i.domain = vb.domain)""".stripMargin
+    }
+    val tail =
+      s"""SELECT r.domain, r.rank, coalesce(ow.out_w, 0) AS out_w
+         |FROM r$PrIters r LEFT JOIN ow ON ow.src = r.domain
+         |ORDER BY r.rank DESC, r.domain""".stripMargin
+    (head +: iters).mkString("", ",\n", "\n") + tail
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (pageRank _))
+
+  def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql)
+}

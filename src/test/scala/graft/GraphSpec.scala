@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.GraphQueries
+
+/** PageRank pins: the distributed power iteration must reproduce a
+  * driver-side scalar replay of the SAME pinned integer arithmetic on a
+  * hand-built graph (an independent implementation, not the plan run
+  * twice), plus structural invariants on the declared query's fixture.
+  */
+class GraphSpec extends SparkSpecBase {
+
+  /** Scalar reference replay of the pinned semantics (r0 = S div n;
+    * c = (r*w) div W; r' = (15*(S div n)) div 100 + (85*Σc) div 100). */
+  private def referenceRanks(edges: Seq[(String, String, Long)],
+                             iters: Int): Map[String, Long] = {
+    val scale = 1000000000L
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = verts.size.toLong
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = (15L * (scale / n)) / 100L
+    var rank = verts.map(v => v -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, d, w) => d -> (rank(s) * w) / outW(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = verts.map(v => v -> (base + (85L * contrib.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRankEdges == scalar reference replay on a hand-built graph") {
+    // a hub (a), a sink-ish cycle (b<->c), and an asymmetric feeder (d)
+    val edges = Seq(
+      ("a", "b", 6L), ("a", "c", 2L), ("b", "c", 3L), ("c", "b", 5L),
+      ("c", "a", 1L), ("d", "a", 4L), ("d", "d", 1L))
+    val df = spark.createDataFrame(edges).toDF("src", "dst", "w")
+    val got = GraphQueries.pageRankEdges(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = referenceRanks(edges, 5)
+    assert(got.keySet == want.keySet)
+    for ((v, r) <- want) assert(got(v)._1 == r, s"rank($v)")
+    assert(got("a")._2 == 8L && got("d")._2 == 5L) // out-weights
+    // total order of the declared output: rank DESC, domain ASC
+    val ordered = GraphQueries.pageRankEdges(df).collect()
+      .map(r => (r.getLong(1), r.getString(0)))
+    assert(ordered.sameElements(ordered.sortBy { case (r, d) => (-r, d) }))
+  }
+
+  test("declared fixture: 13 planted domains, mass conserved up to div truncation") {
+    val out = GraphQueries.pageRank(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 13)
+    assert(out.forall(_.getString(0).matches("site-\\d+\\.example\\.com")))
+    val total = out.map(_.getLong(1)).sum
+    // each div truncates < 1 unit per vertex/edge per iteration; with
+    // 1e9 mass units the loss bound is vanishingly small relative slack
+    assert(total > 990000000L && total <= 1000000000L, s"total=$total")
+    assert(out.forall(_.getLong(1) > 0L))
+    // the skewed (2k+1) plant makes the largest domain strictly dominant
+    assert(out.head.getLong(1) > out.last.getLong(1))
+  }
+}
