@@ -119,9 +119,72 @@ object ProfileQueries {
     (docCols.map(armSql("documents", _)) ++ orderCols.map(armSql("orders", _)))
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
 
+  // --- profile_histogram: equi-width value histograms -----------------
+  // The second half of an ANALYZE pass: per-column equi-width
+  // histograms drive selectivity estimates, skew detection, and shard
+  // planning. Float binning is boundary-hazardous (an IEEE rounding
+  // difference flips a row across a bin edge), so every profiled column
+  // maps to exact integer units first — ints as-is, money as cents via
+  // the Det DECIMAL(12,2) contract — and the bin index is pure BIGINT
+  // arithmetic both engines replay identically:
+  //   bin = least(B-1, ((v - vmin) * B) div (vmax - vmin + 1)).
+  // Output carries each bin's OBSERVED lo/hi (min/max within the bin)
+  // rather than re-deriving closed-form edges, so the contract stays
+  // one formula.
+  //
+  // 100 TB shape: two scans per column — a 1-row min/max aggregate
+  // (map-side combined, broadcast back) and the bin rollup (map-side
+  // combined, ≤B rows out). No window, no join on data-scale rows;
+  // lineitem's arm is the corpus-scale proof.
+  private val HistBins = 16
+
+  private[graft] def histOne(df: DataFrame, tbl: String, colName: String,
+                             cents: Column): DataFrame = {
+    val base = df.select(cents.cast("long").as("v")).filter(col("v").isNotNull)
+    val mm = base.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    base.crossJoin(broadcast(mm))
+      .select(col("v"),
+        expr(s"least(CAST(${HistBins - 1} AS BIGINT), " +
+          s"((v - vmin) * $HistBins) div greatest(vmax - vmin + 1, CAST(1 AS BIGINT)))").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .select(lit(tbl).as("tbl"), lit(colName).as("col_name"),
+        col("bin"), col("n_rows"), col("lo"), col("hi"))
+  }
+
+  def profileHistogram(s: SparkSession, dir: String): DataFrame =
+    histOne(Catalog.table(s, dir, "documents"), "documents", "n_chars",
+        col("n_chars"))
+      .union(histOne(Catalog.table(s, dir, "orders"), "orders", "o_totalprice",
+        Det.dec2(col("o_totalprice")) * 100))
+      .union(histOne(Catalog.table(s, dir, "lineitem"), "lineitem", "l_extendedprice",
+        Det.dec2(col("l_extendedprice")) * 100))
+      .orderBy("tbl", "col_name", "bin")
+
+  private def histArmSql(tbl: String, colName: String, centsSql: String): String =
+    s"""SELECT '$tbl' AS tbl, '$colName' AS col_name, bin,
+       |  count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+       |FROM (
+       |  SELECT v, least(CAST(${HistBins - 1} AS BIGINT),
+       |           ((v - vmin) * $HistBins) // greatest(vmax - vmin + 1, 1)) AS bin
+       |  FROM (SELECT CAST($centsSql AS BIGINT) AS v FROM $tbl
+       |        WHERE $centsSql IS NOT NULL) b
+       |  CROSS JOIN (SELECT min(CAST($centsSql AS BIGINT)) AS vmin,
+       |                     max(CAST($centsSql AS BIGINT)) AS vmax
+       |              FROM $tbl) mm)
+       |GROUP BY bin""".stripMargin
+
+  val profileHistogramSql: String = Seq(
+    histArmSql("documents", "n_chars", "n_chars"),
+    histArmSql("orders", "o_totalprice", s"${Det.sql.dec2("o_totalprice")} * 100"),
+    histArmSql("lineitem", "l_extendedprice", s"${Det.sql.dec2("l_extendedprice")} * 100"))
+    .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name, bin")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "profile_tables" -> (profileTables _))
+    "profile_tables" -> (profileTables _),
+    "profile_histogram" -> (profileHistogram _))
 
   def oracle: Map[String, String] = Map(
-    "profile_tables" -> profileTablesSql)
+    "profile_tables" -> profileTablesSql,
+    "profile_histogram" -> profileHistogramSql)
 }

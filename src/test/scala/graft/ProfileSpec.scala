@@ -45,4 +45,31 @@ class ProfileSpec extends SparkSpecBase {
     assert(keys == keys.sorted, "output carries its total order")
     assert(out.forall(_.getLong(2) > 0))
   }
+
+  test("histOne: exact bin edges, constant column, and count conservation") {
+    import org.apache.spark.sql.functions.col
+    // range 0..31, B=16 → bins of width exactly 2: v=0,1→bin 0; 30,31→bin 15
+    val df = spark.range(0, 32).toDF("x")
+    val got = ProfileQueries.histOne(df, "t", "x", col("x")).collect()
+      .map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == (0L to 15L).toSet)
+    for (b <- 0L to 15L) assert(got(b) == ((2L, 2 * b, 2 * b + 1)), s"bin $b")
+
+    // constant column: range collapses, greatest() guard keeps div defined,
+    // every row lands in bin 0
+    val const = spark.range(0, 7).selectExpr("CAST(42 AS BIGINT) AS x")
+    val g2 = ProfileQueries.histOne(const, "t", "x", col("x")).collect()
+    assert(g2.length == 1 && g2(0).getLong(2) == 0L && g2(0).getLong(3) == 7L)
+    assert(g2(0).getLong(4) == 42L && g2(0).getLong(5) == 42L)
+
+    // declared query conserves row counts per arm
+    val out = ProfileQueries.profileHistogram(spark, Catalog.testdataSfDirs.head)
+      .collect()
+    val byArm = out.groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(byArm.keySet ==
+      Set(("documents", "n_chars"), ("orders", "o_totalprice"),
+        ("lineitem", "l_extendedprice")))
+    assert(byArm.values.forall(_ > 0))
+  }
 }
