@@ -81,4 +81,27 @@ object TextFunctions {
     * identical integer inputs. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     uniqRatio(text) + stopwordRatio(text, stopwords)
+
+  /** Canonical URL for crawl dedup — the normalization every web-corpus
+    * frontier/dedup stage applies before keying anything on a URL:
+    * case-fold scheme+host (path case is significant, host case is
+    * not), drop the fragment, strip `utm_*` tracking parameters while
+    * preserving real query params and their order, and trim trailing
+    * slashes from the path. Pure string/regexp/HOF pipeline — scan-
+    * local, codegen'd, zero shuffle — and every step has an exact
+    * DuckDB twin (regexp_extract returns '' on no-match in BOTH
+    * engines, substring is 1-based and end-clamped in both).
+    * Scheme differences are deliberately preserved: http vs https is a
+    * different resource until a fetch proves otherwise. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val schemeHost = lower(regexp_extract(noFrag, "^([A-Za-z]+://[^/?#]+)", 1))
+    val pathQ = noFrag.substr(length(schemeHost) + lit(1), lit(1 << 30))
+    val path = regexp_extract(pathQ, "^([^?]*)", 1)
+    val query = regexp_extract(pathQ, "[?](.*)$", 1)
+    val keepQ = array_join(
+      filter(split(query, "&"), p => !p.startsWith("utm_") && p =!= ""), "&")
+    concat(schemeHost, regexp_replace(path, "/+$", ""),
+      when(keepQ === "", lit("")).otherwise(concat(lit("?"), keepQ)))
+  }
 }

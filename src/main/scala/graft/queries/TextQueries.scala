@@ -1415,7 +1415,93 @@ object TextQueries {
       |WHERE rnk <= GREATEST(1, (SELECT count(*) // 10 FROM d2))
       |ORDER BY rnk""".stripMargin
 
+  // --- dedup_url_canonical: crawl URL dedup by canonical form ---------
+  // The frontier/dedup stage every crawl pipeline runs BEFORE content
+  // dedup: canonicalize each URL (TextFunctions.canonicalUrl — host
+  // case-fold, fragment drop, utm_* strip, trailing-slash trim; scheme
+  // preserved) and collapse raws that name the same resource. The
+  // fixture's events carry no url, so the query PLANTS one (the
+  // text_domain_stats pattern, mirrored in the oracle): each page id
+  // (event_id div 7) gains 7 decorated variants by event_id % 7 — five
+  // collapse to the same canonical, one keeps a REAL query param
+  // (?id=1 survives the utm strip), one differs by scheme — so the
+  // canonicalizer's keep/collapse behavior is exercised in both
+  // directions, not just the happy path. Output: per canonical URL
+  // with ≥2 raws, the raw count, distinct-raw count, and the
+  // min-event keeper.
+  //
+  // Scale shape: canonicalization is a scan-local codegen'd
+  // string/HOF projection; the only shuffle is the groupBy on the
+  // canonical key (map-side combined). At 100 TB the canonical key is
+  // the natural bucketing column for the frontier store.
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.table(s, dir, "events")
+    val page = expr("event_id div 7")
+    val m = pmod(col("event_id"), lit(7L))
+    val host = concat(lit("site-"),
+      floor(sqrt(pmod(page, lit(169L)).cast("double"))).cast("long").cast("string"),
+      lit(".example.com"))
+    val base = concat(lit("https://"), host, lit("/p/"), page.cast("string"))
+    val raw = when(m === 0, base)
+      .when(m === 1, concat(lit("https://"), upper(host), lit("/p/"), page.cast("string")))
+      .when(m === 2, concat(base, lit("/")))
+      .when(m === 3, concat(base, lit("?utm_source=feed")))
+      .when(m === 4, concat(base, lit("?id=1&utm_campaign=x")))
+      .when(m === 5, concat(base, lit("#frag")))
+      .otherwise(concat(lit("http://"), host, lit("/p/"), page.cast("string")))
+    ev.select(col("event_id"), raw.as("raw_url"))
+      .withColumn("canon_url", graft.functions.TextFunctions.canonicalUrl(col("raw_url")))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("raw_url")).as("n_variants"),
+        min(col("event_id")).as("keeper_event"))
+      .filter(col("n_raw") >= 2)
+      .orderBy("canon_url")
+  }
+
+  val urlCanonicalSql: String =
+    """WITH p AS (
+      |  SELECT event_id, event_id // 7 AS page, event_id % 7 AS m,
+      |    'site-' || CAST(CAST(floor(sqrt((event_id // 7) % 169)) AS BIGINT) AS VARCHAR)
+      |      || '.example.com' AS host
+      |  FROM events),
+      |r AS (
+      |  SELECT event_id,
+      |    CASE m
+      |      WHEN 0 THEN 'https://' || host || '/p/' || CAST(page AS VARCHAR)
+      |      WHEN 1 THEN 'https://' || upper(host) || '/p/' || CAST(page AS VARCHAR)
+      |      WHEN 2 THEN 'https://' || host || '/p/' || CAST(page AS VARCHAR) || '/'
+      |      WHEN 3 THEN 'https://' || host || '/p/' || CAST(page AS VARCHAR) || '?utm_source=feed'
+      |      WHEN 4 THEN 'https://' || host || '/p/' || CAST(page AS VARCHAR) || '?id=1&utm_campaign=x'
+      |      WHEN 5 THEN 'https://' || host || '/p/' || CAST(page AS VARCHAR) || '#frag'
+      |      ELSE 'http://' || host || '/p/' || CAST(page AS VARCHAR)
+      |    END AS raw_url
+      |  FROM p),
+      |s1 AS (SELECT event_id, raw_url,
+      |         regexp_replace(raw_url, '#.*', '') AS nf FROM r),
+      |s2 AS (SELECT event_id, raw_url, nf,
+      |         lower(regexp_extract(nf, '^([A-Za-z]+://[^/?#]+)', 1)) AS sh FROM s1),
+      |s3 AS (SELECT event_id, raw_url, sh,
+      |         substring(nf, length(sh) + 1) AS pq FROM s2),
+      |s4 AS (SELECT event_id, raw_url, sh,
+      |         regexp_extract(pq, '^([^?]*)', 1) AS pth,
+      |         COALESCE(array_to_string(list_filter(
+      |           string_split(regexp_extract(pq, '[?](.*)$', 1), '&'),
+      |           x -> NOT starts_with(x, 'utm_') AND x <> ''), '&'), '') AS kq
+      |       FROM s3),
+      |c AS (SELECT event_id, raw_url,
+      |        sh || regexp_replace(pth, '/+$', '')
+      |           || CASE WHEN kq = '' THEN '' ELSE '?' || kq END AS canon_url
+      |      FROM s4)
+      |SELECT canon_url, count(*) AS n_raw,
+      |  count(DISTINCT raw_url) AS n_variants,
+      |  min(event_id) AS keeper_event
+      |FROM c GROUP BY canon_url
+      |HAVING count(*) >= 2
+      |ORDER BY canon_url""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url_canonical" -> (urlCanonical _),
     "text_domain_stats" -> (domainStats _),
     "text_domain_survivors" -> (domainSurvivors _),
     "text_shard_plan" -> (shardPlan _),
@@ -1442,6 +1528,7 @@ object TextQueries {
     "text_fingerprint" -> (fingerprint _))
 
   def oracle: Map[String, String] = Map(
+    "dedup_url_canonical" -> urlCanonicalSql,
     "text_domain_stats" -> domainStatsSql,
     "text_domain_survivors" -> domainSurvivorsSql,
     "text_shard_plan" -> shardPlanSql,
