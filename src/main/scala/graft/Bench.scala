@@ -195,6 +195,16 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"bench LM setup failed: ${e.getMessage}")
         }
+      // once-per-corpus IVF coarse-quantizer training (the LM/DSIR rule
+      // applied to k-means): cold rung passes price the index probe
+      val needsIvfTopk = selected.keys.exists(Set("ann_ivf_topk"))
+      val needsIvfRecall = selected.keys.exists(Set("ann_ivf_recall"))
+      if (needsIvfTopk || needsIvfRecall)
+        try graft.queries.SimilarityQueries.prepareIvfModels(spark, sfDir,
+          topk = needsIvfTopk, recall = needsIvfRecall)
+        catch { case e: Throwable =>
+          System.err.println(s"bench IVF setup failed: ${e.getMessage}")
+        }
       (System.nanoTime() - t0) / 1e9
     }
     val cold = selected.map { case (name, fn) => name -> once(fn) }

@@ -855,8 +855,8 @@ object SimilarityFunctions {
     * every pass — the round-4 verdict's one named scale-killer. */
   def ivfCentroids(candidates: DataFrame, k: Int,
                    iters: Int = 3): Array[(Int, Array[Double])] = {
-    val vecs = candidates
-      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v"))
+    val vecs = widenForCheckpoint(candidates
+      .select(col("vec_id"), toDoubleArr(col("embedding")).as("v")))
       .localCheckpoint(false)
     val cent = lloyd(vecs, k, iters)
     // every Lloyd pass materialized via collect(); nothing downstream
@@ -939,9 +939,10 @@ object SimilarityFunctions {
     * `ann_ivf_recall`. */
   def annIvfTopK(queries: DataFrame, candidates: DataFrame, topK: Int,
                  k: Int = 16, nprobe: Int = 12, iters: Int = 3,
-                 maxCandidates: Int = 512, fpBits: Int = 256): DataFrame =
+                 maxCandidates: Int = 512, fpBits: Int = 256,
+                 trained: Option[Array[(Int, Array[Double])]] = None): DataFrame =
     annIvfTopKOver(queries, ivfPrep(candidates), topK, k, nprobe, iters,
-      maxCandidates, fpBits)
+      maxCandidates, fpBits, trained)
 
   /** (k, nprobe) for a corpus of n vectors (VERDICT r11 item 1c): the
     * textbook IVF sizing k ≈ √n (cell size √n, centroid scan k — the
@@ -974,13 +975,15 @@ object SimilarityFunctions {
                      iters: Int = 3, maxCandidates: Int = 512,
                      fpBits: Int = 256, autoThreshold: Long = 8192,
                      probeFrac: Double = 0.2,
-                     knownN: Option[Long] = None): DataFrame = {
+                     knownN: Option[Long] = None,
+                     trained: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
     val cv = ivfPrep(candidates)
     // knownN: see cosineLshPairsAuto — footer-sourced corpus size keeps
     // DataFrame construction job-free.
     val (k, nprobe) = autoIvfParams(knownN.getOrElse(cv.count()),
       autoThreshold, probeFrac)
-    annIvfTopKOver(queries, cv, topK, k, nprobe, iters, maxCandidates, fpBits)
+    annIvfTopKOver(queries, cv, topK, k, nprobe, iters, maxCandidates, fpBits,
+      trained)
   }
 
   /** (id, vec) projection, materialized once — it feeds the Lloyd
@@ -1001,12 +1004,16 @@ object SimilarityFunctions {
 
   private def annIvfTopKOver(queries: DataFrame, cv: DataFrame, topK: Int,
                              k: Int, nprobe: Int, iters: Int,
-                             maxCandidates: Int, fpBits: Int): DataFrame = {
+                             maxCandidates: Int, fpBits: Int,
+                             trained: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
     graft.plans.GraftExtensions.register(queries.sparkSession)
     val nWords = (fpBits + 63) / 64
     def fps(df: DataFrame, vec: String): DataFrame = df
       .withColumn("fp", fpWords(col(vec), 4096, nWords))
-    val cent = lloyd(cv, k, iters)
+    // `trained`: a caller-held coarse quantizer (the query layer's
+    // fingerprint-keyed store — training is once-per-corpus, like the
+    // LM/DSIR literal maps); absent, train in place.
+    val cent = trained.getOrElse(lloyd(cv, k, iters))
     // materialize the index ONCE (ids + centroid + fingerprint — a few
     // longs per corpus row). Without the barrier, codegen collapses the
     // fingerprint projection past the broadcast probe join and

@@ -24,6 +24,107 @@ object SimilarityQueries {
   private def embCount(s: SparkSession, dir: String): Long =
     graft.sources.Sources.footerRowCount(s, s"$dir/embeddings.parquet")
 
+  // --- IVF coarse-quantizer persistence --------------------------------
+  // The same once-per-corpus rule as the LM/DSIR literal maps (r14
+  // verdict item 6): Lloyd training is a fixed-point of the corpus, not
+  // of the query, so rung benches should price the INDEX PROBE, not
+  // k-means. In-memory cache within a JVM; fingerprint-keyed tmpdir
+  // store across JVMs (atomic-rename commit, corrupt/truncated stores
+  // deleted and retrained; a regenerated fixture changes the
+  // fingerprint, so staleness is impossible by construction). The
+  // stored doubles round-trip bit-exactly (DataOutputStream.writeDouble
+  // is the IEEE bit pattern), so a load reproduces the training run
+  // that wrote it.
+  private val ivfCentCache = scala.collection.mutable
+    .Map[(String, Int, Int, String), Array[(Int, Array[Double])]]()
+
+  private def ivfCentStorePath(dir: String, k: Int, iters: Int,
+      fp: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-ivfcent-" + java.security.MessageDigest.getInstance("MD5")
+        .digest((dir + "|" + k + "|" + iters + "|" + fp).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString + ".bin")
+
+  private val IvfCentMagic = 0x47494331 // "GIC1"
+
+  private def storeIvfCent(f: java.io.File,
+      cent: Array[(Int, Array[Double])]): Unit = {
+    val tmp = java.io.File.createTempFile(f.getName + ".", ".tmp",
+      f.getParentFile)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tmp)))
+    try {
+      out.writeInt(IvfCentMagic)
+      out.writeInt(cent.length)
+      out.writeInt(if (cent.isEmpty) 0 else cent.head._2.length)
+      cent.foreach { case (id, v) =>
+        out.writeInt(id); v.foreach(out.writeDouble)
+      }
+    } finally out.close()
+    if (!tmp.renameTo(f)) { tmp.delete(); () }
+  }
+
+  private def loadIvfCent(f: java.io.File, k: Int)
+      : Option[Array[(Int, Array[Double])]] = {
+    if (!f.exists()) return None
+    try {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(f)))
+      try {
+        require(in.readInt() == IvfCentMagic && in.readInt() == k)
+        val dim = in.readInt()
+        Some(Array.fill(k)(
+          (in.readInt(), Array.fill(dim)(in.readDouble()))))
+      } finally in.close()
+    } catch { case _: Throwable => f.delete(); None }
+  }
+
+  /** Trained coarse quantizer for `dir`'s embeddings at (k, iters) —
+    * memoized in-JVM and persisted across JVMs. Training runs OUTSIDE
+    * the monitor (a losing racer retrains the same deterministic-given-
+    * partitioning centroids; first store write wins). */
+  private[graft] def ivfCentroidsMemo(s: SparkSession, dir: String,
+      k: Int, iters: Int = 3): Array[(Int, Array[Double])] = {
+    val fp = Catalog.dirFingerprint(dir, "embeddings")
+    val key = (dir, k, iters, fp)
+    ivfCentCache.synchronized(ivfCentCache.get(key)) match {
+      case Some(c) => c
+      case None =>
+        val store = ivfCentStorePath(dir, k, iters, fp)
+        val cent = loadIvfCent(store, k).getOrElse {
+          val trained = SimilarityFunctions.ivfCentroids(emb(s, dir), k, iters)
+          storeIvfCent(store, trained)
+          trained
+        }
+        ivfCentCache.synchronized {
+          // a regenerated fixture (new fp) evicts stale entries for dir
+          ivfCentCache.filterInPlace { case ((d, _, _, f), _) =>
+            d != dir || f == fp }
+          ivfCentCache.getOrElseUpdate(key, cent)
+        }
+    }
+  }
+
+  /** Test hook: drop the in-memory centroid cache (disk stores stay). */
+  private[graft] def dropIvfCentMemoryCache(): Unit =
+    ivfCentCache.synchronized(ivfCentCache.clear())
+
+  /** Test hook: the store file a (dir, k, iters) triple resolves to at
+    * the current embeddings fingerprint. */
+  private[graft] def ivfCentStoreFor(dir: String, k: Int,
+      iters: Int = 3): java.io.File =
+    ivfCentStorePath(dir, k, iters, Catalog.dirFingerprint(dir, "embeddings"))
+
+  /** Bench session-setup hook: warm the quantizers the selected IVF
+    * queries will use (auto-k for the topk tier, fixed 16 for the
+    * recall probe's denominator tier). */
+  def prepareIvfModels(s: SparkSession, dir: String,
+      topk: Boolean = true, recall: Boolean = true): Unit = {
+    val (autoK, _) = SimilarityFunctions.autoIvfParams(embCount(s, dir))
+    if (topk) { ivfCentroidsMemo(s, dir, autoK); () }
+    if (recall && !(topk && autoK == 16)) { ivfCentroidsMemo(s, dir, 16); () }
+  }
+
   // --- exact dedup -----------------------------------------------------
 
   /** Duplicate groups by exact text: group key count + deterministic
@@ -911,8 +1012,10 @@ object SimilarityQueries {
     * bind the identical fixed config). */
   def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    val (autoK, _) = SimilarityFunctions.autoIvfParams(embCount(s, dir))
     SimilarityFunctions.annIvfTopKAuto(e.filter(col("vec_id") % 100 === 0), e, 10,
-        knownN = Some(embCount(s, dir)))
+        knownN = Some(embCount(s, dir)),
+        trained = Some(ivfCentroidsMemo(s, dir, autoK)))
       .orderBy("qid", "rnk")
   }
 
@@ -943,7 +1046,8 @@ object SimilarityQueries {
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") % 100 === 0)
     val brute = bruteTopk(s, dir).select("qid", "cid")
-    val ivf = SimilarityFunctions.annIvfTopK(q, e, 10).select("qid", "cid")
+    val ivf = SimilarityFunctions.annIvfTopK(q, e, 10,
+      trained = Some(ivfCentroidsMemo(s, dir, 16))).select("qid", "cid")
     val hits = ivf.join(brute, Seq("qid", "cid"), "inner")
       .agg(count(lit(1)).as("hits"))
     brute.agg(count(lit(1)).as("brute_pairs"))
