@@ -50,28 +50,49 @@ object GraphQueries {
   private val PrIters = 5
 
   /** Power iteration over an explicit (src, dst, w) edge list.
-    * Package-visible so GraphSpec can replay a hand-computed graph. */
-  private[graft] def pageRankEdges(edges: DataFrame): DataFrame = {
+    * Package-visible so GraphSpec can replay a hand-computed graph.
+    *
+    * The edge relation is materialized ONCE (localCheckpoint): the K
+    * unrolled iterations COMPOSE over it, and without the barrier each
+    * iteration's plan re-derives the whole corpus-scale edge rollup —
+    * the composed tree re-ran the events window O(K²) times (234
+    * exchanges at K=5 in the first plan dump). After the barrier every
+    * iteration is a join+agg over |E| frozen rows. */
+  private[graft] def pageRankEdges(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint(false)
     val outW = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
     val e = edges.join(outW, "src") // src, dst, w, out_w
     val verts = edges.select(col("src").as("domain"))
       .union(edges.select(col("dst").as("domain"))).distinct()
     val nDf = verts.agg(count(lit(1)).as("n"))
-    // base/r0 depend only on |V|: one broadcast 1-row cross join
+    // base/r0 depend only on |V|: one broadcast 1-row cross join.
+    // vb and each iteration's rank are checkpointed |V|-row relations
+    // (the ConnectedComponents loop pattern): the composed K-deep plan
+    // would otherwise re-derive every prior iteration's joins per
+    // reference, and the superseded round's blocks are freed as soon as
+    // its successor materializes.
     val vb = verts.crossJoin(broadcast(nDf))
       .select(col("domain"),
         expr(s"$PrScale div n").as("r0"),
         expr(s"(15 * ($PrScale div n)) div 100").as("base"))
+      .localCheckpoint(false)
+    // the initial rank is its own checkpoint so every loop round's
+    // `prev` is a standalone LogicalRDD — unpersisting it can never
+    // free vb's blocks (Checkpoints.unpersist walks the whole tree)
     var rank = vb.select(col("domain"), col("r0").as("rank"))
+      .localCheckpoint(false)
     for (_ <- 1 to PrIters) {
       val contrib = e.join(rank.withColumnRenamed("domain", "src"), "src")
         .select(col("dst").as("domain"),
           expr("(rank * w) div out_w").as("c"))
         .groupBy("domain").agg(sum(col("c")).as("sc"))
+      val prev = rank
       rank = vb.join(contrib, Seq("domain"), "left")
         .select(col("domain"),
           (col("base") + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
+        .localCheckpoint(false)
+      graft.plans.Checkpoints.unpersist(prev)
     }
     rank.join(outW.withColumnRenamed("src", "domain"), Seq("domain"), "left")
       .select(col("domain"), col("rank"),
