@@ -1434,22 +1434,32 @@ object TextQueries {
   // string/HOF projection; the only shuffle is the groupBy on the
   // canonical key (map-side combined). At 100 TB the canonical key is
   // the natural bucketing column for the frontier store.
-  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
-    val ev = Catalog.table(s, dir, "events")
-    val page = expr("event_id div 7")
-    val m = pmod(col("event_id"), lit(7L))
+  /** The planted 7-variant raw URL for an event id — shared by the
+    * batch query and the streaming frontier-dedup twin so both sides
+    * canonicalize the identical raw strings. */
+  private[graft] def plantedRawUrl(id: Column): Column = {
+    // `/` is IEEE division; the truncating cast equals the oracle's
+    // integer `// 7` for any id < 2^52 (ids are exact doubles and the
+    // quotient's rounding error ~q*2^-53 never crosses the truncation
+    // boundary, which is >= 1/7 away)
+    val page = (id / 7).cast("long")
+    val m = pmod(id, lit(7L))
     val host = concat(lit("site-"),
       floor(sqrt(pmod(page, lit(169L)).cast("double"))).cast("long").cast("string"),
       lit(".example.com"))
     val base = concat(lit("https://"), host, lit("/p/"), page.cast("string"))
-    val raw = when(m === 0, base)
+    when(m === 0, base)
       .when(m === 1, concat(lit("https://"), upper(host), lit("/p/"), page.cast("string")))
       .when(m === 2, concat(base, lit("/")))
       .when(m === 3, concat(base, lit("?utm_source=feed")))
       .when(m === 4, concat(base, lit("?id=1&utm_campaign=x")))
       .when(m === 5, concat(base, lit("#frag")))
       .otherwise(concat(lit("http://"), host, lit("/p/"), page.cast("string")))
-    ev.select(col("event_id"), raw.as("raw_url"))
+  }
+
+  def urlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.table(s, dir, "events")
+    ev.select(col("event_id"), plantedRawUrl(col("event_id")).as("raw_url"))
       .withColumn("canon_url", graft.functions.TextFunctions.canonicalUrl(col("raw_url")))
       .groupBy("canon_url")
       .agg(count(lit(1)).as("n_raw"),

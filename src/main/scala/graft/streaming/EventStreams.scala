@@ -584,4 +584,59 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // --- streaming URL-frontier dedup (parity twin #14) -------------------
+
+  final case class UrlOcc(canon_url: String, event_id: Long)
+
+  /** Per-canonical-URL first-occurrence keeper: state is one Boolean
+    * per canonical key; the first delivering batch emits its min
+    * event_id, later arrivals die on ingest. 100 TB/day shape: state
+    * is key+1 bit per DISTINCT canonical URL — the crawl frontier's
+    * seen-set — and a production deployment bounds it with a state
+    * TTL (re-crawl horizon). */
+  def urlFirstOccurrence(key: String, occs: Iterator[UrlOcc],
+                         state: GroupState[Boolean]): Iterator[UrlOcc] = {
+    if (state.exists) Iterator.empty
+    else {
+      val first = occs.minBy(_.event_id)
+      state.update(true)
+      Iterator.single(first)
+    }
+  }
+
+  /** Streaming twin of `dedup_url_canonical`: the SAME planted raw URL
+    * and the SAME shared `TextFunctions.canonicalUrl` expression
+    * (scan-local, stateless) feed a keyed first-occurrence state — the
+    * frontier dedup running on ingest rather than as a batch pass.
+    * Same single-file single-batch global-first precondition as the
+    * paragraph stream (min-event keeper == batch `min(event_id)` only
+    * under whole-corpus one-batch delivery), asserted loudly at
+    * construction. */
+  def streamUrlDedup(spark: SparkSession, dir: String): Dataset[UrlOcc] = {
+    import spark.implicits._
+    require(new java.io.File(dir, "events.parquet").isFile,
+      s"$dir/events.parquet must be a single file: the URL stream's " +
+        "global-first keeper needs whole-corpus single-batch delivery " +
+        "under AvailableNow")
+    readEvents(spark, dir)
+      .select(col("event_id"),
+        graft.queries.TextQueries.plantedRawUrl(col("event_id")).as("raw_url"))
+      .select(graft.functions.TextFunctions.canonicalUrl(col("raw_url"))
+        .as("canon_url"), col("event_id"))
+      .as[UrlOcc]
+      .groupByKey(_.canon_url)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(urlFirstOccurrence)
+  }
+
+  def startUrlDedupToMemory(spark: SparkSession, dir: String,
+                            name: String): StreamingQuery =
+    streamUrlDedup(spark, dir)
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

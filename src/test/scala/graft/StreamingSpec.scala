@@ -274,4 +274,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamSessions == batchSessions)
     assert(streamSessions.nonEmpty)
   }
+
+  test("streaming URL-frontier dedup == batch canonical min-event keepers") {
+    val q = EventStreams.startUrlDedupToMemory(spark, dir, "t_urldedup")
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT canon_url, event_id FROM t_urldedup")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // batch expectation over ALL canonical urls (the declared query
+    // filters to groups with >= 2 raws; the stream keeps singletons too)
+    val batch = Catalog.table(spark, dir, "events")
+      .select(col("event_id"),
+        graft.queries.TextQueries.plantedRawUrl(col("event_id")).as("raw_url"))
+      .select(graft.functions.TextFunctions.canonicalUrl(col("raw_url"))
+        .as("canon_url"), col("event_id"))
+      .groupBy("canon_url")
+      .agg(org.apache.spark.sql.functions.min("event_id").as("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      "stream keeper set must equal the batch min-event keepers")
+    assert(streamed.nonEmpty)
+    // and the declared query's keepers are a subset (the >=2-raw groups)
+    val declared = graft.queries.TextQueries.urlCanonical(spark, dir)
+      .select(col("canon_url"), col("keeper_event"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(declared.subsetOf(streamed))
+  }
 }
