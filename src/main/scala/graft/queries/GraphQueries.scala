@@ -155,9 +155,85 @@ object GraphQueries {
     (head +: iters).mkString("", ",\n", "\n") + tail
   }
 
+  // --- graph_triangles: triangle counting ------------------------------
+  // The standard local-clustering signal (spam/mirror-farm detection
+  // ranks hosts by triangle participation — a link farm is triangle-
+  // dense, an organic hub is not). Compact-forward shape: orient every
+  // undirected edge low-id -> high-id, so each triangle a<b<c is
+  // enumerated exactly once as the two-path (a,b)+(b,c) closed by the
+  // semi join on (a,c). At web scale the two-path join is THE shuffle
+  // (keyed on the middle vertex; degree-ordered orientation bounds its
+  // fan-out to sum of min-degree², the classic bound) and the closure
+  // check is a semi join on the oriented edge list — no row explosion
+  // survives past it. Per-vertex participation comes from one explode
+  // over the closed triangles (3 rows each) + a map-side-combined
+  // count; vertices in no triangle report 0 via the left join.
+  /** Package-visible core over an explicit (src, dst) transition list. */
+  private[graft] def trianglesEdges(trans: DataFrame): DataFrame = {
+    val und = trans
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val paths = und.join(und.toDF("b2", "c"),
+        col("b") === col("b2") && col("c") > col("b"))
+      .select(col("a"), col("b"), col("c"))
+    val tris = paths.join(und.toDF("a2", "c2"),
+        col("a") === col("a2") && col("c") === col("c2"), "left_semi")
+    val perVertex = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n_tri"))
+    val verts = und.select(col("a").as("domain"))
+      .union(und.select(col("b").as("domain"))).distinct()
+    verts.join(perVertex, Seq("domain"), "left")
+      .select(col("domain"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy("domain")
+  }
+
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.table(s, dir, "events")
+    val host = concat(lit("site-"),
+      floor(sqrt(pmod(col("event_id"), lit(169L)).cast("double"))).cast("long").cast("string"),
+      lit(".example.com"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val trans = ev.select(col("user_id"), col("event_id"), host.as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    trianglesEdges(trans)
+  }
+
+  val trianglesSql: String =
+    """WITH h AS (SELECT user_id, event_id,
+      |    'site-' || CAST(CAST(floor(sqrt(event_id % 169)) AS BIGINT) AS VARCHAR)
+      |      || '.example.com' AS d
+      |  FROM events),
+      |t AS (SELECT d AS src,
+      |        lead(d) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+      |      FROM h),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM t WHERE dst IS NOT NULL AND src <> dst),
+      |tri AS (SELECT e1.a, e1.b, e2.b AS c
+      |        FROM und e1
+      |        JOIN und e2 ON e2.a = e1.b AND e2.b > e1.b
+      |        WHERE EXISTS (SELECT 1 FROM und e3
+      |                      WHERE e3.a = e1.a AND e3.b = e2.b)),
+      |pv AS (SELECT domain, count(*) AS n_tri FROM (
+      |         SELECT a AS domain FROM tri
+      |         UNION ALL SELECT b FROM tri
+      |         UNION ALL SELECT c FROM tri)
+      |       GROUP BY domain),
+      |v AS (SELECT DISTINCT domain FROM
+      |        (SELECT a AS domain FROM und UNION ALL SELECT b FROM und))
+      |SELECT v.domain, coalesce(pv.n_tri, 0) AS n_tri
+      |FROM v LEFT JOIN pv ON pv.domain = v.domain
+      |ORDER BY v.domain""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pageRank _))
+    "graph_pagerank" -> (pageRank _),
+    "graph_triangles" -> (triangles _))
 
   def oracle: Map[String, String] = Map(
-    "graph_pagerank" -> pageRankSql)
+    "graph_pagerank" -> pageRankSql,
+    "graph_triangles" -> trianglesSql)
 }

@@ -46,6 +46,18 @@ class GraphSpec extends SparkSpecBase {
     assert(ordered.sameElements(ordered.sortBy { case (r, d) => (-r, d) }))
   }
 
+  test("trianglesEdges: hand-built graph with known counts, dup/reverse/self-loop input") {
+    // triangles: {a,b,c} and {a,c,d}; e touches no triangle
+    val trans = Seq(
+      ("a", "b"), ("b", "a"),          // duplicate + reversed
+      ("b", "c"), ("a", "c"), ("c", "d"), ("a", "d"),
+      ("d", "e"), ("e", "e"))          // self-loop must be dropped
+    val df = spark.createDataFrame(trans).toDF("src", "dst")
+    val got = graft.queries.GraphQueries.trianglesEdges(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L, "e" -> 0L))
+  }
+
   test("declared fixture: 13 planted domains, mass conserved up to div truncation") {
     val out = GraphQueries.pageRank(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == 13)
