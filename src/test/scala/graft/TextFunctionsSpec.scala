@@ -226,20 +226,20 @@ class TextFunctionsSpec extends SparkSpecBase {
       // host case folds, path case does NOT
       ("https://SITE-3.Example.COM/Path/X", "https://site-3.example.com/Path/X"),
       // fragment dropped
-      ("https://a.com/p#frag", "https://a.com/p"),
+      ("https://a.example.com/p#frag", "https://a.example.com/p"),
       // trailing slashes trimmed (also multiple)
-      ("https://a.com/p/", "https://a.com/p"),
-      ("https://a.com/p//", "https://a.com/p"),
+      ("https://a.example.com/p/", "https://a.example.com/p"),
+      ("https://a.example.com/p//", "https://a.example.com/p"),
       // utm params stripped; real params survive in original order
-      ("https://a.com/p?utm_source=feed", "https://a.com/p"),
-      ("https://a.com/p?id=1&utm_campaign=x&b=2", "https://a.com/p?id=1&b=2"),
-      ("https://a.com/p?utm_a=1&utm_b=2", "https://a.com/p"),
+      ("https://a.example.com/p?utm_source=feed", "https://a.example.com/p"),
+      ("https://a.example.com/p?id=1&utm_campaign=x&b=2", "https://a.example.com/p?id=1&b=2"),
+      ("https://a.example.com/p?utm_a=1&utm_b=2", "https://a.example.com/p"),
       // scheme difference preserved (http is not https)
-      ("http://a.com/p", "http://a.com/p"),
+      ("http://a.example.com/p", "http://a.example.com/p"),
       // bare host
-      ("https://A.com", "https://a.com"),
+      ("https://A.example.com", "https://a.example.com"),
       // query + fragment together
-      ("https://a.com/p?id=9#sec", "https://a.com/p?id=9"))
+      ("https://a.example.com/p?id=9#sec", "https://a.example.com/p?id=9"))
     val df = spark.createDataFrame(cases).toDF("raw", "want")
       .withColumn("got", graft.functions.TextFunctions.canonicalUrl(col("raw")))
     val bad = df.collect().filter(r => r.getString(2) != r.getString(1))

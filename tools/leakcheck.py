@@ -66,7 +66,10 @@ def scan_file(rel, text):
         if INTERNAL_IMPORT.match(line):
             CATEGORIES["internal-import"].append(where)
         for m in URL.finditer(line):
-            if not PUBLIC_HOST.search(m.group(1)):
+            # DNS hosts are case-insensitive (RFC 4343): normalize before
+            # the allowlist check so a case-folding test fixture like
+            # HTTPS://Site-3.Example.COM is recognized as example.com
+            if not PUBLIC_HOST.search(m.group(1).lower()):
                 CATEGORIES["internal-url"].append(where)
         if BUCKET.search(line):
             CATEGORIES["internal-bucket"].append(where)
