@@ -535,6 +535,45 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(scans == 2, s"exactly one scan per profiled table, got $scans")
   }
 
+  test("graph_pagerank/triangles: iterations run over frozen relations, no corpus rescans") {
+    // the declared plan must read ONLY the checkpointed edge/rank RDDs —
+    // a parquet scan here means the K-deep composition regressed to
+    // re-deriving the corpus rollup per iteration (the 234-exchange
+    // shape the first plan dump caught)
+    val pr = graft.queries.GraphQueries.pageRank(spark, dir)
+    val p1 = plan(pr)
+    assert(!p1.contains("Scan parquet"), "pagerank plan must not rescan the corpus")
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"))
+    val tr = graft.queries.GraphQueries.triangles(spark, dir)
+    val p2 = plan(tr)
+    assert(!p2.contains("Scan parquet"), "triangles plan must not rescan the corpus")
+    assert(p2.contains("LeftSemi"), "triangle closure must stay a semi join")
+    assert(!p2.contains("CartesianProduct"))
+  }
+
+  test("dedup_url_canonical: scan-local canonicalization, one shuffle, no joins") {
+    val df = graft.queries.TextQueries.urlCanonical(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("Join"), "frontier dedup never joins")
+    assert(!p.contains("Window "), "no window — the keeper is a MIN aggregate")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans == 1, s"one events scan, got $scans")
+  }
+
+  test("profile_histogram: no sort-merge joins, two scans per column arm") {
+    val df = graft.queries.ProfileQueries.profileHistogram(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("SortMergeJoin"),
+      "the 1-row min/max attach must broadcast, never sort-merge")
+    assert(!p.contains("Window "))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans == 6, s"two scans per arm (min/max + rollup) x 3 arms, got $scans")
+  }
+
   test("whole-stage codegen covers the Q1 aggregate") {
     val df = RelationalQueries.aggPricingSummary(spark, dir)
     df.collect() // AQE only finalizes (and shows codegen spans) after execution
