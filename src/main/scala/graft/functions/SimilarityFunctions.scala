@@ -1012,7 +1012,13 @@ object SimilarityFunctions {
       .withColumn("fp", fpWords(col(vec), 4096, nWords))
     // `trained`: a caller-held coarse quantizer (the query layer's
     // fingerprint-keyed store — training is once-per-corpus, like the
-    // LM/DSIR literal maps); absent, train in place.
+    // LM/DSIR literal maps); absent, train in place. Its size must
+    // match the k this plan is sized for — autoIvfParams is computed
+    // independently at each call layer, so a future threshold drift
+    // would otherwise silently misalign nprobe sizing and cell
+    // assignment instead of failing (r15 ADVICE).
+    trained.foreach(t => require(t.length == k,
+      s"trained quantizer has ${t.length} cells, expected $k"))
     val cent = trained.getOrElse(lloyd(cv, k, iters))
     // materialize the index ONCE (ids + centroid + fingerprint — a few
     // longs per corpus row). Without the barrier, codegen collapses the

@@ -69,8 +69,12 @@ object GraphQueries {
     // vb and each iteration's rank are checkpointed |V|-row relations
     // (the ConnectedComponents loop pattern): the composed K-deep plan
     // would otherwise re-derive every prior iteration's joins per
-    // reference, and the superseded round's blocks are freed as soon as
-    // its successor materializes.
+    // reference. Loop-round checkpoints are EAGER so the unpersist of
+    // the superseded round below matches the Checkpoints contract (the
+    // successor is materialized before its input's only copy is freed
+    // — r15 ADVICE; with lazy checkpoints the frees were inert until
+    // the single final action and a second consumer of a rank relation
+    // would have recomputed it).
     val vb = verts.crossJoin(broadcast(nDf))
       .select(col("domain"),
         expr(s"$PrScale div n").as("r0"),
@@ -91,7 +95,7 @@ object GraphQueries {
         .select(col("domain"),
           (col("base") + expr("(85 * coalesce(sc, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       graft.plans.Checkpoints.unpersist(prev)
     }
     rank.join(outW.withColumnRenamed("src", "domain"), Seq("domain"), "left")
@@ -162,10 +166,13 @@ object GraphQueries {
   // undirected edge low-id -> high-id, so each triangle a<b<c is
   // enumerated exactly once as the two-path (a,b)+(b,c) closed by the
   // semi join on (a,c). At web scale the two-path join is THE shuffle
-  // (keyed on the middle vertex; degree-ordered orientation bounds its
-  // fan-out to sum of min-degree², the classic bound) and the closure
-  // check is a semi join on the oriented edge list — no row explosion
-  // survives past it. Per-vertex participation comes from one explode
+  // (keyed on the middle vertex). Orientation here is BY DOMAIN ID
+  // (least/greatest) — enough for the count-each-once guarantee; the
+  // classic sum-of-min-degree² fan-out bound additionally requires
+  // orienting by (degree, id), a degree-compute + re-key this fixed
+  // 169-host graph doesn't need (r15 ADVICE: the bound was previously
+  // overclaimed for id ordering). The closure check is a semi join on
+  // the oriented edge list — no row explosion survives past it. Per-vertex participation comes from one explode
   // over the closed triangles (3 rows each) + a map-side-combined
   // count; vertices in no triangle report 0 via the left join.
   /** Package-visible core over an explicit (src, dst) transition list. */

@@ -40,7 +40,7 @@ object SimilarityQueries {
 
   private def ivfCentStorePath(dir: String, k: Int, iters: Int,
       fp: String): java.io.File =
-    new java.io.File(sys.props("java.io.tmpdir"),
+    new java.io.File(graft.StoreDir.dir(),
       "graft-ivfcent-" + java.security.MessageDigest.getInstance("MD5")
         .digest((dir + "|" + k + "|" + iters + "|" + fp).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString + ".bin")
@@ -76,7 +76,12 @@ object SimilarityQueries {
         Some(Array.fill(k)(
           (in.readInt(), Array.fill(dim)(in.readDouble()))))
       } finally in.close()
-    } catch { case _: Throwable => f.delete(); None }
+    } catch {
+      // corruption signatures only (truncation/bad magic) — a transient
+      // read failure must not delete a valid store (r15 ADVICE)
+      case _ @ (_: java.io.IOException | _: IllegalArgumentException) =>
+        f.delete(); None
+    }
   }
 
   /** Trained coarse quantizer for `dir`'s embeddings at (k, iters) —
@@ -346,7 +351,7 @@ object SimilarityQueries {
             // winner DataFrame was still reading. rename is atomic on a
             // local fs; the loser's rename fails against the existing
             // dest and its temp tree is discarded.
-            val out = new java.io.File(sys.props("java.io.tmpdir"),
+            val out = new java.io.File(graft.StoreDir.dir().getPath,
               "graft-brute-" + java.security.MessageDigest.getInstance("MD5")
                 .digest((dir + "|" + fp).getBytes("UTF-8"))
                 .map("%02x".format(_)).mkString)

@@ -1042,7 +1042,7 @@ object TextQueries {
 
   private def modelStorePath(kind: String, dir: String, cap: Int,
       fp: String): java.io.File =
-    new java.io.File(sys.props("java.io.tmpdir"),
+    new java.io.File(graft.StoreDir.dir(),
       "graft-" + kind + "-" + java.security.MessageDigest.getInstance("MD5")
         .digest((dir + "|" + cap + "|" + fp).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString + ".bin")
@@ -1089,7 +1089,14 @@ object TextQueries {
         val scalars = Seq.fill(nScalars)(in.readLong())
         Some((maps, scalars))
       } finally in.close()
-    } catch { case _: Throwable => f.delete(); None }
+    } catch {
+      // delete-and-retrain ONLY on corruption signatures (truncation =
+      // EOFException ⊂ IOException; bad magic/shape = the requires'
+      // IllegalArgumentException). A transient read failure of any
+      // other class must not destroy a valid store (r15 ADVICE).
+      case _ @ (_: java.io.IOException | _: IllegalArgumentException) =>
+        f.delete(); None
+    }
   }
 
   /** Warm the LM and/or DSIR trained models for `dir` — Bench calls
