@@ -519,6 +519,25 @@ object SimilarityFunctions {
       .select("ida", "idb", "dist")
   }
 
+  /** Corpus-size ceiling for the 4×16-bit banding of [[simhashPairs]]:
+    * above it the declared `dedup_simhash_docs` key switches to
+    * [[simhashPairsWide]] (the autoPlanes rule applied to band width —
+    * r15 verdict item 1). The 16-bit tier's band-key space is 2^16 per
+    * word, so word-bucket occupancy grows linearly with the corpus and
+    * real-text skew drives hot buckets into the cap well before the
+    * uniform 2^16 crossover: the sf1 rung (50k docs) already measured
+    * the narrow tier at 2.4× the wide tier (12.4 s vs 5.2), and sf10
+    * (500k docs) at 2.8–4.3× (119–250 s vs 43–58, bucket-skew
+    * variance). 2^14 keeps every measured saturation point on the wide
+    * tier while the gate-SF corpora (≤ 5000 docs) stay on the 16-bit
+    * tier the rows-only ledger pins. */
+  private[graft] val SimhashNarrowMax: Long = 1L << 14
+
+  /** Tier selector for the declared simhash key — split out so the spec
+    * can pin the crossover without a 16k-doc fixture. */
+  private[graft] def simhashUseWide(nDocs: Long): Boolean =
+    nDocs > SimhashNarrowMax
+
   /** Parameterized WIDE simhash fingerprint: `words` independent
     * 64-bit simhash words per document (native `graft_simhash_wide`
     * kernel — one scan-local pass; word w votes with hashes under

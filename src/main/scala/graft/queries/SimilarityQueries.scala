@@ -24,6 +24,9 @@ object SimilarityQueries {
   private def embCount(s: SparkSession, dir: String): Long =
     graft.sources.Sources.footerRowCount(s, s"$dir/embeddings.parquet")
 
+  private def docCount(s: SparkSession, dir: String): Long =
+    graft.sources.Sources.footerRowCount(s, s"$dir/documents.parquet")
+
   // --- IVF coarse-quantizer persistence --------------------------------
   // The same once-per-corpus rule as the LM/DSIR literal maps (r14
   // verdict item 6): Lloyd training is a fixed-point of the corpus, not
@@ -978,19 +981,35 @@ object SimilarityQueries {
       .orderBy("ida", "idb")
   }
 
-  /** SimHash near-dup over the FULL corpus: 64-bit fingerprints, 4×16-bit
-    * word banding for candidate generation (hash join — pigeonhole
-    * covers hamming <= 3), exact hamming verify. */
-  def dedupSimhashDocs(s: SparkSession, dir: String): DataFrame =
-    SimilarityFunctions.simhashPairs(docs(s, dir), "text", maxHamming = 3)
-      .orderBy("ida", "idb")
+  /** SimHash near-dup over the FULL corpus, band width AUTO-TIERED by
+    * footer-derived corpus size (r15 verdict item 1 — the autoPlanes
+    * rule applied to simhash banding, so the DECLARED key is the
+    * scale-safe plan everywhere): at or below
+    * [[SimilarityFunctions.SimhashNarrowMax]] docs, 64-bit
+    * fingerprints with 4×16-bit word banding (pigeonhole covers
+    * hamming <= 3, exact hamming verify — the gate-SF anchor the
+    * rows-only ledger pins); above it, the 4×64-bit wide fingerprint
+    * whose band-key space never saturates (see [[dedupSimhashWide]],
+    * which stays declared as the explicit wide tier). The count is a
+    * parquet-footer metadata read — plan construction stays job-free. */
+  def dedupSimhashDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs =
+      if (SimilarityFunctions.simhashUseWide(docCount(s, dir)))
+        SimilarityFunctions.simhashPairsWide(d, "text", maxHamming = 3, words = 4)
+      else SimilarityFunctions.simhashPairs(d, "text", maxHamming = 3)
+    pairs.orderBy("ida", "idb")
+  }
 
   /** The >10⁶-doc simhash tier as a declared query: 4×64-bit WIDE
     * fingerprint, band per 64-bit word (2^64 key space — occupancy
     * never saturates the way the 16-bit banding's does), exact
     * hamming ≤ 3 verify over the 256-bit fingerprint. Rows-only
     * (engine-hash fingerprint, like the 64-bit tier); banded ==
-    * all-pairs at THIS setting is spec-proven in SimilaritySpec. */
+    * all-pairs at THIS setting is spec-proven in SimilaritySpec.
+    * `dedup_simhash_docs` auto-tiers INTO this plan above the narrow
+    * ceiling; the key stays declared so the wide tier keeps its own
+    * rung-cost row in the bench ledger at every SF. */
   def dedupSimhashWide(s: SparkSession, dir: String): DataFrame =
     SimilarityFunctions.simhashPairsWide(docs(s, dir), "text",
         maxHamming = 3, words = 4)

@@ -625,6 +625,24 @@ class SimilaritySpec extends SparkSpecBase {
       maxBucket = 2).count() >= 2)
   }
 
+  test("simhash auto-tier: declared key is the 16-bit plan at gate SFs, wide above the ceiling") {
+    // crossover pinned without a 16k-doc fixture: the selector is pure
+    import graft.functions.SimilarityFunctions.{simhashUseWide, SimhashNarrowMax}
+    assert(SimhashNarrowMax == (1L << 14))
+    assert(!simhashUseWide(SimhashNarrowMax))
+    assert(simhashUseWide(SimhashNarrowMax + 1))
+    assert(!simhashUseWide(5000)) // largest gate-SF corpus (sf0.1)
+    assert(simhashUseWide(50000)) // sf1 rung: narrow measured 2.4x wide
+    // at a gate SF the declared key IS the 16-bit tier, bit for bit
+    val d = Catalog.table(spark, "/root/testdata/sf0.001", "documents")
+    val declared = graft.queries.SimilarityQueries
+      .dedupSimhashDocs(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Int)].collect().toSeq
+    val narrow = simhashPairs(d, "text", maxHamming = 3)
+      .orderBy("ida", "idb").as[(Long, Long, Int)].collect().toSeq
+    assert(declared == narrow)
+  }
+
   test("wide simhash bands: occupancy stays near-singleton where 16-bit words saturate") {
     // the knob's occupancy claim, measured on the band relations
     // themselves: synthetic small-vocab corpora (the adversarial case —
