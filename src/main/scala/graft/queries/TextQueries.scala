@@ -1162,6 +1162,28 @@ object TextQueries {
     })
   }
 
+  // --- broadcast transport of the trained models (r15 verdict item 2) --
+  // One Broadcast per (SparkContext, kind, dir, cap, fingerprint): the
+  // typedlit literal-map children rode the serialized maps in EVERY
+  // task binary (TaskSetManager "very large task (1425 KiB)" warnings),
+  // which at 1000-executor scale is per-task serialization overhead a
+  // broadcast pays once per executor. The model object is precomputed
+  // on the driver through the SAME builder the literal kernels resolve
+  // through (LmScores.lmModel/dsirModel), so outputs are bit-identical
+  // by construction — LmScoresSpec pins it on the real corpus. Keyed on
+  // applicationId so a restarted context in the same JVM can never
+  // reuse a dead broadcast.
+  private val bcastCache = scala.collection.mutable
+    .Map[(String, String, String, Int, String), org.apache.spark.broadcast.Broadcast[_]]()
+
+  private def modelBroadcast[T: scala.reflect.ClassTag](s: SparkSession,
+      kind: String, dir: String, cap: Int)(mk: => T)
+      : org.apache.spark.broadcast.Broadcast[T] = bcastCache.synchronized {
+    val key = (s.sparkContext.applicationId, kind, dir, cap, corpusFingerprint(dir))
+    bcastCache.getOrElseUpdate(key, s.sparkContext.broadcast(mk))
+      .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+  }
+
   /** The (n_pairs, nll_q6) scoring columns of the bigram LM, trained on
     * the every-10th-doc slice of `dir`'s RAW corpus. Applicable to any
     * DataFrame with a `text` column (the pipeline composition scores
@@ -1174,9 +1196,13 @@ object TextQueries {
     // native kernel (r14) — same O(|vocab|)-per-lookup fix as
     // graft_dsir_score: per-bigram contributions (and the per-first-word
     // back-off) precomputed with bit-identical arithmetic, scored via
-    // hash lookups; kernel == HOF pinned in LmScoresSpec.
-    val nll = call_function("graft_lm_nll", toks, typedlit(c2), typedlit(c1),
-      lit(vocabN.toDouble))
+    // hash lookups; kernel == HOF pinned in LmScoresSpec. r16: the
+    // model ships via Broadcast (see [[modelBroadcast]]).
+    val bc = modelBroadcast(s, "lm", dir, LmVocabCap)(
+      graft.plans.LmScores.lmModel(c2, c1, vocabN.toDouble))
+    val nll = org.apache.spark.sql.graftshim.GraftColumn.of(
+      graft.plans.LmScores.LmNllBcast(
+        org.apache.spark.sql.graftshim.GraftColumn.expr(toks), bc))
     val nPairs = when(size(toks) >= 2, size(toks) - 1).otherwise(0).cast("long")
     (nPairs, nll)
   }
@@ -1292,12 +1318,17 @@ object TextQueries {
           .orderBy(col("c").desc, col("bg"))
           .limit(cap)
           .collect().map(r => r.getString(0) -> r.getLong(1))
-        // target counts RESTRICTED to the vocab BEFORE the collect (a
-        // literal-map membership filter, not a join) — what reaches the
-        // driver is ≤ cap rows even when the target slice is huge
-        val vocabKeys = typedlit(rawVocab.map { case (b, _) => b -> 1 }.toMap)
+        // target counts RESTRICTED to the vocab BEFORE the collect — a
+        // broadcast LEFT SEMI join on the ≤cap vocab keys (replacing
+        // the earlier literal-map membership filter, whose 50k-entry
+        // map rode in every task binary — r15 verdict item 2; the
+        // broadcast hash relation ships once per executor and the
+        // lookup is a hash probe, not a key-array scan). What reaches
+        // the driver is ≤ cap rows even when the target slice is huge.
+        val vocabKeys = s.createDataset(rawVocab.map(_._1).toIndexedSeq)(
+          org.apache.spark.sql.Encoders.STRING).toDF("bg")
         val tgtCounts = tgt.select(explode(bigramsCol).as("bg"))
-          .filter(element_at(vocabKeys, col("bg")).isNotNull)
+          .join(broadcast(vocabKeys), Seq("bg"), "left_semi")
           .groupBy("bg").agg(count(lit(1)).as("c"))
           .collect().map(r => r.getString(0) -> r.getLong(1))
         val tTot = tgt.agg(coalesce(sum(size(bigramsCol).cast("long")), lit(0L)))
@@ -1325,8 +1356,10 @@ object TextQueries {
 
   /** The (n_feats, dsir_q6) scoring columns over a `text` column —
     * shared by the batch query, the resampling step, and the streaming
-    * twin. Stateless by construction (the trained distributions are
-    * LITERAL maps baked into the plan, exactly like [[perplexityCols]]),
+    * twin. Stateless by construction (the trained distributions are a
+    * driver-precomputed model shipped READ-ONLY via Broadcast, the
+    * [[perplexityCols]] transport — valid for the session's lifetime,
+    * so every microbatch of the streaming twin reads the same table),
     * which is what makes the stream==batch parity hold trivially. */
   private[graft] def dsirCols(s: SparkSession, dir: String): (Column, Column) = {
     graft.plans.GraftExtensions.register(s)
@@ -1336,11 +1369,16 @@ object TextQueries {
     // 50k-entry literal map is an O(|vocab|) LINEAR scan per bigram —
     // 47 s for 50k docs at sf1, hidden from count-shaped benches by
     // column pruning until the resampling checkpoint surfaced it.
-    // graft_dsir_score precomputes each key's quantized contribution
-    // once (bit-identical arithmetic — LmScoresSpec pins kernel == HOF
-    // on the real corpus) and scores via hash lookups.
-    val w = call_function("graft_dsir_score", toks, typedlit(ct), typedlit(cr),
-      lit((rTot + v).toDouble), lit((tTot + v).toDouble))
+    // The kernel precomputes each key's quantized contribution once
+    // (bit-identical arithmetic — LmScoresSpec pins kernel == HOF on
+    // the real corpus) and scores via hash lookups; r16: the model
+    // ships via Broadcast (see [[modelBroadcast]]).
+    val bc = modelBroadcast(s, "dsir", dir, LmVocabCap)(
+      graft.plans.LmScores.dsirModel(ct, cr,
+        (rTot + v).toDouble, (tTot + v).toDouble))
+    val w = org.apache.spark.sql.graftshim.GraftColumn.of(
+      graft.plans.LmScores.DsirScoreBcast(
+        org.apache.spark.sql.graftshim.GraftColumn.expr(toks), bc))
     val nFeats = when(size(toks) >= 2, size(toks) - 1).otherwise(0).cast("long")
     (nFeats, w)
   }
@@ -1363,10 +1401,13 @@ object TextQueries {
     // Materialize the 16-byte-per-doc scored projection BEFORE the rank:
     // descRank's plan references its input from several branches
     // (bounds agg, shard counts, the main window), and each branch
-    // would otherwise re-ship the two 50k-entry literal score maps
-    // through every stage — measured 89 s at sf1 un-checkpointed vs
-    // ~the weights query's cost with the checkpoint. The checkpoint is
-    // the scored RELATION (corpus-linear, 2 longs/doc), not the corpus.
+    // would otherwise re-run the scoring scan (and, pre-r16, re-ship
+    // the two 50k-entry literal score maps through every stage —
+    // measured 89 s at sf1 un-checkpointed vs ~the weights query's
+    // cost with the checkpoint; the maps now ride a once-per-executor
+    // Broadcast, but the recompute itself still pays). The checkpoint
+    // is the scored RELATION (corpus-linear, 2 longs/doc), not the
+    // corpus.
     val scored = docs(s, dir).select(col("doc_id"), w.as("dsir_q6"))
       .localCheckpoint(false)
     val k = math.max(1L,

@@ -61,6 +61,31 @@ class LmScoresSpec extends SparkSpecBase {
     assert(d.select(nll.as("n")).filter(col("n") =!= 0L).count() > 0)
   }
 
+  test("broadcast transport == literal-children kernels (both models)") {
+    // r16: the query layer ships the models via Broadcast
+    // (LmNllBcast/DsirScoreBcast); the literal forms stay registered
+    // for SQL. Both resolve through the same model builders — pinned
+    // here end to end on the real corpus.
+    graft.plans.GraftExtensions.register(spark)
+    val toks = split(col("text"), " ")
+    val (ct, cr, v, tTot, rTot) =
+      TextQueries.dsirCountsCapped(spark, dir, TextQueries.LmVocabCap)
+    val dsirLit = call_function("graft_dsir_score", toks, typedlit(ct),
+      typedlit(cr), lit((rTot + v).toDouble), lit((tTot + v).toDouble))
+    val (_, dsirBc) = TextQueries.dsirCols(spark, dir)
+    val (c2, c1, vocabN) =
+      TextQueries.lmCountsCapped(spark, dir, TextQueries.LmVocabCap)
+    val nllLit = call_function("graft_lm_nll", toks, typedlit(c2),
+      typedlit(c1), lit(vocabN.toDouble))
+    val (_, nllBc) = TextQueries.perplexityCols(spark, dir)
+    val d = Catalog.table(spark, dir, "documents")
+    val diff = d.select(col("doc_id"), dsirLit.as("dl"), dsirBc.as("db"),
+        nllLit.as("nl"), nllBc.as("nb"))
+      .filter(col("dl") =!= col("db") || col("nl") =!= col("nb"))
+    assert(diff.isEmpty,
+      s"broadcast != literal on: ${diff.limit(5).collect().mkString(", ")}")
+  }
+
   test("kernels handle edge rows: <2 tokens and fully-OOV text") {
     graft.plans.GraftExtensions.register(spark)
     val (nf, w) = TextQueries.dsirCols(spark, dir)

@@ -166,7 +166,7 @@ class PlanQualitySpec extends SparkSpecBase {
       "keeper must not explode shingles into an inverted index")
   }
 
-  test("text_perplexity: scoring is scan-local — literal count maps, zero corpus shuffle") {
+  test("text_perplexity: scoring is scan-local — broadcast model, zero corpus shuffle") {
     val df = graft.queries.TextQueries.perplexity(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
@@ -178,12 +178,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), "scoring must be join-free (map literals)")
   }
 
-  test("text_dsir_weights: scoring is scan-local — literal ratio maps, zero corpus shuffle") {
+  test("text_dsir_weights: scoring is scan-local — broadcast model, zero corpus shuffle") {
     val df = graft.queries.TextQueries.dsirWeights(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // both distributions re-enter the plan as literal maps (the
-    // perplexity pattern), so scoring is scan → project → sort
+    // both distributions reach the scan through a once-per-executor
+    // Broadcast (the perplexity pattern), so scoring is scan → project → sort
     assert(!p.contains("Exchange hashpartitioning"),
       s"dsir scoring must not shuffle the corpus:\n${p.take(1500)}")
     assert(!p.contains("Join"), "scoring must be join-free (map literals)")
