@@ -1205,6 +1205,55 @@ object SimilarityFunctions {
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
   }
 
+  /** PORTABLE-oracle ANN top-k (r15 verdict item 3): the same
+    * multi-table + multiprobe candidate generation as [[annLshTopK]],
+    * with every engine-side shortcut that a DuckDB oracle cannot
+    * replay REMOVED — no fingerprint-ranked candidate cap (every
+    * candidate is exact-scored), buckets from the deterministic
+    * literal-plane family ([[planeComponent]], the generator
+    * `dedup_cosine_pairs` already hash-matches through), cosine as the
+    * same sequential fold both engines replay bitwise. Candidates are
+    * a hash JOIN on (table, probed bucket) — the probe relation is
+    * queries × tables × C(planes, ≤probeHamming) masks, broadcast —
+    * then exact cosine + a per-query row_number. This is the
+    * ORACLE-GATE tier of the ANN family: the first end-to-end
+    * hash-checked ANN top-k (candidate generation AND ranking), with
+    * the capped/auto/IVF tiers as the declared scale paths (the cap is
+    * precisely what makes per-query cost corpus-independent, and
+    * precisely what an oracle can't see — here the per-bucket verify
+    * budget is bounded by occupancy × tables × probes instead). */
+  def annLshTopKPortable(queries: DataFrame, candidates: DataFrame, k: Int,
+                         nTables: Int, planesPerTable: Int,
+                         probeHamming: Int): DataFrame = {
+    val cv = cosinePrep(candidates)
+    val qv = cosinePrep(queries)
+    def keyed(v: DataFrame, id: String): DataFrame = v
+      .withColumn("bks", call_function("graft_lsh_buckets",
+        col("e"), lit(0), lit(planesPerTable), lit(nTables)))
+      .select(col("vec_id").as(id), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    // C(planes, 0..h) flip masks — the annLshTopK multiprobe, mirrored
+    // literally in the oracle SQL (each mask is an integer literal)
+    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
+      (0 until planesPerTable).combinations(h)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+    val probes = keyed(qv, "qid").select(col("qid"), col("tbl"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cand = keyed(cv, "cid").join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    cand
+      .join(broadcast(qv.select(col("vec_id").as("qid"),
+        col("e").as("qe"), col("n").as("qn"))), "qid")
+      .join(cv.select(col("vec_id").as("cid"),
+        col("e").as("ce"), col("n").as("cn")), "cid")
+      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+  }
+
   /** [[annLshTopK]] with the per-table plane count wired to the corpus
     * size via [[autoPlanes]] — declared as `ann_lsh_topk_auto` (the
     * scale tier; the literal-8 key stays as the gate-SF anchor, which

@@ -1061,6 +1061,71 @@ object SimilarityQueries {
         (col("hits").cast("double") / col("brute_pairs").cast("double")).as("recall"))
   }
 
+  // --- ann_lsh_topk_portable: the ORACLE-GATE ANN tier (r15 item 3) ---
+  // The engine ANN keys are rows-only because their planes/centroids
+  // are engine-seeded — but cosine-LSH has no such blocker:
+  // dedup_cosine_pairs already proves the deterministic plane-literal
+  // generator makes a full LSH pipeline DuckDB-replayable. This key
+  // extends that to TOP-K: same 12-table × 8-plane × hamming-2
+  // multiprobe candidate generation as ann_lsh_topk, minus the
+  // fingerprint-ranked verify cap (the one step an oracle can't see),
+  // so candidate generation AND ranking are hash-checked end to end.
+  // The capped/auto/IVF tiers remain the declared scale paths — the
+  // cap is what bounds per-query cost at corpus scale; here the verify
+  // budget is occupancy × tables × probes, fine at the gate SFs and
+  // honest about what it is.
+  private val AnnPortTables = 12
+  private val AnnPortPlanes = 8
+  private val AnnPortProbe = 2
+
+  def annLshTopkPortable(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilarityFunctions.annLshTopKPortable(
+        e.filter(col("vec_id") % 100 === 0), e, 10,
+        nTables = AnnPortTables, planesPerTable = AnnPortPlanes,
+        probeHamming = AnnPortProbe)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Mirror of the engine plan, literal for literal: per table t the
+    * bucket is the sign fold over planes t·8+j (the exact
+    * [[SimilarityFunctions.planeComponent]] doubles — Double.toString
+    * round-trips, so DuckDB parses the identical IEEE value); probes
+    * XOR the C(8, ≤2) flip masks; exact cosine is the same sequential
+    * fold; the top-k window the same (score DESC, cid) tiebreak. */
+  val annLshTopkPortableSql: String = {
+    def planeDot(j: Int): String =
+      Det.sqlFoldChain(i => s"(e[$i] * ${SimilarityFunctions.planeComponent(j, i - 1)})", 64)
+    def bucketExpr(t: Int): String =
+      (0 until AnnPortPlanes).map { j =>
+        s"(CASE WHEN ${planeDot(t * AnnPortPlanes + j)} > 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val tableSelects = (0 until AnnPortTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM v"
+    }.mkString("\n  UNION ALL ")
+    val masks: Seq[Long] = (0 to AnnPortProbe).flatMap(h =>
+      (0 until AnnPortPlanes).combinations(h)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+    val dot = Det.sqlFoldChain(i => s"(vq.e[$i] * vc.e[$i])", 64)
+    val nq = Det.sqlFoldChain(i => s"(vq.e[$i] * vq.e[$i])", 64)
+    val nc = Det.sqlFoldChain(i => s"(vc.e[$i] * vc.e[$i])", 64)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |k AS (
+       |  $tableSelects),
+       |p AS (SELECT k.vec_id AS qid, k.tbl, xor(k.bucket, mm.m) AS bucket
+       |      FROM k CROSS JOIN (SELECT unnest([${masks.mkString(", ")}]) AS m) mm
+       |      WHERE k.vec_id % 100 = 0),
+       |cand AS (SELECT DISTINCT p.qid, c.vec_id AS cid
+       |         FROM p JOIN k c ON c.tbl = p.tbl AND c.bucket = p.bucket
+       |                        AND c.vec_id <> p.qid),
+       |s AS (SELECT qid, cid, $dot / (sqrt($nq) * sqrt($nc)) AS score
+       |      FROM cand JOIN v vq ON vq.vec_id = qid JOIN v vc ON vc.vec_id = cid)
+       |SELECT qid, cid, score, CAST(rn AS INTEGER) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM s)
+       |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Same recall artifact for the IVF tier: wide probing (nprobe=12 of
     * k=16 cells) generates id-only candidates, 256-bit sign
     * fingerprints rank them, and only 512/query reach exact scoring —
@@ -1423,6 +1488,7 @@ object SimilarityQueries {
     "dedup_simhash_docs" -> (dedupSimhashDocs _),
     "dedup_simhash_wide" -> (dedupSimhashWide _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_lsh_topk_portable" -> (annLshTopkPortable _),
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_lsh_topk_auto" -> (annLshTopkAuto _),
     "ann_lsh_recall_auto" -> (annLshRecallAuto _),
@@ -1451,7 +1517,8 @@ object SimilarityQueries {
     "dedup_cosine_pairs" -> dedupCosinePairsSql,
     "dedup_cosine_keeper" -> dedupCosineKeeperSql,
     "sim_topk_embeddings" -> simTopkEmbeddingsSql,
-    "sim_topk_native" -> simTopkEmbeddingsSql) // same oracle: bitwise-equal path
-    // minhash/simhash/ann/hll: engine-specific hashes or sketches ->
-    // rows-only here, accuracy asserted in SimilaritySpec
+    "sim_topk_native" -> simTopkEmbeddingsSql, // same oracle: bitwise-equal path
+    "ann_lsh_topk_portable" -> annLshTopkPortableSql)
+    // minhash/simhash/remaining ann/hll: engine-specific hashes or
+    // sketches -> rows-only here, accuracy asserted in SimilaritySpec
 }

@@ -500,6 +500,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ann_lsh_topk_portable: recall@10 >= 0.9 vs brute force at the gate SFs") {
+    // The oracle-gate tier drops the fingerprint-ranked verify cap (the
+    // one step DuckDB can't replay), so it keeps the full ~0.98+
+    // candidate-generation recall of the hamming-2 multiprobe — the
+    // floor pins that it stays a real ANN, not just an oracle artifact.
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val q = e.filter($"vec_id" % 100 === 0)
+      val brute = cosineTopK(q, e, 10).select("qid", "cid")
+      val port = graft.queries.SimilarityQueries.annLshTopkPortable(spark, dir)
+        .select("qid", "cid")
+      val hits = port.join(brute, Seq("qid", "cid")).count()
+      val recall = hits.toDouble / brute.count()
+      assert(recall >= 0.9, s"portable ANN recall degraded at $dir: $recall")
+    }
+  }
+
   test("ANN LSH: identical vector is always found; recall vs brute force is sane") {
     // 40 random-ish deterministic vectors + exact duplicate of query
     val rnd = new scala.util.Random(7)
