@@ -142,6 +142,11 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (the bucketed capability sinks) land under
+      // target/ with the other run artifacts, not in a cwd-level
+      // spark-warehouse directory
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/spark-warehouse").getAbsolutePath)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

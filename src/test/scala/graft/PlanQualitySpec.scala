@@ -45,6 +45,50 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(plan(CoreQueries.antijoinMissing(spark, dir)).contains("LeftAnti"))
   }
 
+  test("join_bucketed_colocated: zero hash Exchange with broadcast disabled") {
+    // the declared key's whole point: same-key bucketing makes the
+    // join AND the aggregation shuffle-free. Broadcast is disabled so
+    // the plan must prove co-location, not hide behind a broadcast of
+    // the small fixture (the BucketedJoinSpec assertion, moved onto
+    // the declared key per the r15 verdict).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = CoreQueries.joinBucketedColocated(spark, dir)
+      df.collect() // finalize AQE
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg must not shuffle:\n${p.take(2000)}")
+      assert(p.contains("Bucketed: true"), "scans must read as bucketed")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("scan_partition_pruned: only the matching partition's files are read") {
+    // inputFiles lists the whole FileIndex, so the proof lives on the
+    // executed scan: its PartitionFilters carry the status predicate
+    // and its numFiles metric counts the files actually read
+    // AQE wraps the executed plan in query-stage shells that hide the
+    // scan node from collectLeaves — disable it for this one guard so
+    // the FileSourceScanExec (and its metrics) are directly reachable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = CoreQueries.scanPartitionPruned(spark, dir)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in the plan"))
+    assert(scan.toString.contains("PartitionFilters") &&
+      scan.toString.contains("o_orderstatus"),
+      s"status filter must prune partitions, not scan rows:\n${scan.toString.take(1200)}")
+    val read = scan.metrics("numFiles").value
+    val all = spark.read.parquet(CoreQueries.CapabilitySinks.partPath(dir))
+      .inputFiles.length
+    assert(read > 0 && read < all,
+      s"pruning must drop files: read $read of $all")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("similarity probe side is broadcast, candidates stream") {
     // assert on the brute KERNEL, not the query: simTopkEmbeddings
     // serves the session memo (a LocalTableScan on later calls — by
