@@ -54,7 +54,8 @@ object ProfileQueries {
     * per-column rows. Package-visible for ProfileSpec's null-handling
     * fixture. */
   private[graft] def profileOne(df: DataFrame, tbl: String,
-                                cols: Seq[(String, String)]): DataFrame = {
+                                cols: Seq[(String, String)],
+                                approxDistinct: Boolean = false): DataFrame = {
     val specs = cols.map { case (n, k) => ColSpec(n, k) }
     val aggs: Seq[Column] = count(lit(1)).as("__rows") +: specs.flatMap { c =>
       val v = detView(c)
@@ -63,8 +64,12 @@ object ProfileQueries {
       // text instead of whole documents (the dedup_exact_digest
       // precedent — DuckDB computes the identical md5)
       val dv = if (c.kind == "str") md5(col(c.name).cast("binary")) else v
+      // sketch tier: HLL++ registers instead of the Expand rewrite's
+      // exact distinct — the per-column shuffle payload becomes a
+      // CONSTANT-size sketch, so the whole profile is scan-bound
+      val nd = if (approxDistinct) approx_count_distinct(dv) else countDistinct(dv)
       Seq(count(v).as(s"${c.name}__nn"),
-        countDistinct(dv).as(s"${c.name}__nd"),
+        nd.as(s"${c.name}__nd"),
         min(v).cast("string").as(s"${c.name}__min"),
         max(v).cast("string").as(s"${c.name}__max")) ++
         (if (c.kind == "str") Seq(sum(length(col(c.name))).as(s"${c.name}__len"))
@@ -92,6 +97,22 @@ object ProfileQueries {
         docCols.map(c => (c.name, c.kind)))
       .union(profileOne(Catalog.table(s, dir, "orders"), "orders",
         orderCols.map(c => (c.name, c.kind))))
+      .orderBy("tbl", "col_name")
+
+  /** The SKETCH tier of the profiler — the declared 100 TB path the
+    * exact tier's doc points at (r15 verdict item 5): the identical
+    * one-scan-per-table shape with approx_count_distinct (HLL++) over
+    * the same md5 digests, so the multi-distinct Expand's per-column
+    * shuffle payload collapses from one row per distinct digest to a
+    * constant-size register set and the profile stays scan-bound at
+    * any corpus size. Rows-only by nature (HLL register merges are
+    * engine-specific); ProfileSpec pins every estimate within 10% of
+    * the exact tier's oracle-checked counts at the gate SF. */
+  def profileTablesApprox(s: SparkSession, dir: String): DataFrame =
+    profileOne(Catalog.table(s, dir, "documents"), "documents",
+        docCols.map(c => (c.name, c.kind)), approxDistinct = true)
+      .union(profileOne(Catalog.table(s, dir, "orders"), "orders",
+        orderCols.map(c => (c.name, c.kind)), approxDistinct = true))
       .orderBy("tbl", "col_name")
 
   private def armSql(tbl: String, c: ColSpec): String = {
@@ -182,7 +203,10 @@ object ProfileQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_tables" -> (profileTables _),
+    "profile_tables_approx" -> (profileTablesApprox _),
     "profile_histogram" -> (profileHistogram _))
+    // profile_tables_approx: HLL sketch counts -> rows-only; the 10%
+    // bound vs the exact tier is pinned in ProfileSpec
 
   def oracle: Map[String, String] = Map(
     "profile_tables" -> profileTablesSql,

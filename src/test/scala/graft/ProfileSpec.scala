@@ -46,6 +46,30 @@ class ProfileSpec extends SparkSpecBase {
     assert(out.forall(_.getLong(2) > 0))
   }
 
+  test("sketch tier: every approx distinct within 10% of the exact tier") {
+    val dir = Catalog.testdataSfDirs.head
+    val exact = ProfileQueries.profileTables(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val approx = ProfileQueries.profileTablesApprox(spark, dir).collect()
+    assert(approx.length == exact.size) // same rows, same total order
+    approx.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val e = exact(key).toDouble
+      val a = r.getLong(4).toDouble
+      // HLL++ at the default rsd 0.05 — 10% is a 2-sigma-ish bound the
+      // fixture's cardinalities (3..9549) clear with margin
+      assert(math.abs(a - e) <= 0.10 * math.max(e, 1.0),
+        s"approx distinct off at $key: exact=$e approx=$a")
+    }
+    // the non-sketch metrics are IDENTICAL to the exact tier
+    val exactRest = ProfileQueries.profileTables(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(5), r.getString(6))).toSeq
+    val approxRest = approx.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getString(5), r.getString(6))).toSeq
+    assert(approxRest == exactRest)
+  }
+
   test("histOne: exact bin edges, constant column, and count conservation") {
     import org.apache.spark.sql.functions.col
     // range 0..31, B=16 → bins of width exactly 2: v=0,1→bin 0; 30,31→bin 15
