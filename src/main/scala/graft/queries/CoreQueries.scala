@@ -686,9 +686,24 @@ object CoreQueries {
     }
     def bucketTable(dir: String, tbl: String): String =
       s"graft_b_${tbl}_${sfName(dir)}".replaceAll("[^A-Za-z0-9_]", "_")
+    // A fresh JVM's in-memory catalog has forgotten the table, but its
+    // warehouse directory survives from the previous session — and
+    // saveAsTable then refuses with LOCATION_ALREADY_EXISTS (the CREATE
+    // path, not an overwrite of a known table). Drop both the catalog
+    // entry and any stale location before writing.
+    private def resetTable(s: SparkSession, name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      val loc = new java.io.File(wh, name)
+      if (loc.exists()) rm(loc)
+    }
     def ensureBucketed(s: SparkSession, dir: String): Unit = synchronized {
       if (doneBuck.contains(dir)) return
       claim(dir)
+      Seq("orders", "customer").foreach(t => resetTable(s, bucketTable(dir, t)))
       graft.sources.Sources.writeBucketed(Catalog.table(s, dir, "orders"),
         bucketTable(dir, "orders"), 8, Seq("o_custkey"))
       graft.sources.Sources.writeBucketed(Catalog.table(s, dir, "customer"),
