@@ -421,6 +421,73 @@ object SimilarityQueries {
        |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  // --- sim_topk_quantized: int8-quantized similarity (bandwidth tier) --
+  // The embedding-quantization operator every vector pipeline runs at
+  // scale: 64 float32 components/vector is the SCAN and SHUFFLE budget
+  // of every similarity pass, and symmetric int8 quantization cuts it
+  // 4x (the standard scalar-quantization tier below product
+  // quantization). Quantize once at ingest — q = round(x / m * 127)
+  // with ONE global scale m = max |component| (a map-side-combined agg,
+  // exact) — then rank by quantized cosine. Everything stays
+  // oracle-exact: the quantized components are small integers (the
+  // round(,0)-parity the q6 kernels established), dots and squared
+  // norms are exact integer sums (order-independent), and the only
+  // float steps are sqrt/divide of exact values — IEEE-identical in
+  // DuckDB. Zero-norm vectors (fully quantized away) are excluded on
+  // BOTH sides rather than risking cross-engine NaN ordering.
+  // Recall@10 vs the float brute tier is spec-pinned; the brute shape
+  // (broadcast queries, scan-bound candidates) is sim_topk's.
+  private val QuantScaleBits = 127
+
+  def simTopkQuantized(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val de = SimilarityFunctions.toDoubleArr(col("embedding"))
+    val scale = e.agg(max(aggregate(de, lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))).as("m"))
+    val sqNorm = (v: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(v, lit(0L), (acc, x) => acc + (x * x).cast("long")).cast("double"))
+    val q = e.crossJoin(broadcast(scale))
+      .select(col("vec_id"),
+        transform(de, x => round(x / col("m") * QuantScaleBits, 0).cast("int")).as("qv"))
+      .withColumn("nrm", sqNorm(col("qv")))
+      .filter(col("nrm") > 0.0)
+    val qq = q.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("qv").as("qe"), col("nrm").as("qn"))
+    val c = q.select(col("vec_id").as("cid"), col("qv").as("ce"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    c.join(broadcast(qq), col("qid") =!= col("cid"))
+      .withColumn("dot", aggregate(zip_with(col("qe"), col("ce"),
+        (a, b) => (a * b).cast("long")), lit(0L), _ + _))
+      .withColumn("score", col("dot").cast("double") / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val simTopkQuantizedSql: String = {
+    val sq = "list_transform(e, x -> CAST(round(x / m * 127, 0) AS INTEGER))"
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |mm AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS m FROM v),
+       |q0 AS (SELECT vec_id, $sq AS qv FROM v CROSS JOIN mm),
+       |q AS (SELECT vec_id, qv,
+       |        sqrt(CAST(CAST(list_sum(list_transform(qv,
+       |          x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS DOUBLE)) AS nrm
+       |      FROM q0)
+       |SELECT qid, cid, score, CAST(rn AS INTEGER) AS rnk FROM (
+       |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |    CAST(CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(a.qv[i] AS BIGINT) * b.qv[i])) AS BIGINT) AS DOUBLE)
+       |      / (a.nrm * b.nrm) AS score,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |                       ORDER BY CAST(CAST(list_sum(list_transform(range(1, 65),
+       |                           i -> CAST(a.qv[i] AS BIGINT) * b.qv[i])) AS BIGINT) AS DOUBLE)
+       |                         / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+       |  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 100 = 0 AND a.nrm > 0.0 AND b.nrm > 0.0)
+       |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   // --- embedding-cosine near-dup pairs (candidate-then-verify) ---------
   /** LSH parameters for the cosine near-dup pair query. 4 tables × 8
     * planes and τ=0.35 are tuned to the fixture: the corpus embeddings
@@ -1484,6 +1551,7 @@ object SimilarityQueries {
     "dedup_cosine_keeper" -> (dedupCosineKeeper _),
     "sim_topk_embeddings" -> (simTopkEmbeddings _),
     "sim_topk_native" -> (simTopkNative _),
+    "sim_topk_quantized" -> (simTopkQuantized _),
     "dedup_minhash_docs" -> (dedupMinhashDocs _),
     "dedup_simhash_docs" -> (dedupSimhashDocs _),
     "dedup_simhash_wide" -> (dedupSimhashWide _),
@@ -1518,6 +1586,7 @@ object SimilarityQueries {
     "dedup_cosine_keeper" -> dedupCosineKeeperSql,
     "sim_topk_embeddings" -> simTopkEmbeddingsSql,
     "sim_topk_native" -> simTopkEmbeddingsSql, // same oracle: bitwise-equal path
+    "sim_topk_quantized" -> simTopkQuantizedSql,
     "ann_lsh_topk_portable" -> annLshTopkPortableSql)
     // minhash/simhash/remaining ann/hll: engine-specific hashes or
     // sketches -> rows-only here, accuracy asserted in SimilaritySpec

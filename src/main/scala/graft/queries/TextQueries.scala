@@ -239,6 +239,83 @@ object TextQueries {
        |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
        |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin
 
+  // --- text_span_clean: the REMOVAL step of substring-level dedup -----
+  // text_dup_spans DETECTS repeated passages; this op actually scrubs
+  // them (the Lee et al. 2022 removal step): every SpanW-token window
+  // whose text already occurs in an EARLIER document (global first-doc
+  // keeper — min doc_id per span, the text_paragraph_clean rule) is
+  // removed from the later documents, overlapping windows unioned, and
+  // the document reassembled from its surviving tokens. The keeper doc
+  // keeps all its occurrences (you must keep one copy); within-doc-only
+  // repeats are untouched (cross-doc df is the scrub signal, matching
+  // the detector).
+  //
+  // Scale shape: same budget as the detector — linear window explode,
+  // ONE map-side-combined MIN per span (no window), flagged starts
+  // re-aggregate per doc (bounded by one document's length, the
+  // coverage-window bound), one hash join back to the corpus. Token
+  // filtering/reassembly is a scan-local HOF over the kept positions.
+  // At 100 TB the span key is the 8-byte xxhash64
+  // (text_dup_spans_hashed precedent); the declared key keeps strings
+  // so the whole pipeline — detection, keeper, coverage, reassembly —
+  // hash-matches DuckDB (output md5 of every cleaned document).
+  def spanClean(s: SparkSession, dir: String): DataFrame =
+    spanCleanOver(docs(s, dir), SpanW)
+
+  private[graft] def spanCleanOver(d: DataFrame, w: Int): DataFrame = {
+    val toks = col("toks")
+    val posSpans = when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => array_join(slice(toks, i, lit(w)), " ")))
+    val sp = d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(posSpans).as(Seq("p", "span")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("span"))
+      .localCheckpoint(false) // feeds the keeper agg AND the flag join
+    val firstDoc = sp.groupBy("span").agg(min(col("doc_id")).as("first_doc"))
+    val flagged = sp.join(firstDoc, "span")
+      .filter(col("doc_id") > col("first_doc"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("i"))).as("starts"))
+    val t2 = split(col("text"), " ")
+    // unified path for flagged and clean docs (starts = [] keeps all
+    // positions): both engines REASSEMBLE every document, so the md5
+    // compares rejoined text with rejoined text
+    val starts0 = coalesce(col("starts"), array().cast("array<int>"))
+    val kept = filter(sequence(lit(1), size(t2)),
+      p => !exists(starts0, i => i <= p && p <= i + (w - 1)))
+    d.join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(t2).cast("long").as("n_tokens"),
+        (size(t2) - size(kept)).cast("long").as("n_removed"),
+        md5(concat_ws(" ",
+          transform(kept, p => element_at(t2, p))).cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val spanCleanSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |         list_aggregate(l[i:i+${SpanW - 1}], 'string_agg', ' ') AS span
+       |       FROM d, unnest(range(1, len(l) - ${SpanW - 2})) AS t(i)
+       |       WHERE len(l) >= $SpanW),
+       |own AS (SELECT span, min(doc_id) AS first_doc FROM sp GROUP BY span),
+       |fl AS (SELECT s.doc_id, list_sort(list(DISTINCT s.i)) AS starts
+       |       FROM sp s JOIN own o USING (span)
+       |       WHERE s.doc_id > o.first_doc
+       |       GROUP BY s.doc_id),
+       |k AS (SELECT d.doc_id, d.l,
+       |        CAST(len(d.l) AS BIGINT) AS n_tokens,
+       |        list_filter(range(1, len(d.l) + 1),
+       |          p -> len(list_filter(COALESCE(fl.starts, []),
+       |                 i -> i <= p AND p <= i + ${SpanW - 1})) = 0) AS kept
+       |      FROM d LEFT JOIN fl USING (doc_id))
+       |SELECT doc_id, n_tokens,
+       |  n_tokens - CAST(len(kept) AS BIGINT) AS n_removed,
+       |  md5(COALESCE(array_to_string(list_transform(kept, p -> l[p]), ' '), ''))
+       |    AS clean_md5
+       |FROM k ORDER BY doc_id""".stripMargin
+
   // --- text_shard_plan: content-hash sharding for training output -----
   // The last step before a corpus ships: deterministic assignment of
   // every document to one of N output shards, plus the per-shard
@@ -1580,6 +1657,7 @@ object TextQueries {
     "text_langid" -> (langid _),
     "text_dup_spans" -> (dupSpans _),
     "text_dup_spans_hashed" -> (dupSpansHashed _),
+    "text_span_clean" -> (spanClean _),
     "text_mix_sample" -> (mixSample _),
     "text_dsir_weights" -> (dsirWeights _),
     "text_dsir_sample" -> (dsirSample _),
@@ -1607,6 +1685,7 @@ object TextQueries {
     "text_langid" -> langidSql,
     "text_dup_spans" -> dupSpansSql,
     "text_dup_spans_hashed" -> dupSpansSql, // same relation, 8-byte-keyed path
+    "text_span_clean" -> spanCleanSql,
     "text_mix_sample" -> mixSampleSql,
     "text_dsir_weights" -> dsirSql,
     "text_dsir_sample" -> dsirSampleSql,

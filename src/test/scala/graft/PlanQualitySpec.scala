@@ -89,6 +89,16 @@ class PlanQualitySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("text_span_clean: MIN-agg keeper + hash joins — no window, no BNLJ/cartesian") {
+    val df = graft.queries.TextQueries.spanClean(spark, dir)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"span clean must never cross:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      s"the keeper is a map-side MIN agg, not a window:\n${p.take(1500)}")
+  }
+
   test("similarity probe side is broadcast, candidates stream") {
     // assert on the brute KERNEL, not the query: simTopkEmbeddings
     // serves the session memo (a LocalTableScan on later calls — by

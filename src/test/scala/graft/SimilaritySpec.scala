@@ -500,6 +500,24 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("sim_topk_quantized: int8 tier recall@10 >= 0.9 vs the float brute tier") {
+    // symmetric int8 quantization (q = round(x/m*127), one global
+    // scale) costs ~1/255 of the value range per component — at 64
+    // dims the cosine perturbation is far inside the fixture's
+    // neighbor gaps, so the 4x-smaller tier must keep the float
+    // ranking almost exactly
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Catalog.table(spark, dir, "embeddings")
+      val q = e.filter($"vec_id" % 100 === 0)
+      val brute = cosineTopK(q, e, 10).select("qid", "cid")
+      val quant = graft.queries.SimilarityQueries.simTopkQuantized(spark, dir)
+        .select("qid", "cid")
+      val hits = quant.join(brute, Seq("qid", "cid")).count()
+      val recall = hits.toDouble / brute.count()
+      assert(recall >= 0.9, s"quantized recall degraded at $dir: $recall")
+    }
+  }
+
   test("ann_lsh_topk_portable: recall@10 >= 0.9 vs brute force at the gate SFs") {
     // The oracle-gate tier drops the fingerprint-ranked verify cap (the
     // one step DuckDB can't replay), so it keeps the full ~0.98+

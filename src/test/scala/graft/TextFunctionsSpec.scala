@@ -73,6 +73,27 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(got == List((1L, 6L, 2L, 4L, 4.0 / 6.0), (2L, 5L, 2L, 4L, 4.0 / 5.0)), got.toString)
   }
 
+  test("span clean: later docs lose the cross-doc passage; keeper and self-repeats untouched") {
+    // w=3, same planted shape as the detector fixture: docs 1/2 share
+    // "p q r s" (keeper = doc 1, so doc 2 loses positions 1-4 and
+    // keeps only "z"); doc 3 repeats a window only WITHIN itself (the
+    // cross-doc df signal must not fire); doc 4 is clean.
+    val df = Seq(
+      (1L, "a p q r s b"),
+      (2L, "p q r s z"),
+      (3L, "x y z x y z x y z"),
+      (4L, "m n o m2 n2 o2")).toDF("doc_id", "text")
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = graft.queries.TextQueries.spanCleanOver(df, 3)
+      .as[(Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (1L, 6L, 0L, m("a p q r s b")),
+      (2L, 5L, 4L, m("z")),
+      (3L, 9L, 0L, m("x y z x y z x y z")),
+      (4L, 6L, 0L, m("m n o m2 n2 o2"))), got.toString)
+  }
+
   test("mix sample: zh rate clamps at 1, downsampled langs land near target, kept is a subset") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = graft.queries.TextQueries.mixSample(spark, dir)
