@@ -200,9 +200,11 @@ object Bench {
       // keys' cold numbers price the read path
       val needsBucketed = selected.keys.exists(Set("join_bucketed_colocated"))
       val needsPartitioned = selected.keys.exists(Set("scan_partition_pruned"))
-      if (needsBucketed || needsPartitioned)
+      val needsZOrdered = selected.keys.exists(Set("scan_zorder_skipped"))
+      if (needsBucketed || needsPartitioned || needsZOrdered)
         try graft.queries.CoreQueries.prepareCapabilitySinks(spark, sfDir,
-          bucketed = needsBucketed, partitioned = needsPartitioned)
+          bucketed = needsBucketed, partitioned = needsPartitioned,
+          zordered = needsZOrdered)
         catch { case e: Throwable =>
           System.err.println(s"bench sink setup failed: ${e.getMessage}")
         }

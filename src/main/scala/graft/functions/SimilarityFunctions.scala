@@ -538,6 +538,27 @@ object SimilarityFunctions {
   private[graft] def simhashUseWide(nDocs: Long): Boolean =
     nDocs > SimhashNarrowMax
 
+  /** Corpus-size ceiling for the full inverted-index exact n-gram
+    * Jaccard tier of the declared `dedup_ngram_jaccard` key: above it
+    * the key switches to [[jaccardPairsNgramPrefix]] — the SAME exact
+    * relation (prefix filtering is complete by the pigeonhole theorem;
+    * SimilaritySpec pins equality on the real corpus AND on 60
+    * property-random corpora), so unlike the simhash crossover this
+    * auto-tier cannot change even one output row. The index tier's
+    * candidate space is Σ df² over ALL shingles, corpus-quadratic on
+    * small-vocab (adversarial) text: the sf1 rung (50k docs) measured
+    * it at 96–191 s across rounds vs 76 s for the prefix tier on the
+    * same data, and the gap widens with n. 2^13 keeps the gate-SF
+    * corpora (≤ 5000 docs) on the bit-identical index-tier anchor the
+    * ledger has pinned since r5, while every rung above runs the
+    * provably-equal prefix plan. */
+  private[graft] val NgramIndexMax: Long = 1L << 13
+
+  /** Tier selector for the declared exact-Jaccard key — split out so
+    * the spec can pin the crossover without a 8k-doc fixture. */
+  private[graft] def ngramUsePrefix(nDocs: Long): Boolean =
+    nDocs > NgramIndexMax
+
   /** Parameterized WIDE simhash fingerprint: `words` independent
     * 64-bit simhash words per document (native `graft_simhash_wide`
     * kernel — one scan-local pass; word w votes with hashes under

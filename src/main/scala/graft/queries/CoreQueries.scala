@@ -710,6 +710,19 @@ object CoreQueries {
         bucketTable(dir, "customer"), 8, Seq("c_custkey"))
       doneBuck += dir
     }
+    val zorderFiles = 16
+    def zorderPath(dir: String): String = s"$root/${sfName(dir)}/events_zorder"
+    private val doneZ = scala.collection.mutable.Set[String]()
+    def ensureZOrdered(s: SparkSession, dir: String): Unit = synchronized {
+      if (doneZ.contains(dir)) return
+      claim(dir)
+      val ev = Catalog.table(s, dir, "events").select(col("event_id"),
+        col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("day"))
+      graft.sources.Sources.writeZOrdered(ev, zorderPath(dir),
+        "user_id", "day", zorderFiles)
+      doneZ += dir
+    }
   }
 
   /** Co-located join through same-key bucketed tables: per-customer
@@ -752,14 +765,67 @@ object CoreQueries {
       |FROM orders WHERE o_orderstatus = 'F'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Z-order-pruned 2-D range scan through a Z-ordered sink (the last
+    * spec-only capability surfaced as a declared key — r16): events
+    * laid out on the Morton curve of (user_id, day), read back with a
+    * rectangle predicate on BOTH dimensions. A single-column sort
+    * prunes footer stats on one dimension and none on the other; the
+    * Z-layout skips most files on EACH (ZOrderSpec measures it;
+    * PlanQualitySpec guards the skip on this key's own sink). The
+    * oracle recomputes the same rectangle from the original events
+    * table — equality proves the clustered layout round-trips. */
+  def scanZorderSkipped(s: SparkSession, dir: String): DataFrame = {
+    CapabilitySinks.ensureZOrdered(s, dir)
+    s.read.parquet(CapabilitySinks.zorderPath(dir))
+      .filter(col("user_id").between(10, 15) && col("day").between(3, 5))
+      .select(col("event_id"), col("user_id"), col("day"))
+      .orderBy("event_id")
+  }
+
+  val scanZorderSkippedSql: String =
+    """SELECT event_id, user_id,
+      |  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+      |FROM events
+      |WHERE user_id BETWEEN 10 AND 15
+      |  AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 3 AND 5
+      |ORDER BY event_id""".stripMargin
+
+  /** Salted skew join as a declared key (same r16 motivation): the
+    * manual hot-key defense `SkewJoin.saltedEquiJoin` — big side gains
+    * a PK-derived salt in [0, 4), small side replicates ×4, the join
+    * fans each hot key across 4 reducers — run end to end on
+    * lineitem ⋈ supplier and rolled up per nation. Salting is
+    * result-invisible (SkewJoinSpec proves set equality), so the
+    * oracle is the PLAIN join+rollup; the salted shape (xxhash64-pmod
+    * salt in the join key) is guarded on this key in PlanQualitySpec. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Catalog.table(s, dir, "lineitem")
+    val supp = Catalog.table(s, dir, "supplier")
+    graft.operators.SkewJoin.saltedEquiJoin(
+        li, supp, Seq("l_suppkey" -> "s_suppkey"),
+        struct(col("l_orderkey"), col("l_linenumber")), factor = 4)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        Det.moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  val joinSkewSaltedSql: String =
+    s"""SELECT s_nationkey, count(*) AS n_items,
+       |  ${Det.sql.moneySum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   /** Bench session-setup hook for the capability layouts (the
     * prepareSessionDumps rule): the one-time physical writes are
     * attributed to `session_setup`, so the declared keys' cold numbers
     * price the READ path the capability exists for. */
   def prepareCapabilitySinks(s: SparkSession, dir: String,
-      bucketed: Boolean = true, partitioned: Boolean = true): Unit = {
+      bucketed: Boolean = true, partitioned: Boolean = true,
+      zordered: Boolean = false): Unit = {
     if (bucketed) CapabilitySinks.ensureBucketed(s, dir)
     if (partitioned) CapabilitySinks.ensurePartitioned(s, dir)
+    if (zordered) CapabilitySinks.ensureZOrdered(s, dir)
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -781,6 +847,8 @@ object CoreQueries {
     "multi_schema_union" -> (multiSchemaUnion _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
     "scan_partition_pruned" -> (scanPartitionPruned _),
+    "scan_zorder_skipped" -> (scanZorderSkipped _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "subset_orphans" -> (subsetOrphans _),
     "subset_counts" -> (subsetCounts _),
     "subset_star" -> (subsetStar _),
@@ -807,6 +875,8 @@ object CoreQueries {
     "multi_schema_union" -> multiSchemaUnionSql,
     "join_bucketed_colocated" -> joinBucketedColocatedSql,
     "scan_partition_pruned" -> scanPartitionPrunedSql,
+    "scan_zorder_skipped" -> scanZorderSkippedSql,
+    "join_skew_salted" -> joinSkewSaltedSql,
     "subset_orphans" -> subsetOrphansSql,
     "subset_counts" -> subsetCountsSql,
     "subset_delta_orphans" -> subsetDeltaOrphansSql,

@@ -205,12 +205,26 @@ object SimilarityQueries {
 
   // --- dedup_ngram_jaccard: trigram-shingle Jaccard near-dup ----------
   // Word TRIGRAMS as the set basis (vs dedup_jaccard_docs's unigram
-  // tier): order-sensitive, so only true near-dups survive — the whole
-  // corpus can run un-sampled because the shingle index's df² cost is
-  // structurally flat (SimilarityFunctions.jaccardPairsNgram scaladoc).
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    SimilarityFunctions.jaccardPairsNgram(docs(s, dir), 3, 0.4)
-      .orderBy("ida", "idb")
+  // tier): order-sensitive, so only true near-dups survive. Candidate
+  // plan AUTO-TIERED by footer-derived corpus size (r16 — the simhash
+  // crossover rule applied to the exact-Jaccard family): at or below
+  // SimilarityFunctions.NgramIndexMax docs, the full inverted-index
+  // self-join (the bit-identical gate-SF anchor); above it, the
+  // PPJoin prefix-filtered index — which by the pigeonhole theorem
+  // emits the IDENTICAL pair set (SimilaritySpec pins it), so this
+  // crossover is output-invisible and the single DuckDB oracle covers
+  // both plans. The index tier's Σ df² candidate space is corpus-
+  // quadratic on adversarial small-vocab text (sf1: 96–191 s measured
+  // across rounds vs 76 s prefix); the count is a parquet-footer
+  // metadata read, so plan construction stays job-free.
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs =
+      if (SimilarityFunctions.ngramUsePrefix(docCount(s, dir)))
+        SimilarityFunctions.jaccardPairsNgramPrefix(d, 3, 0.4)
+      else SimilarityFunctions.jaccardPairsNgram(d, 3, 0.4)
+    pairs.orderBy("ida", "idb")
+  }
 
   // --- dedup_ngram_prefix: the same relation, prefix-filtered ---------
   // EXACT tier #2 (AllPairs/PPJoin prefix filtering): identical output

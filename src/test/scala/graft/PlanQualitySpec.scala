@@ -89,6 +89,40 @@ class PlanQualitySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("scan_zorder_skipped: footer stats prune files on BOTH rectangle dimensions") {
+    // the Z-layout's whole point: the declared key's own sink must
+    // skip most files on EACH dimension of the rectangle predicate (a
+    // single-column sort would skip on one and scan all 16 on the
+    // other — ZOrderSpec measures that contrast; this guard pins the
+    // property on the DECLARED key's sink so a layout regression
+    // can't hide behind a still-correct answer). Measured at sf0.01
+    // (10k events) like ZOrderSpec: at sf0.001 each of the 16 files
+    // holds ~60 rows and per-file min/max spans most of either domain,
+    // so the skip property only emerges at the gate-SF file sizes.
+    val zdir = "/root/testdata/sf0.01"
+    CoreQueries.scanZorderSkipped(spark, zdir).collect()
+    val path = CoreQueries.CapabilitySinks.zorderPath(zdir)
+    def overlapping(column: String, lo: Long, hi: Long): Int =
+      graft.sources.Sources.footerLongStats(spark, path, column)
+        .count { case (mn, mx) => mx >= lo && mn <= hi }
+    val n = CoreQueries.CapabilitySinks.zorderFiles
+    val u = overlapping("user_id", 10, 15)
+    val d = overlapping("day", 3, 5)
+    assert(u <= n / 2, s"z-order user_id pruning too weak: $u/$n")
+    assert(d <= n / 2, s"z-order day pruning too weak: $d/$n")
+  }
+
+  test("join_skew_salted: the salt is IN the join key; rollup result matches the unsalted plan") {
+    val df = CoreQueries.joinSkewSalted(spark, dir)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(p.contains("__salt"),
+      s"salted join must key on (suppkey, salt):\n${p.take(1500)}")
+    assert(p.contains("xxhash64") && p.contains("pmod"),
+      s"big-side salt must be the deterministic xxhash64-pmod:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("text_span_clean: MIN-agg keeper + hash joins — no window, no BNLJ/cartesian") {
     val df = graft.queries.TextQueries.spanClean(spark, dir)
     df.collect() // finalize AQE

@@ -678,6 +678,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(declared == narrow)
   }
 
+  test("ngram-jaccard auto-tier: declared key is the index plan at gate SFs, prefix above the ceiling") {
+    // same crossover-pinning shape as the simhash selector — but this
+    // auto-tier is OUTPUT-INVISIBLE (prefix == index is a theorem,
+    // pinned above on the real corpus and on 60 random corpora), so
+    // only the selector arithmetic and the gate-SF plan choice need
+    // pinning here.
+    import graft.functions.SimilarityFunctions.{ngramUsePrefix, NgramIndexMax}
+    assert(NgramIndexMax == (1L << 13))
+    assert(!ngramUsePrefix(NgramIndexMax))
+    assert(ngramUsePrefix(NgramIndexMax + 1))
+    assert(!ngramUsePrefix(5000))  // largest gate-SF corpus (sf0.1)
+    assert(ngramUsePrefix(50000))  // sf1 rung: index measured 96-191 s vs 76 s prefix
+    // at a gate SF the declared key IS the inverted-index tier's rows
+    val d = Catalog.table(spark, "/root/testdata/sf0.001", "documents")
+    val declared = graft.queries.SimilarityQueries
+      .dedupNgramJaccard(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().toSeq
+    val index = jaccardPairsNgram(d, 3, 0.4)
+      .orderBy("ida", "idb").as[(Long, Long, Double)].collect().toSeq
+    assert(declared == index)
+  }
+
   test("wide simhash bands: occupancy stays near-singleton where 16-bit words saturate") {
     // the knob's occupancy claim, measured on the band relations
     // themselves: synthetic small-vocab corpora (the adversarial case —
