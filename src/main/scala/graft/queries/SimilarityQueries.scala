@@ -1362,6 +1362,83 @@ object SimilarityQueries {
        |FROM n GROUP BY norm_md5 HAVING count(*) > 1
        |ORDER BY keep_id""".stripMargin
 
+  // --- dedup_incremental: ingest-batch dedup against the corpus -------
+  // The shape a continuously-growing corpus actually runs: the store is
+  // already deduped; each INGEST BATCH must be checked (a) against the
+  // store and (b) against itself, without ever re-deduping the store.
+  // The fixture corpus is unique, so the batch is synthesized
+  // deterministically (mirrored in the oracle) with all three outcomes
+  // planted: every 3rd doc re-enters with a fresh suffix (genuinely
+  // new -> kept), every 6th ALSO re-enters that same fresh text under
+  // a second id (intra-batch dup -> dup_in_batch), every 4th re-enters
+  // verbatim and every 9th as the messy rendering (both -> dup_of_corpus;
+  // the messy one is caught only through normalization — raw digests
+  // would pass it).
+  //
+  // Scale shape (the decontaminate rule applied to dedup): the batch is
+  // small by construction, the corpus is the 100 TB side — so the
+  // BATCH's distinct digests broadcast, the corpus probes them with a
+  // scan-local left-semi (the store never shuffles; only the rare hits
+  // come back), and the batch-internal keeper is one map-side MIN agg
+  // over batch digests. Per-doc status is the artifact a pipeline
+  // writes next to its ingest log. Plan-guarded in PlanQualitySpec.
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val freshText = concat(col("text"), lit(" fresh update "), col("doc_id"))
+    val batch =
+      d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"), freshText.as("text"))
+      .union(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"), freshText.as("text")))
+      .union(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      .union(messyVariants(d).select(col("doc_id"), col("text")))
+    // batch digests: reused by the corpus probe, the keeper agg and the
+    // final status join — one checkpoint, three readers
+    val b = batch.select(col("doc_id"), md5(canonicalText).as("dg"))
+      .localCheckpoint(false)
+    val batchDigests = b.select("dg").distinct()
+    // corpus side: scan-local broadcast-semi probe; only digests that
+    // ARE in the batch (rare) survive to the distinct
+    val corpusHits = d.select(md5(canonicalText).as("dg"))
+      .join(broadcast(batchDigests), Seq("dg"), "left_semi")
+      .distinct()
+      .withColumn("in_corpus", lit(true))
+    val firstInBatch = b.groupBy("dg").agg(min("doc_id").as("keep_id"))
+    b.join(broadcast(corpusHits), Seq("dg"), "left")
+      .join(broadcast(firstInBatch), Seq("dg"))
+      .select(col("doc_id"),
+        when(col("in_corpus").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") > col("keep_id"), lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |batch AS (
+       |  SELECT doc_id + 6000000 AS doc_id,
+       |    text || ' fresh update ' || doc_id AS text
+       |  FROM base WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 7000000, text || ' fresh update ' || doc_id
+       |  FROM base WHERE doc_id % 6 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, text FROM base WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, $messyTextSql
+       |  FROM base WHERE doc_id % 9 = 0),
+       |bd AS (SELECT doc_id, md5($canonicalTextSql) AS dg FROM batch),
+       |cd AS (SELECT DISTINCT md5($canonicalTextSql) AS dg FROM base),
+       |fb AS (SELECT dg, min(doc_id) AS keep_id FROM bd GROUP BY dg)
+       |SELECT bd.doc_id,
+       |  CASE WHEN cd.dg IS NOT NULL THEN 'dup_of_corpus'
+       |       WHEN bd.doc_id > fb.keep_id THEN 'dup_in_batch'
+       |       ELSE 'kept' END AS status
+       |FROM bd LEFT JOIN cd ON bd.dg = cd.dg
+       |JOIN fb ON bd.dg = fb.dg
+       |ORDER BY doc_id""".stripMargin
+
   // --- dedup_paragraphs: sub-document (paragraph) dedup ---------------
   // Boilerplate paragraphs repeat ACROSS documents whose full texts are
   // unique, so document-granularity dedup never sees them; production
@@ -1548,6 +1625,7 @@ object SimilarityQueries {
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "text_paragraph_clean" -> (paragraphClean _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
@@ -1583,6 +1661,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> dedupExactDocsSql,
     "dedup_exact_digest" -> dedupExactDigestSql,
     "dedup_exact_normalized" -> dedupExactNormalizedSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_paragraphs" -> dedupParagraphsSql,
     "text_paragraph_clean" -> paragraphCleanSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,

@@ -310,6 +310,23 @@ class PlanQualitySpec extends SparkSpecBase {
       s"unexpected corpus shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("dedup_incremental: corpus probes a broadcast of batch digests, never shuffles") {
+    // the decontaminate rule applied to ingest dedup: the store is the
+    // 100 TB side, so its digest scan must end in a broadcast LeftSemi
+    // probe (scan-local), and every hash Exchange must key on the
+    // batch's digest column — the corpus relation itself never moves
+    val df = SimilarityQueries.dedupIncremental(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"))
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("dg")),
+      s"only batch-digest shuffles allowed:\n${exchanges.mkString("\n")}")
+  }
+
   test("editdist near-dup candidates come from the blocking-key hash join, never BNLJ/cartesian") {
     val df = SimilarityQueries.dedupEditdistPairs(spark, dir)
     df.collect()

@@ -420,6 +420,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got.forall { case (keep, cnt) => keep < 3000000L && cnt == 2L })
   }
 
+  test("incremental ingest dedup: per-doc statuses match the planted batch") {
+    val dir = "/root/testdata/sf0.001"
+    val d = graft.Catalog.table(spark, dir, "documents")
+    val got = graft.queries.SimilarityQueries.dedupIncremental(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val n3 = d.filter($"doc_id" % 3 === 0).count()
+    val n4 = d.filter($"doc_id" % 4 === 0).count()
+    val n6 = d.filter($"doc_id" % 6 === 0).count()
+    val n9 = d.filter($"doc_id" % 9 === 0).count()
+    assert(got.size == n3 + n4 + n6 + n9, "one status per batch row")
+    // fresh-suffixed docs (+6e6) are new to the corpus -> kept
+    assert(got.count { case (id, st) =>
+      id >= 6000000L && id < 7000000L && st == "kept" } == n3)
+    // their second enrollment (+7e6, same fresh text) -> dup_in_batch
+    assert(got.count { case (id, st) =>
+      id >= 7000000L && st == "dup_in_batch" } == n6)
+    // verbatim re-entries (+5e6) -> dup_of_corpus
+    assert(got.count { case (id, st) =>
+      id >= 5000000L && id < 6000000L && st == "dup_of_corpus" } == n4)
+    // messy renderings (+3e6) are caught ONLY via normalization
+    assert(got.count { case (id, st) =>
+      id >= 3000000L && id < 5000000L && st == "dup_of_corpus" } == n9)
+  }
+
   test("paragraph dedup finds the planted boilerplate footer across documents") {
     val dir = "/root/testdata/sf0.001"
     val d = graft.Catalog.table(spark, dir, "documents")
