@@ -502,6 +502,98 @@ object SimilarityQueries {
        |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  // --- cluster_kmeans: oracle-checked distributed Lloyd's --------------
+  // Embedding clustering as a DECLARED, fully hash-gated query (the IVF
+  // quantizer trains k-means too, but engine-side and rows-only; this
+  // key makes the algorithm itself auditable). Two Lloyd iterations in
+  // EXACT scaled-integer arithmetic, so DuckDB reproduces every step:
+  //   - quantize q = round(x*1000, 0) (the round(,0) parity the
+  //     quantized-similarity tier established), work at fixed-point
+  //     x10^4 so both iterations share one integer domain;
+  //   - init: the k lowest vec_ids' vectors (deterministic seeding);
+  //   - E-step: argmin_c sum_j (q_j*10^4 - c_j)^2 — exact BIGINT sums
+  //     (max |term| ~1e14 x 64 dims << 2^63), ties to the lowest c;
+  //   - M-step: component mean as FLOOR-division in fixed point,
+  //     c'_j = floorDiv(S_j*10^4, n) with floorDiv(a,n) =
+  //     (a - ((a%n)+n)%n)/n — pure integer ops, identical in both
+  //     engines (no decimal rounding-mode dependence).
+  // Execution shape is the one a 100 TB pipeline wants: centroids are
+  // driver-held k x dim literals (the IVF-store precedent), so each
+  // E-step is a SCAN-LOCAL projection — zero shuffle; the M-step's
+  // partial sums ride ONE map-side-combined groupBy on (cluster, pos)
+  // (k*64 groups, corpus-independent); the per-iteration driver sync is
+  // k x dim longs. Empty clusters drop out of the M-step on both sides
+  // (GROUP BY semantics). Output: final assignment + exact distance.
+  private val KmK = 8
+
+  def clusterKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val qvCol = transform(SimilarityFunctions.toDoubleArr(col("embedding")),
+      x => round(x * 1000, 0).cast("long"))
+    val base = e.select(col("vec_id"), qvCol.as("qv"))
+    def scaledDist(cs: Seq[Long]) =
+      aggregate(zip_with(col("qv"), typedlit(cs),
+        (a, b) => (a * 10000L - b) * (a * 10000L - b)), lit(0L), _ + _)
+    // argmin over the (non-empty) centroid set: min of (dist, idx)
+    // structs — Spark struct ordering is field-lexicographic, so ties
+    // break to the lowest cluster index, like the oracle's ORDER BY d, c
+    def assign(cents: Seq[(Long, Seq[Long])]) =
+      array_min(array(cents.map { case (c, cs) =>
+        struct(scaledDist(cs).as("d"), lit(c).as("c")) }: _*))
+    // init: k lowest vec_ids, scaled x10^4 (driver-held k x dim)
+    val c0 = base.orderBy("vec_id").limit(KmK).collect().toSeq
+      .sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Long](1).map(_ * 10000L)) }
+    // E1 + M1: one scan, one (cluster, pos)-keyed map-side-combined agg
+    val sums = base
+      .withColumn("c", assign(c0).getField("c"))
+      .select(col("c"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("c", "pos")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    def floorDiv(a: Long, n: Long): Long = Math.floorDiv(a, n)
+    val c1 = sums.groupBy(_.getLong(0)).toSeq.map { case (c, rows) =>
+      (c, rows.sortBy(_.getInt(1)).toSeq
+        .map(r => floorDiv(r.getLong(2) * 10000L, r.getLong(3))))
+    }.sortBy(_._1)
+    // E2: final scan-local assignment with the exact distance kept
+    base.withColumn("a", assign(c1))
+      .select(col("vec_id"), col("a.c").as("cluster"), col("a.d").as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  val clusterKmeansSql: String = {
+    def dist(csRel: String) =
+      s"""CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (v.qv[i]*10000 - $csRel.cs[i]) * (v.qv[i]*10000 - $csRel.cs[i])))
+         |    AS BIGINT)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(round(x * 1000, 0) AS BIGINT)) AS qv FROM embeddings),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+       |         list_transform(qv, x -> x * 10000) AS cs
+       |       FROM v ORDER BY vec_id LIMIT $KmK),
+       |d1 AS (SELECT v.vec_id, v.qv, c0.c, ${dist("c0")} AS d
+       |       FROM v CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, qv, c FROM (
+       |         SELECT vec_id, qv, c,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |         FROM d1) WHERE rn = 1),
+       |sx AS (SELECT c, i, qv[i] AS x
+       |       FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+       |s1 AS (SELECT c, i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+       |       FROM sx GROUP BY c, i),
+       |c1 AS (SELECT c, list((s*10000 - (((s*10000) % n) + n) % n) // n
+       |         ORDER BY i) AS cs
+       |       FROM s1 GROUP BY c),
+       |d2 AS (SELECT v.vec_id, c1.c, ${dist("c1")} AS d
+       |       FROM v CROSS JOIN c1),
+       |a2 AS (SELECT vec_id, c AS cluster, d AS dist2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+       |       FROM d2)
+       |SELECT vec_id, cluster, dist2 FROM a2 WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // --- embedding-cosine near-dup pairs (candidate-then-verify) ---------
   /** LSH parameters for the cosine near-dup pair query. 4 tables × 8
     * planes and τ=0.35 are tuned to the fixture: the corpus embeddings
@@ -1626,6 +1718,7 @@ object SimilarityQueries {
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_incremental" -> (dedupIncremental _),
+    "cluster_kmeans" -> (clusterKmeans _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "text_paragraph_clean" -> (paragraphClean _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
@@ -1662,6 +1755,7 @@ object SimilarityQueries {
     "dedup_exact_digest" -> dedupExactDigestSql,
     "dedup_exact_normalized" -> dedupExactNormalizedSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "cluster_kmeans" -> clusterKmeansSql,
     "dedup_paragraphs" -> dedupParagraphsSql,
     "text_paragraph_clean" -> paragraphCleanSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,

@@ -327,6 +327,18 @@ class PlanQualitySpec extends SparkSpecBase {
       s"only batch-digest shuffles allowed:\n${exchanges.mkString("\n")}")
   }
 
+  test("cluster_kmeans: the E-step is a scan-local projection — no joins, no hash shuffle") {
+    // centroids are driver-held literals (the IVF-store rule), so the
+    // assignment pass must compile to scan -> project -> sort: any
+    // join or hashpartitioning Exchange means the corpus started
+    // moving for a k x dim constant
+    val df = SimilarityQueries.clusterKmeans(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"E-step must not join:\n${p.take(1200)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"E-step must not hash-shuffle:\n${p.take(1200)}")
+  }
+
   test("editdist near-dup candidates come from the blocking-key hash join, never BNLJ/cartesian") {
     val df = SimilarityQueries.dedupEditdistPairs(spark, dir)
     df.collect()

@@ -444,6 +444,39 @@ class SimilaritySpec extends SparkSpecBase {
       id >= 3000000L && id < 5000000L && st == "dup_of_corpus" } == n9)
   }
 
+  test("cluster_kmeans: matches an independent Scala reimplementation; Lloyd round improves SSE") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.SimilarityQueries.clusterKmeans(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // independent reimplementation from the raw floats (BigDecimal
+    // HALF_UP mirrors Spark's round(,0) exactly, incl. negative ties)
+    val raw = graft.Catalog.table(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val qv = raw.map { case (id, e) => id -> e.map(x =>
+      BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong) }
+    def dist(x: Seq[Long], cs: Seq[Long]): Long =
+      x.zip(cs).map { case (a, b) => (a * 10000L - b) * (a * 10000L - b) }.sum
+    def assign(cents: Seq[(Long, Seq[Long])]) = qv.map { case (id, x) =>
+      val (d, c) = cents.map { case (c, cs) => (dist(x, cs), c) }.min
+      (id, c, d)
+    }
+    val c0 = qv.take(8).zipWithIndex.map { case ((_, x), i) =>
+      (i.toLong, x.map(_ * 10000L)) }
+    val a1 = assign(c0)
+    val c1 = a1.zip(qv).groupBy(_._1._2).toSeq.map { case (c, rows) =>
+      val n = rows.length.toLong
+      val sums = rows.toSeq.map(_._2._2.toSeq).transpose.map(_.sum)
+      (c, sums.map(s => Math.floorDiv(s * 10000L, n)))
+    }.sortBy(_._1)
+    val a2 = assign(c1)
+    assert(got.toSeq == a2.toSeq, "engine must equal the reference Lloyd rounds")
+    // the M-step strictly improved the fixture's SSE
+    assert(a2.map(r => BigInt(r._3)).sum < a1.map(r => BigInt(r._3)).sum)
+    // all k clusters populated, none degenerate
+    val sizes = got.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == 8 && sizes.forall(_ > 0))
+  }
+
   test("paragraph dedup finds the planted boilerplate footer across documents") {
     val dir = "/root/testdata/sf0.001"
     val d = graft.Catalog.table(spark, dir, "documents")
