@@ -246,6 +246,57 @@ object EventQueries {
        |ORDER BY user_id, valid_from, event_id""".stripMargin
   }
 
+  // --- join_interval_overlap: interval x interval temporal join --------
+  // The temporal-join shape Spark has no operator for: user SESSIONS
+  // (the lag+cumsum relation `sessionize` builds) joined to INCIDENT
+  // WINDOWS (a 30-minute window around every 97th event) on time
+  // OVERLAP. A naive theta join is BNLJ (|sessions| x |incidents|);
+  // here both interval sets explode into 1-hour buckets and meet in a
+  // HASH join on the bucket id, with the overlap test as a residual
+  // and the first-shared-bucket predicate making emission exactly-once
+  // WITHOUT a distinct (operators.IntervalJoin scaladoc). The oracle
+  // runs the plain overlap join in DuckDB — equality proves the bin
+  // technique loses and invents nothing. Plan-guarded: hash join, no
+  // BNLJ/cartesian.
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(s, dir).select(col("user_id"), col("session_id"),
+      col("session_start_s").as("ls"), col("session_end_s").as("le"))
+    val inc = events(s, dir).filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("incident_id"), Det.epochS(col("ts")).as("rs"))
+      .withColumn("re", col("rs") + 1800L)
+    graft.operators.IntervalJoin
+      .overlapJoin(sess, inc, "ls", "le", "rs", "re", bucketSeconds = 3600L)
+      .select(col("user_id"), col("session_id"), col("incident_id"),
+        (least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("overlap_s"))
+      .orderBy("user_id", "session_id", "incident_id")
+  }
+
+  val joinIntervalOverlapSql: String = {
+    import Det.sql._
+    s"""WITH base AS (
+       |  SELECT event_id, user_id, ${epochS("ts")} AS s FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+       |), sessed AS (
+       |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT user_id, session_id, min(s) AS ls, max(s) AS le
+       |  FROM sessed GROUP BY user_id, session_id
+       |), inc AS (
+       |  SELECT event_id AS incident_id, ${epochS("ts")} AS rs,
+       |    ${epochS("ts")} + 1800 AS re
+       |  FROM events WHERE event_id % 97 = 0
+       |)
+       |SELECT user_id, session_id, incident_id,
+       |  least(le, re) - greatest(ls, rs) AS overlap_s
+       |FROM sess JOIN inc ON ls <= re AND rs <= le
+       |ORDER BY user_id, session_id, incident_id""".stripMargin
+  }
+
   // --- regex_extract_props: regexp family over semi-structured text ----
   // regexp_extract with a capture group, entirely scan-local (codegen'd
   // Java regex on Spark, RE2 on DuckDB — the digit class is identical
@@ -382,6 +433,7 @@ object EventQueries {
     "scd2_intervals" -> (scd2Intervals _),
     "regex_extract_props" -> (regexExtractProps _),
     "range_join_events" -> (rangeJoinEvents _),
+    "join_interval_overlap" -> (joinIntervalOverlap _),
     "asof_join_events" -> (asofJoinEvents _),
     "stream_tumbling_counts" -> (tumblingCounts _),
     "stream_sliding_counts" -> (slidingCounts _),
@@ -394,6 +446,7 @@ object EventQueries {
     "scd2_intervals" -> scd2IntervalsSql,
     "regex_extract_props" -> regexExtractPropsSql,
     "range_join_events" -> rangeJoinEventsSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql,
     "asof_join_events" -> asofJoinEventsSql,
     "stream_tumbling_counts" -> tumblingCountsSql,
     "stream_sliding_counts" -> slidingCountsSql,

@@ -327,6 +327,18 @@ class PlanQualitySpec extends SparkSpecBase {
       s"only batch-digest shuffles allowed:\n${exchanges.mkString("\n")}")
   }
 
+  test("join_interval_overlap: bin join is a hash join on the bucket id, never BNLJ") {
+    // the whole point of the operator: the theta overlap predicate
+    // rides as a RESIDUAL on a bucket-keyed hash join — a plan with
+    // BroadcastNestedLoop means the binning silently stopped applying
+    val df = graft.queries.EventQueries.joinIntervalOverlap(spark, dir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"interval join must stay bucket-hash-shaped:\n${p.take(1500)}")
+    assert(p.contains("__b"), "join key must include the bucket id")
+  }
+
   test("cluster_kmeans: the E-step is a scan-local projection — no joins, no hash shuffle") {
     // centroids are driver-held literals (the IVF-store rule), so the
     // assignment pass must compile to scan -> project -> sort: any
