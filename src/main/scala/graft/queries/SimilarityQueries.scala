@@ -1531,6 +1531,55 @@ object SimilarityQueries {
        |JOIN fb ON bd.dg = fb.dg
        |ORDER BY doc_id""".stripMargin
 
+  // --- sample_negative_pairs: contrastive negative mining -------------
+  // The training-pair sampler a contrastive/embedding pipeline runs:
+  // every 10th doc anchors 6 NEGATIVE candidates drawn by a
+  // deterministic Weyl-style index hop (anchor*2654435761 + slot*40503
+  // mod N — pure BIGINT arithmetic, so the oracle replays the draw
+  // exactly; doc_ids are dense 0..N-1 by fixture contract, N from the
+  // parquet footer). Two false-negative guards a real miner applies:
+  // self-pairs drop, and candidates whose NORMALIZED digest equals the
+  // anchor's drop (an exact dup is not a negative); same-language
+  // pairs are flagged, not dropped — the trainer decides their weight.
+  // Scale shape: candidate generation is scan-local arithmetic on the
+  // anchor slice (no shuffle, no rand()); one doc-keyed hash join
+  // attaches each candidate's (lang, digest).
+  def sampleNegativePairs(s: SparkSession, dir: String): DataFrame = {
+    val n = docCount(s, dir)
+    val meta = docs(s, dir)
+      .select(col("doc_id"), col("lang"), md5(canonicalText).as("dg"))
+    val anchors = meta.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("anchor_id"), col("lang").as("a_lang"),
+        col("dg").as("a_dg"))
+    val cand = anchors
+      .withColumn("slot", explode(array((1 to 6).map(i => lit(i.toLong)): _*)))
+      .withColumn("negative_id",
+        pmod(col("anchor_id") * 2654435761L + col("slot") * 40503L, lit(n)))
+      .filter(col("negative_id") =!= col("anchor_id"))
+    cand.join(meta.select(col("doc_id").as("negative_id"),
+        col("lang").as("n_lang"), col("dg").as("n_dg")), "negative_id")
+      .filter(col("a_dg") =!= col("n_dg"))
+      .select(col("anchor_id"), col("negative_id"), col("slot"),
+        (col("a_lang") === col("n_lang")).as("same_lang"))
+      .orderBy("anchor_id", "slot")
+  }
+
+  val sampleNegativePairsSql: String =
+    s"""WITH meta AS (SELECT doc_id, lang, md5($canonicalTextSql) AS dg
+       |              FROM documents),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |cand AS (SELECT a.doc_id AS anchor_id, s.i AS slot,
+       |           (a.doc_id * 2654435761 + s.i * 40503) % n.n AS negative_id,
+       |           a.lang AS a_lang, a.dg AS a_dg
+       |         FROM meta a
+       |         CROSS JOIN (SELECT unnest(range(1, 7)) AS i) s
+       |         CROSS JOIN n
+       |         WHERE a.doc_id % 10 = 0)
+       |SELECT anchor_id, negative_id, slot, a_lang = m.lang AS same_lang
+       |FROM cand JOIN meta m ON m.doc_id = cand.negative_id
+       |WHERE negative_id <> anchor_id AND a_dg <> m.dg
+       |ORDER BY anchor_id, slot""".stripMargin
+
   // --- dedup_paragraphs: sub-document (paragraph) dedup ---------------
   // Boilerplate paragraphs repeat ACROSS documents whose full texts are
   // unique, so document-granularity dedup never sees them; production
@@ -1719,6 +1768,7 @@ object SimilarityQueries {
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_incremental" -> (dedupIncremental _),
     "cluster_kmeans" -> (clusterKmeans _),
+    "sample_negative_pairs" -> (sampleNegativePairs _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "text_paragraph_clean" -> (paragraphClean _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
@@ -1756,6 +1806,7 @@ object SimilarityQueries {
     "dedup_exact_normalized" -> dedupExactNormalizedSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "cluster_kmeans" -> clusterKmeansSql,
+    "sample_negative_pairs" -> sampleNegativePairsSql,
     "dedup_paragraphs" -> dedupParagraphsSql,
     "text_paragraph_clean" -> paragraphCleanSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,

@@ -477,6 +477,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sizes.size == 8 && sizes.forall(_ > 0))
   }
 
+  test("sample_negative_pairs: draws replay the Weyl hop; guards hold") {
+    val dir = "/root/testdata/sf0.001"
+    val n = graft.Catalog.table(spark, dir, "documents").count()
+    val got = graft.queries.SimilarityQueries.sampleNegativePairs(spark, dir)
+      .select("anchor_id", "negative_id", "slot")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // every draw is exactly the deterministic formula, never the anchor
+    got.foreach { case (a, neg, i) =>
+      assert(neg == Math.floorMod(a * 2654435761L + i * 40503L, n))
+      assert(neg != a && a % 10 == 0 && i >= 1 && i <= 6)
+    }
+    // at most 6 negatives per anchor; only self-collisions may drop a
+    // slot (the corpus has no normalized-digest dups)
+    val perAnchor = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(c => c >= 5 && c <= 6))
+  }
+
   test("paragraph dedup finds the planted boilerplate footer across documents") {
     val dir = "/root/testdata/sf0.001"
     val d = graft.Catalog.table(spark, dir, "documents")
