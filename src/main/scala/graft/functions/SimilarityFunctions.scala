@@ -186,7 +186,9 @@ object SimilarityFunctions {
     *
     * Scale shape vs the inverted-index tier: [[jaccardPairsNgram]]
     * shuffles sum(df²) intersection rows over ALL shingles;
-    * here the self-join runs over sum(df_p²) of PREFIX postings only —
+    * here the self-join runs over sum(df_short × df_p) of PREFIX
+    * postings only (probe prefix one side, PPJoin's shorter INDEXING
+    * prefix on the smaller-set side — see the inline derivation) —
     * and because the global order is df-ASCENDING, prefixes
     * concentrate on each doc's RAREST shingles, so df_p is small by
     * construction. At t=0.4 the prefix is ~60% of each set, but those
@@ -239,11 +241,27 @@ object SimilarityFunctions {
     // it to the length bound) over-approximates by at most one prefix
     // slot; over-long prefixes cost candidates, never correctness.
     val EPS = 1e-6
+    // Two prefix lengths (PPJoin's INDEXING-prefix asymmetry, Xiao et
+    // al. §3.2): for a qualifying pair order the sets by size, A the
+    // smaller. The length filter gives |B| >= |A|, so the overlap
+    // alpha = ceil(t/(1+t)(|A|+|B|)) >= ceil(2t/(1+t)|A|) — A only
+    // needs the SHORT prefix |A| - ceil(2t/(1+t)|A|) + 1 (~43% of the
+    // set at t=0.4 vs the probe prefix's ~60%), while B keeps the
+    // standard bound (|A| >= t|B| gives alpha >= ceil(t|B|)). The
+    // minimal shared token — the pigeonhole witness — therefore sits
+    // inside A's short prefix AND B's standard prefix, so joining
+    // short-side x standard-side under a strict (sz, doc_id) total
+    // order loses nothing and each unordered pair matches in exactly
+    // one orientation. Candidate volume drops from sum df_p² to
+    // sum df_short x df_p (~0.71x at t=0.4; measured below).
     val prefix = postings.join(df, "tok")
       .withColumn("r", row_number().over(perDoc))
       .filter(col("r") <=
         col("sz") - ceil(lit(minJaccard) * col("sz") - lit(EPS)) + 1)
-      .select(col("doc_id"), col("sz"), col("tok"), col("r"))
+      .withColumn("short", col("r") <=
+        col("sz") - ceil(lit(2 * minJaccard / (1 + minJaccard)) * col("sz")
+          - lit(EPS)) + 1)
+      .select(col("doc_id"), col("sz"), col("tok"), col("r"), col("short"))
     // PPJoin positional filter (Xiao et al.): J(A,B) >= t forces
     // |A∩B| >= ceil(t(|A|+|B|)/(1+t)), and for the globally-MINIMAL
     // shared token x (which both prefixes contain — the pigeonhole
@@ -258,16 +276,21 @@ object SimilarityFunctions {
     val alphaPair =
       ceil(lit(minJaccard / (1 + minJaccard)) *
         (col("a.sz") + col("b.sz")) - lit(EPS))
-    val cand = prefix.as("a")
+    val cand = prefix.filter(col("short")).as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id") &&
+          // strict (sz, doc_id) total order: side a is the SMALLER set
+          // (its short indexing prefix is valid), each unordered pair
+          // matches in exactly one orientation
+          (col("a.sz") < col("b.sz") ||
+            (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))) &&
           // length filter: Jaccard >= t forces t <= |A|/|B| <= 1/t
           col("a.sz") * minJaccard - EPS <= col("b.sz") &&
           col("b.sz") * minJaccard - EPS <= col("a.sz") &&
           lit(1) + least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r"))
             >= alphaPair)
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("ida"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("idb"))
       .distinct()
     cand
       .join(base.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
