@@ -34,10 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** `keys` adds equi columns (leftCol, rightCol) to the join key next
+    * to the bucket id — the usual production shape (sessions join the
+    * SAME user's incident windows, not the whole fleet's). Besides
+    * correctness this is the scale lever: with a global right side the
+    * OUTPUT itself grows as |L_b| x |R_b| per bucket, while an equi key
+    * keeps it linear in the keyed groups. */
   def overlapJoin(left: DataFrame, right: DataFrame,
                   lStart: String, lEnd: String,
                   rStart: String, rEnd: String,
-                  bucketSeconds: Long): DataFrame = {
+                  bucketSeconds: Long,
+                  keys: Seq[(String, String)] = Nil): DataFrame = {
     require(bucketSeconds > 0)
     val b = lit(bucketSeconds)
     def bucketOf(c: org.apache.spark.sql.Column) = floor(c / b).cast("long")
@@ -46,12 +53,13 @@ object IntervalJoin {
         explode(sequence(bucketOf(col(s)), bucketOf(col(e)))))
     val l = exploded(left, lStart, lEnd).as("l")
     val r = exploded(right, rStart, rEnd).as("r")
+    val keyConds = keys.map { case (lc, rc) => col(s"l.$lc") === col(s"r.$rc") }
     l.join(r,
-        col("l.__b") === col("r.__b") &&
-          col(s"l.$lStart") <= col(s"r.$rEnd") &&
-          col(s"r.$rStart") <= col(s"l.$lEnd") &&
-          col("l.__b") === greatest(bucketOf(col(s"l.$lStart")),
-            bucketOf(col(s"r.$rStart"))))
+        (keyConds :+ (col("l.__b") === col("r.__b")) :+
+          (col(s"l.$lStart") <= col(s"r.$rEnd")) :+
+          (col(s"r.$rStart") <= col(s"l.$lEnd")) :+
+          (col("l.__b") === greatest(bucketOf(col(s"l.$lStart")),
+            bucketOf(col(s"r.$rStart"))))).reduce(_ && _))
       .drop("__b")
   }
 }

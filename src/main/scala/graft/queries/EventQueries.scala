@@ -248,24 +248,31 @@ object EventQueries {
 
   // --- join_interval_overlap: interval x interval temporal join --------
   // The temporal-join shape Spark has no operator for: user SESSIONS
-  // (the lag+cumsum relation `sessionize` builds) joined to INCIDENT
-  // WINDOWS (a 30-minute window around every 97th event) on time
-  // OVERLAP. A naive theta join is BNLJ (|sessions| x |incidents|);
-  // here both interval sets explode into 1-hour buckets and meet in a
-  // HASH join on the bucket id, with the overlap test as a residual
-  // and the first-shared-bucket predicate making emission exactly-once
-  // WITHOUT a distinct (operators.IntervalJoin scaladoc). The oracle
-  // runs the plain overlap join in DuckDB — equality proves the bin
-  // technique loses and invents nothing. Plan-guarded: hash join, no
-  // BNLJ/cartesian.
+  // (the lag+cumsum relation `sessionize` builds) joined to the SAME
+  // user's INCIDENT WINDOWS (a 30-minute window around each of the
+  // user's sampled error events) on time OVERLAP. A naive theta join
+  // is BNLJ; here both interval sets explode into 1-hour buckets and
+  // meet in a HASH join on (user_id, bucket), with the overlap test as
+  // a residual and the first-shared-bucket predicate making emission
+  // exactly-once WITHOUT a distinct (operators.IntervalJoin scaladoc).
+  // The user_id equi key is also the scale property: a GLOBAL right
+  // side makes the OUTPUT per-bucket quadratic (measured: 7M rows at
+  // sf1 in the keyless draft of this query — output itself was the
+  // scale-killer), while the keyed join stays linear in each user's
+  // own sessions x incidents. The oracle runs the plain keyed overlap
+  // join in DuckDB — equality proves the bin technique loses and
+  // invents nothing. Plan-guarded: hash join, no BNLJ/cartesian.
   def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val sess = sessionize(s, dir).select(col("user_id"), col("session_id"),
       col("session_start_s").as("ls"), col("session_end_s").as("le"))
-    val inc = events(s, dir).filter(col("event_id") % 97 === 0)
-      .select(col("event_id").as("incident_id"), Det.epochS(col("ts")).as("rs"))
+    val inc = events(s, dir)
+      .filter(col("event_type") === "error" && col("event_id") % 11 === 0)
+      .select(col("user_id").as("inc_user"),
+        col("event_id").as("incident_id"), Det.epochS(col("ts")).as("rs"))
       .withColumn("re", col("rs") + 1800L)
     graft.operators.IntervalJoin
-      .overlapJoin(sess, inc, "ls", "le", "rs", "re", bucketSeconds = 3600L)
+      .overlapJoin(sess, inc, "ls", "le", "rs", "re", bucketSeconds = 3600L,
+        keys = Seq("user_id" -> "inc_user"))
       .select(col("user_id"), col("session_id"), col("incident_id"),
         (least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("overlap_s"))
       .orderBy("user_id", "session_id", "incident_id")
@@ -287,13 +294,13 @@ object EventQueries {
        |  SELECT user_id, session_id, min(s) AS ls, max(s) AS le
        |  FROM sessed GROUP BY user_id, session_id
        |), inc AS (
-       |  SELECT event_id AS incident_id, ${epochS("ts")} AS rs,
-       |    ${epochS("ts")} + 1800 AS re
-       |  FROM events WHERE event_id % 97 = 0
+       |  SELECT user_id AS inc_user, event_id AS incident_id,
+       |    ${epochS("ts")} AS rs, ${epochS("ts")} + 1800 AS re
+       |  FROM events WHERE event_type = 'error' AND event_id % 11 = 0
        |)
        |SELECT user_id, session_id, incident_id,
        |  least(le, re) - greatest(ls, rs) AS overlap_s
-       |FROM sess JOIN inc ON ls <= re AND rs <= le
+       |FROM sess JOIN inc ON inc_user = user_id AND ls <= re AND rs <= le
        |ORDER BY user_id, session_id, incident_id""".stripMargin
   }
 

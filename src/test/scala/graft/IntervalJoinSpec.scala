@@ -37,6 +37,18 @@ class IntervalJoinSpec extends SparkSpecBase {
     assert(out.distinct == out)
   }
 
+  test("equi keys restrict pairs to matching key groups") {
+    val l = Seq((1L, 7L, 0L, 100L), (2L, 8L, 0L, 100L))
+      .toDF("lid", "lk", "ls", "le")
+    val r = Seq((10L, 7L, 50L, 60L), (11L, 8L, 50L, 60L), (12L, 9L, 50L, 60L))
+      .toDF("rid", "rk", "rs", "re")
+    val out = IntervalJoin.overlapJoin(l, r, "ls", "le", "rs", "re",
+        bucketSeconds = 10L, keys = Seq("lk" -> "rk"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSeq.sorted
+    // every interval pair overlaps in time; only same-key pairs emit
+    assert(out == Seq((1L, 10L), (2L, 11L)))
+  }
+
   test("property: binned == naive on random interval sets at several bucket widths") {
     val rnd = new scala.util.Random(42)
     (1 to 5).foreach { trial =>
