@@ -236,11 +236,110 @@ object GraphQueries {
       |FROM v LEFT JOIN pv ON pv.domain = v.domain
       |ORDER BY v.domain""".stripMargin
 
+  // --- graph_label_propagation: community detection ---------------------
+  // Synchronous weighted label propagation (Raghavan et al.) over the
+  // same undirected host-transition graph: every vertex starts as its
+  // own label; each round it adopts the label with the LARGEST summed
+  // edge weight among its neighbors (ties to the lexicographically
+  // smallest label — fully deterministic, so the oracle unrolls the
+  // same K rounds CTE-for-CTE). Communities differ from connected
+  // components (dedup_components family): LPA splits a connected graph
+  // along weak cuts, the host-clustering signal a crawler uses to
+  // group mirror farms. Scale shape: per round ONE neighbor-label
+  // hash join + a map-side-combined (dst, label) weight agg + a
+  // per-vertex window bounded by the vertex's distinct neighbor-label
+  // count — all keyed on vertex ids; K is fixed, relations are frozen
+  // with localCheckpoint like the PageRank loop.
+  private val LpaIters = 4
+
+  /** Package-visible core over an explicit (src, dst) transition list. */
+  private[graft] def labelPropEdges(trans: DataFrame): DataFrame = {
+    val und = trans
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    // symmetric view: each undirected edge votes in both directions
+    val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint(false)
+    val verts = e.select(col("dst").as("domain")).distinct()
+    var lbl = verts.select(col("domain"), col("domain").as("label"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("wsum").desc, col("label"))
+    (1 to LpaIters).foreach { _ =>
+      val prev = lbl
+      lbl = e.join(prev, e("src") === prev("domain"))
+        .groupBy(e("dst").as("domain"), prev("label"))
+        .agg(sum(col("w")).as("wsum"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("domain"), col("label"))
+        .localCheckpoint(true)
+      graft.plans.Checkpoints.unpersist(prev)
+    }
+    lbl.orderBy("domain")
+  }
+
+  /** LPA runs on a BLOCKED host graph, not the dense 13-host one the
+    * centrality queries use (on a near-complete graph every LPA run
+    * collapses to one community — measured, and then the query proves
+    * nothing). Each user browses inside their own 12-block
+    * neighborhood (`h<user_id%12>_<event_id%7>`), and every 50th event
+    * detours through one shared `hub` host — so the graph is CONNECTED
+    * (connected components would report a single group) while the
+    * strong intra-block weights vastly outvote the weak hub bridges,
+    * and LPA recovers the blocks. GraphSpec pins that structure. */
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val ev = Catalog.table(s, dir, "events")
+    val host = when(col("event_id") % 50 === 0, lit("hub"))
+      .otherwise(concat(lit("h"), (col("user_id") % 12).cast("string"),
+        lit("_"), (col("event_id") % 7).cast("string")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val trans = ev.select(col("user_id"), col("event_id"), host.as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    labelPropEdges(trans)
+  }
+
+  val labelPropagationSql: String = {
+    val head =
+      """WITH h AS (SELECT user_id, event_id,
+        |    CASE WHEN event_id % 50 = 0 THEN 'hub'
+        |         ELSE 'h' || CAST(user_id % 12 AS VARCHAR)
+        |              || '_' || CAST(event_id % 7 AS VARCHAR) END AS d
+        |  FROM events),
+        |t AS (SELECT d AS src,
+        |        lead(d) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
+        |      FROM h),
+        |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |          count(*) AS w
+        |        FROM t WHERE dst IS NOT NULL AND src <> dst GROUP BY 1, 2),
+        |e AS (SELECT a AS src, b AS dst, w FROM und
+        |      UNION ALL SELECT b, a, w FROM und),
+        |l0 AS (SELECT DISTINCT dst AS domain, dst AS label FROM e)""".stripMargin
+    val iters = (1 to LpaIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS domain, l.label,
+         |          CAST(sum(e.w) AS BIGINT) AS wsum
+         |        FROM e JOIN l${i - 1} l ON l.domain = e.src
+         |        GROUP BY e.dst, l.label),
+         |l$i AS (SELECT domain, label FROM (
+         |          SELECT domain, label, row_number() OVER (
+         |            PARTITION BY domain ORDER BY wsum DESC, label) AS rn
+         |          FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    val tail = s"SELECT domain, label FROM l$LpaIters ORDER BY domain"
+    (head +: iters).mkString("", ",\n", "\n") + tail
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pageRank _),
-    "graph_triangles" -> (triangles _))
+    "graph_triangles" -> (triangles _),
+    "graph_label_propagation" -> (labelPropagation _))
 
   def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
-    "graph_triangles" -> trianglesSql)
+    "graph_triangles" -> trianglesSql,
+    "graph_label_propagation" -> labelPropagationSql)
 }

@@ -58,6 +58,39 @@ class GraphSpec extends SparkSpecBase {
     assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L, "e" -> 0L))
   }
 
+  test("labelPropEdges: hand-built two-community graph with a weak bridge") {
+    // two triangles (strong, w=3 each edge) joined by one weak edge —
+    // LPA must keep them separate where connected components would
+    // merge them into one
+    val trans = Seq.fill(3)(Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"))).flatten :+ ("c", "x")
+    val df = spark.createDataFrame(trans).toDF("src", "dst")
+    val got = GraphQueries.labelPropEdges(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val left = Set("a", "b", "c").map(got)
+    val right = Set("x", "y", "z").map(got)
+    assert(left.size == 1 && right.size == 1, s"each triangle one label: $got")
+    assert(left != right, s"weak bridge must not merge the communities: $got")
+  }
+
+  test("graph_label_propagation fixture: blocks recovered, hub keeps the graph connected") {
+    val out = GraphQueries.labelPropagation(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val byVertex = out.toMap
+    assert(byVertex.contains("hub"))
+    // communities are non-trivial: more than one, far fewer than vertices
+    val nLabels = out.map(_._2).distinct.length
+    assert(nLabels > 1 && nLabels < out.length,
+      s"$nLabels labels over ${out.length} vertices")
+    // block purity: every non-hub vertex's label belongs to its OWN
+    // block (intra-block weights outvote the weak hub bridges)
+    out.filter(_._1 != "hub").foreach { case (v, lbl) =>
+      val block = v.drop(1).takeWhile(_ != '_')
+      assert(lbl == "hub" || lbl.startsWith(s"h${block}_"),
+        s"$v labeled $lbl — crossed its block")
+    }
+  }
+
   test("declared fixture: 13 planted domains, mass conserved up to div truncation") {
     val out = GraphQueries.pageRank(spark, "/root/testdata/sf0.001").collect()
     assert(out.length == 13)
