@@ -116,6 +116,92 @@ object Multimodal {
       }
   }
 
+  final case class MediaHash(media_id: Long, w0: Long, w1: Long, w2: Long,
+      w3: Long, decoded: Boolean)
+
+  /** 64-bit average hash (aHash) of a media blob, returned as FOUR
+    * 16-bit words — the perceptual near-dup fingerprint (one-pixel
+    * edits, re-encodes, mild brightness shifts keep the hash within a
+    * few bits, so hamming-banded joins find them where the exact
+    * raster digest cannot). Decodable images hash their GRAY raster;
+    * other blobs hash the same byte grid [[fallbackFeatures]] uses, so
+    * the operator is total AND the fallback path is pure integer
+    * arithmetic a SQL oracle replays.
+    *
+    * Definition (shared by both paths): values v_k on a width x height
+    * grid map to an 8x8 cell grid (ci = min(7, y*8/height),
+    * cj = min(7, x*8/width), integer division); bit c is set iff the
+    * cell's mean EXCEEDS the global mean — compared EXACTLY by
+    * cross-multiplication, s_c * N > S * n_c (no float rounding to
+    * diverge between engines). Word w holds bits [16w, 16w+16) with
+    * bit b of the word at 1 << b — each word < 2^16, so no BIGINT
+    * sign/overflow edge anywhere, and words feed hamming banding
+    * directly (pigeonhole: hamming <= 3 pairs share >= 1 exact word). */
+  def aHashWords(bytes: Array[Byte]): MediaHash = {
+    val img =
+      if (!looksLikeImage(bytes)) null
+      else
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var s = 0L
+    var n = 0L
+    def add(v: Int, x: Int, y: Int, width: Int, height: Int): Unit = {
+      val ci = math.min(7, y * 8 / height)
+      val cj = math.min(7, x * 8 / width)
+      val c = ci * 8 + cj
+      sums(c) += v
+      counts(c) += 1
+      s += v
+      n += 1
+    }
+    val decoded = img != null
+    if (decoded) {
+      val w = img.getWidth
+      val h = img.getHeight
+      val rgbRow = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rgbRow, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = rgbRow(x)
+          val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+          add(gray, x, y, w, h)
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val len = math.max(bytes.length, 1)
+      val width = math.max(1, math.sqrt(len.toDouble).toInt)
+      val height = math.max(1, len / width)
+      var k = 0
+      while (k < bytes.length) {
+        add(bytes(k) & 0xff, k % width, k / width, width, height)
+        k += 1
+      }
+    }
+    val words = new Array[Long](4)
+    var c = 0
+    while (c < 64) {
+      if (sums(c) * n > s * counts(c)) words(c / 16) |= 1L << (c % 16)
+      c += 1
+    }
+    MediaHash(-1L, words(0), words(1), words(2), words(3), decoded)
+  }
+
+  /** aHash a binary media column per-partition (scan-local; downstream
+    * banding shuffles four 2-byte words per row, never the media). */
+  def aHashColumn(df: DataFrame, idCol: String, binCol: String): Dataset[MediaHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("media_bytes"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => aHashWords(r.media_bytes).copy(media_id = r.media_id)))
+  }
+
   final case class MediaDigest(media_id: Long, content_md5: String, decoded: Boolean)
 
   /** Canonical CONTENT digest of a media blob: for decodable images,

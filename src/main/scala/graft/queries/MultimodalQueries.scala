@@ -103,6 +103,112 @@ object MultimodalQueries {
       .orderBy("keep_id")
   }
 
+  /** Perceptual (aHash) near-dup pairs over the media column — the
+    * NEAR-dup member of the multimodal family ([[multimodalDedup]] is
+    * exact: one changed pixel or a re-encode breaks its raster digest;
+    * the 64-bit average hash moves a few bits, and hamming-banded
+    * candidates find it). Planted: every 30th doc re-enters with ONE
+    * byte overwritten by its neighbor (id +2e6) — a near-dup the exact
+    * digest can never pair. Candidates via the 4x16-bit word banding
+    * (pigeonhole covers hamming <= 3), exact hamming verify.
+    *
+    * Fully oracle-checked (the multimodal_dedup rule): fixture blobs
+    * all take the byte-grid fallback, whose aHash is pure integer
+    * arithmetic — grid mapping, cross-multiplied mean threshold, word
+    * assembly, banding, bit_count hamming — that the DuckDB twin
+    * replays bitwise; the real-image path (one-pixel edit, PNG-vs-BMP
+    * re-encode) is MultimodalSpec-proven. Scale: hashing is scan-local
+    * mapPartitions; banding shuffles four 2-byte words per row, never
+    * media. The 16-bit word keys saturate like narrow simhash above
+    * ~2^14 rows — media TABLES sit orders below their document tables,
+    * and the wide-fingerprint tier (`simhashPairsWide`'s shape) is the
+    * documented upgrade path if one ever doesn't. */
+  def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Catalog.table(s, dir, "documents").select("doc_id", "text")
+    val planted = d.filter(col("doc_id") % 30 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(substring(col("text"), 1, 5), substring(col("text"), 7, 1),
+          substring(col("text"), 7, 1000000)).as("text"))
+    val bin = d.union(planted)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
+    val h = Multimodal.aHashColumn(bin, "doc_id", "media_bytes").toDF()
+      .localCheckpoint(false)
+    val words = (0 to 3).map(i =>
+        h.select(col("media_id"), lit(i).as("wi"), col(s"w$i").as("wv")))
+      .reduce(_ union _)
+    val cand = words.as("a")
+      .join(words.as("b"),
+        col("a.wi") === col("b.wi") && col("a.wv") === col("b.wv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
+      .distinct()
+    val ham = (0 to 3).map(i =>
+        call_function("bit_count",
+          col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+      .reduce(_ + _)
+    cand
+      .join(h.select(col("media_id").as("ida"), col("w0").as("a0"),
+        col("w1").as("a1"), col("w2").as("a2"), col("w3").as("a3")), "ida")
+      .join(h.select(col("media_id").as("idb"), col("w0").as("b0"),
+        col("w1").as("b1"), col("w2").as("b2"), col("w3").as("b3")), "idb")
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= 3)
+      .select("ida", "idb", "hamming")
+      .orderBy("ida", "idb")
+  }
+
+  /** DuckDB twin of the FALLBACK-path aHash + banding + verify — every
+    * step integer-exact: per-char codepoints (== bytes on the pinned
+    * ASCII corpus), the same grid/cell division, the cross-multiplied
+    * threshold, 16-bit word assembly by bit shifts, word-equality
+    * candidates, bit_count(xor) hamming. */
+  val multimodalPhashPairsSql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    substr(text, 1, 5) || substr(text, 7, 1) || substr(text, 7)
+      |  FROM documents WHERE doc_id % 30 = 0),
+      |dims AS (SELECT doc_id, text, length(text) AS n,
+      |    GREATEST(1, CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)) AS width
+      |  FROM d0),
+      |dims2 AS (SELECT *, GREATEST(1, n // width) AS height FROM dims),
+      |by1 AS (SELECT doc_id, width, height, i - 1 AS k,
+      |    unicode(substr(text, CAST(i AS INTEGER), 1)) AS v
+      |  FROM dims2, unnest(generate_series(1, n)) AS t(i)),
+      |cells AS (SELECT doc_id,
+      |    LEAST(7, ((k // width) * 8) // height) * 8
+      |      + LEAST(7, ((k % width) * 8) // width) AS c,
+      |    v
+      |  FROM by1),
+      |agg AS (SELECT doc_id, c, CAST(sum(v) AS BIGINT) AS sc, count(*) AS nc,
+      |    CAST(sum(sum(v)) OVER (PARTITION BY doc_id) AS BIGINT) AS s,
+      |    CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS nn
+      |  FROM cells GROUP BY doc_id, c),
+      |bits AS (SELECT doc_id, c FROM agg WHERE sc * nn > s * nc),
+      |words AS (SELECT d.doc_id, w.wi,
+      |    COALESCE(CAST(sum(CAST(1 AS BIGINT) << CAST(b.c % 16 AS INTEGER)) AS BIGINT), 0) AS wv
+      |  FROM (SELECT doc_id FROM d0) d
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS wi) w
+      |  LEFT JOIN bits b ON b.doc_id = d.doc_id AND b.c // 16 = w.wi
+      |  GROUP BY d.doc_id, w.wi),
+      |hw AS (SELECT doc_id,
+      |    max(CASE WHEN wi = 0 THEN wv END) AS w0,
+      |    max(CASE WHEN wi = 1 THEN wv END) AS w1,
+      |    max(CASE WHEN wi = 2 THEN wv END) AS w2,
+      |    max(CASE WHEN wi = 3 THEN wv END) AS w3
+      |  FROM words GROUP BY doc_id),
+      |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      |  FROM words a JOIN words b
+      |    ON a.wi = b.wi AND a.wv = b.wv AND a.doc_id < b.doc_id),
+      |scored AS (SELECT ida, idb,
+      |    CAST(bit_count(xor(ha.w0, hb.w0)) + bit_count(xor(ha.w1, hb.w1))
+      |       + bit_count(xor(ha.w2, hb.w2)) + bit_count(xor(ha.w3, hb.w3))
+      |      AS BIGINT) AS hamming
+      |  FROM cand JOIN hw ha ON ha.doc_id = ida JOIN hw hb ON hb.doc_id = idb)
+      |SELECT ida, idb, hamming FROM scored WHERE hamming <= 3
+      |ORDER BY ida, idb""".stripMargin
+
   /** DuckDB twin of [[Multimodal.fallbackFeatures]] over utf8 bytes:
     * byte length via octet_length(encode(..)), byte sum via per-char
     * codepoints (== bytes on the spec-pinned ASCII corpus). The double
@@ -211,6 +317,7 @@ object MultimodalQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_dedup" -> (multimodalDedup _),
+    "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -224,6 +331,7 @@ object MultimodalQueries {
   // MultimodalSpec-proven.
   def oracle: Map[String, String] = Map(
     "multimodal_dedup" -> multimodalDedupSql,
+    "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_thumbs" -> multimodalThumbsSql,

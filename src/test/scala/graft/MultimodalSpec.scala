@@ -74,6 +74,51 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(dRaw) == Seq(3L))
   }
 
+  test("aHash: near-dup rasters land within a few bits; re-encode is hamming 0; exact digest can't pair either") {
+    def raster(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 37 + y * 101) % 256
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def hamming(a: Multimodal.MediaHash, b: Multimodal.MediaHash): Int =
+      java.lang.Long.bitCount(a.w0 ^ b.w0) + java.lang.Long.bitCount(a.w1 ^ b.w1) +
+        java.lang.Long.bitCount(a.w2 ^ b.w2) + java.lang.Long.bitCount(a.w3 ^ b.w3)
+    val base = raster(32, 24)
+    val png = enc(base, "png")
+    val bmp = enc(base, "bmp")
+    val edited = raster(32, 24)
+    edited.setRGB(5, 5, 0xffffff) // one-pixel edit
+    val editedPng = enc(edited, "png")
+    val hPng = Multimodal.aHashWords(png)
+    val hBmp = Multimodal.aHashWords(bmp)
+    val hEdit = Multimodal.aHashWords(editedPng)
+    assert(hPng.decoded && hBmp.decoded && hEdit.decoded)
+    // a container re-encode keeps the raster -> identical hash; the
+    // exact pixel digest also pairs it (established above) — fine
+    assert(hamming(hPng, hBmp) == 0)
+    // a one-pixel edit stays within banding reach (<= 3) but CHANGES
+    // the raster, so the exact content digest can no longer pair it
+    assert(hamming(hPng, hEdit) <= 3, s"got ${hamming(hPng, hEdit)}")
+    assert(Multimodal.pixelDigest(png)._1 != Multimodal.pixelDigest(editedPng)._1)
+    // an unrelated raster is far away — the hash discriminates
+    val hOther = Multimodal.aHashWords(enc(raster(24, 32), "png"))
+    assert(hamming(hPng, hOther) > 3)
+    // words stay in their 16-bit lanes
+    Seq(hPng, hBmp, hEdit, hOther).foreach { hh =>
+      Seq(hh.w0, hh.w1, hh.w2, hh.w3).foreach(w =>
+        assert(w >= 0L && w < 65536L))
+    }
+  }
+
   test("imageFeatures: deterministic fallback decode for non-image bytes") {
     val df = Seq((1L, "abcd"), (2L, "a" * 100)).toDF("id", "txt")
       .select($"id", encode($"txt", "UTF-8").as("bin"))
