@@ -1546,8 +1546,13 @@ object SimilarityQueries {
   // attaches each candidate's (lang, digest).
   def sampleNegativePairs(s: SparkSession, dir: String): DataFrame = {
     val n = docCount(s, dir)
+    // one checkpoint, two readers (anchor slice + candidate join): the
+    // regex canonicalization is the scan's dominant cost and would
+    // otherwise run twice (sf10: 35.2 s -> the digest relation is
+    // ~40 B/doc, far cheaper to materialize than to recompute)
     val meta = docs(s, dir)
       .select(col("doc_id"), col("lang"), md5(canonicalText).as("dg"))
+      .localCheckpoint(false)
     val anchors = meta.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("anchor_id"), col("lang").as("a_lang"),
         col("dg").as("a_dg"))
