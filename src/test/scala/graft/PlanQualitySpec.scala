@@ -339,6 +339,29 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("__b"), "join key must include the bucket id")
   }
 
+  test("r16 additions: negative mining, LPA round, phash banding all stay hash-join shaped") {
+    // sample_negative_pairs: Weyl-hop candidates are scan-local
+    // arithmetic; the only join attaches candidate metadata by doc key
+    val neg = SimilarityQueries.sampleNegativePairs(spark, dir)
+    neg.collect()
+    val pNeg = plan(neg)
+    assert(!pNeg.contains("BroadcastNestedLoop") && !pNeg.contains("CartesianProduct"))
+    // graph_label_propagation: rounds run over frozen (checkpointed)
+    // relations — exactly one live parquet scan in the final plan, and
+    // the per-round joins are hash joins
+    val lpa = graft.queries.GraphQueries.labelPropagation(spark, dir)
+    val pLpa = plan(lpa)
+    assert(!pLpa.contains("BroadcastNestedLoop") && !pLpa.contains("CartesianProduct"))
+    assert(pLpa.linesIterator.count(_.contains("Scan parquet")) <= 1,
+      "LPA iterations must read frozen relations, not rescan the corpus")
+    // multimodal_phash_pairs: banded candidates ride a (word, value)
+    // hash join, never a nested loop
+    val ph = graft.queries.MultimodalQueries.multimodalPhashPairs(spark, dir)
+    ph.collect()
+    val pPh = plan(ph)
+    assert(!pPh.contains("BroadcastNestedLoop") && !pPh.contains("CartesianProduct"))
+  }
+
   test("cluster_kmeans: the E-step is a scan-local projection — no joins, no hash shuffle") {
     // centroids are driver-held literals (the IVF-store rule), so the
     // assignment pass must compile to scan -> project -> sort: any
