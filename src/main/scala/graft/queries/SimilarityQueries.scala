@@ -594,6 +594,86 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --- sim_topk_projected: JL random-projection similarity -------------
+  // The dimensionality-reduction tier (Johnson-Lindenstrauss): project
+  // 64-dim embeddings onto 16 deterministic splitmix-mixed hyperplanes
+  // (the dedup_cosine_pairs plane family at a disjoint offset) and rank
+  // by cosine IN THE PROJECTED SPACE — 4× less vector bandwidth per
+  // scan/shuffle/compare, the complementary trade to int8 quantization
+  // (which keeps dimensions and shrinks components; this keeps
+  // components and shrinks dimensions — production ANN stacks compose
+  // both). Fully oracle-checked: each projected component is a
+  // sequential fold over double literals DuckDB replays bitwise (the
+  // cosine-LSH precedent — but keeping the real-valued dot, not its
+  // sign), and the projected-space cosine is the same fold-chain the
+  // brute tier hash-matches. JL distortion is real and geometry-
+  // dependent: on THIS fixture's near-orthogonal embeddings (max
+  // pairwise cosine ~0.51 — the documented geometry that also caps
+  // plane-sharpened ANN) top-10 identity under a 4x dimension cut is
+  // largely destroyed (measured recall@10 ~0.24), so the recall pin
+  // lives on CLUSTERED geometry in SimilaritySpec (the
+  // ann_lsh_recall_auto precedent), where JL behaves as the lemma
+  // promises. Scale shape: projection is a scan-local widening-free
+  // expression; downstream is the brute shape (broadcast queries,
+  // scan-bound). Oracle cost: the 16x64-literal projection expression
+  // is gate-SF-pinned — DuckDB fails allocation evaluating it over the
+  // 20k-vector sf1 rung (the sim_topk brute-anchor class; the SPARK
+  // side runs fine at every rung).
+  private val ProjDims = 16
+  private val ProjPlaneOffset = 4096 // disjoint from every LSH table's planes
+
+  def simTopkProjected(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val de = SimilarityFunctions.toDoubleArr(col("embedding"))
+    val proj = array((0 until ProjDims).map { j =>
+      val plane = array((0 until 64).map(i =>
+        lit(SimilarityFunctions.planeComponent(ProjPlaneOffset + j, i))): _*)
+      SimilarityFunctions.dot(de, plane)
+    }: _*)
+    val base = e.select(col("vec_id"), proj.as("pe"))
+      .withColumn("nrm", sqrt(SimilarityFunctions.dot(col("pe"), col("pe"))))
+      .filter(col("nrm") > 0.0)
+    val q = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("pe").as("qe"), col("nrm").as("qn"))
+    val c = base.select(col("vec_id").as("cid"), col("pe").as("ce"),
+      col("nrm").as("cn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("score",
+        SimilarityFunctions.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val simTopkProjectedSql: String = {
+    // plane literals ride as CAST('<repr>' AS DOUBLE), NOT bare numeric
+    // literals: DuckDB types a bare decimal literal DECIMAL and its
+    // double x decimal multiply is not correctly rounded (measured
+    // 1-ulp drift on ~6/64 terms — invisible to the sign-only
+    // cosine-LSH oracles, fatal to a real-valued projection). The
+    // string cast parses via strtod, which IS correctly rounded.
+    def projTerm(j: Int, arr: String) = Det.sqlFoldChain(i =>
+      s"($arr[$i] * CAST('${SimilarityFunctions.planeComponent(ProjPlaneOffset + j, i - 1)}' AS DOUBLE))", 64)
+    def projList(arr: String) =
+      (0 until ProjDims).map(j => projTerm(j, arr)).mkString("[", ", ", "]")
+    val dot = Det.sqlFoldChain(i => s"(a.pe[$i] * b.pe[$i])", ProjDims)
+    val nrm = Det.sqlFoldChain(i => s"(pe[$i] * pe[$i])", ProjDims)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |p AS (SELECT vec_id, ${projList("e")} AS pe FROM v),
+       |n AS (SELECT vec_id, pe, sqrt($nrm) AS nrm FROM p),
+       |f AS (SELECT * FROM n WHERE nrm > 0.0),
+       |s AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+       |        $dot / (a.nrm * b.nrm) AS score
+       |      FROM f a JOIN f b ON a.vec_id <> b.vec_id
+       |      WHERE a.vec_id % 100 = 0)
+       |SELECT qid, cid, score, CAST(rn AS INTEGER) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM s)
+       |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   // --- embedding-cosine near-dup pairs (candidate-then-verify) ---------
   /** LSH parameters for the cosine near-dup pair query. 4 tables × 8
     * planes and τ=0.35 are tuned to the fixture: the corpus embeddings
@@ -1774,6 +1854,7 @@ object SimilarityQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "cluster_kmeans" -> (clusterKmeans _),
     "sample_negative_pairs" -> (sampleNegativePairs _),
+    "sim_topk_projected" -> (simTopkProjected _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "text_paragraph_clean" -> (paragraphClean _),
     "dedup_exact_survivors" -> (dedupExactSurvivors _),
@@ -1812,6 +1893,7 @@ object SimilarityQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "cluster_kmeans" -> clusterKmeansSql,
     "sample_negative_pairs" -> sampleNegativePairsSql,
+    "sim_topk_projected" -> simTopkProjectedSql,
     "dedup_paragraphs" -> dedupParagraphsSql,
     "text_paragraph_clean" -> paragraphCleanSql,
     "dedup_exact_survivors" -> dedupExactSurvivorsSql,

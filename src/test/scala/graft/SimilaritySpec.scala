@@ -495,6 +495,55 @@ class SimilaritySpec extends SparkSpecBase {
     assert(perAnchor.values.forall(c => c >= 5 && c <= 6))
   }
 
+  test("JL projection: on clustered geometry the 16-dim plane family preserves cluster structure") {
+    // the quality pin for sim_topk_projected, on geometry where the
+    // lemma applies (the ann_lsh_recall_auto precedent): 8
+    // well-separated centers + small deterministic noise. What JL
+    // guarantees (and what a pipeline uses a 4x dimension cut for) is
+    // COARSE neighbor structure: a query's projected top-10 must stay
+    // inside its own cluster. Exact top-10 IDENTITY is noise-ranked
+    // within a cluster and not preserved by ANY 4x cut (measured 0.36
+    // here, 0.24 on the near-orthogonal fixture — the query scaladoc
+    // documents both), so that is deliberately NOT the assertion.
+    import graft.functions.SimilarityFunctions.planeComponent
+    val dim = 64
+    val projDims = 16
+    val off = 4096 // ProjPlaneOffset
+    def lcg(seed: Long): Iterator[Double] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => ((s >>> 11).toDouble / 9007199254740992.0) - 0.5)
+    val centers = (0 until 8).map(c => lcg(c * 7919L + 13L).take(dim).toVector)
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      val noise = lcg(i * 104729L + 7L).take(dim).toVector
+      i.toLong -> c.zip(noise).map { case (a, n) => a + 0.08 * n }
+    }
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def project(e: Seq[Double]): Seq[Double] =
+      (0 until projDims).map(j =>
+        dot(e, (0 until dim).map(i => planeComponent(off + j, i))))
+    val full = vecs.toMap
+    val projected = vecs.map { case (id, e) => id -> project(e) }.toMap
+    val queries = vecs.filter(_._1 % 40 == 0)
+    def topk(qid: Long, space: Map[Long, Seq[Double]]) =
+      vecs.filter(_._1 != qid)
+        .map { case (cid, _) => (cos(space(qid), space(cid)), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(10).map(_._2)
+    def sameClusterFrac(qid: Long, ids: Seq[Long]) =
+      ids.count(_ % 8 == qid % 8) / 10.0
+    val fullPurity = queries.map { case (qid, _) => sameClusterFrac(qid, topk(qid, full)) }
+    val projPurity = queries.map { case (qid, _) => sameClusterFrac(qid, topk(qid, projected)) }
+    // geometry sanity: the full space ranks own-cluster members on top
+    assert(fullPurity.forall(_ == 1.0), s"fixture not separated: $fullPurity")
+    // the pin: the 4x-cheaper projected space keeps them there too
+    val mean = projPurity.sum / projPurity.size
+    assert(mean >= 0.9 && projPurity.forall(_ >= 0.8),
+      s"projected top-10 left the cluster: mean $mean (per-q: $projPurity)")
+  }
+
   test("paragraph dedup finds the planted boilerplate footer across documents") {
     val dir = "/root/testdata/sf0.001"
     val d = graft.Catalog.table(spark, dir, "documents")
