@@ -1268,7 +1268,8 @@ object SimilarityFunctions {
     * budget is bounded by occupancy × tables × probes instead). */
   def annLshTopKPortable(queries: DataFrame, candidates: DataFrame, k: Int,
                          nTables: Int, planesPerTable: Int,
-                         probeHamming: Int): DataFrame = {
+                         probeHamming: Int,
+                         maxCos: Option[Double] = None): DataFrame = {
     val cv = cosinePrep(candidates)
     val qv = cosinePrep(queries)
     def keyed(v: DataFrame, id: String): DataFrame = v
@@ -1293,6 +1294,10 @@ object SimilarityFunctions {
       .join(cv.select(col("vec_id").as("cid"),
         col("e").as("ce"), col("n").as("cn")), "cid")
       .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      // hard-negative mode: drop probable POSITIVES (near-identical
+      // vectors — an exact/near dup is not a negative) BEFORE ranking,
+      // so the k slots fill with the closest surviving negatives
+      .filter(maxCos.map(t => col("score") < t).getOrElse(lit(true)))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("score"), col("rnk"))

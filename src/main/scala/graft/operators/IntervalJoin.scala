@@ -46,6 +46,11 @@ object IntervalJoin {
                   bucketSeconds: Long,
                   keys: Seq[(String, String)] = Nil): DataFrame = {
     require(bucketSeconds > 0)
+    // the internal bucket column must not shadow a caller column — a
+    // pre-existing __b would be silently overwritten, then dropped from
+    // the output (ADVICE r16)
+    require(!left.columns.contains("__b") && !right.columns.contains("__b"),
+      "overlapJoin reserves the internal column name __b; rename it on the input")
     val b = lit(bucketSeconds)
     def bucketOf(c: org.apache.spark.sql.Column) = floor(c / b).cast("long")
     def exploded(df: DataFrame, s: String, e: String) =

@@ -137,20 +137,41 @@ object Multimodal {
     * bit b of the word at 1 << b — each word < 2^16, so no BIGINT
     * sign/overflow edge anywhere, and words feed hamming banding
     * directly (pigeonhole: hamming <= 3 pairs share >= 1 exact word). */
-  def aHashWords(bytes: Array[Byte]): MediaHash = {
+  /** Exact `a*b > c*d` over non-negative longs via 128-bit products
+    * (Math.multiplyHigh + unsigned-low compare) — the cross-multiplied
+    * mean threshold must not overflow-flip bits on multi-GB blobs
+    * (255 * len² / cells exceeds 2⁶³ near len ≈ 1.5 GB). For every
+    * blob the gate-SF oracle sees, the products fit in a signed long,
+    * so this is bitwise the old `a*b > c*d` there. */
+  private[graft] def prodGreater(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = java.lang.Math.multiplyHigh(a, b)
+    val hi2 = java.lang.Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
+  /** Shared grid accumulator for the perceptual hashes: map the blob's
+    * values (gray raster for decodable images, raw bytes otherwise)
+    * onto a g×g cell grid; return (cell sums, cell counts, global sum,
+    * global count, decoded). Cell of value at (x, y) on a width×height
+    * source is (min(g-1, y*g/height), min(g-1, x*g/width)) — integer
+    * division, so a SQL oracle replays it exactly on the fallback
+    * path. */
+  private def gridAccumulate(bytes: Array[Byte], g: Int)
+      : (Array[Long], Array[Long], Long, Long, Boolean) = {
     val img =
       if (!looksLikeImage(bytes)) null
       else
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case _: Throwable => null }
-    val sums = new Array[Long](64)
-    val counts = new Array[Long](64)
+    val sums = new Array[Long](g * g)
+    val counts = new Array[Long](g * g)
     var s = 0L
     var n = 0L
     def add(v: Int, x: Int, y: Int, width: Int, height: Int): Unit = {
-      val ci = math.min(7, y * 8 / height)
-      val cj = math.min(7, x * 8 / width)
-      val c = ci * 8 + cj
+      val ci = math.min(g - 1, y * g / height)
+      val cj = math.min(g - 1, x * g / width)
+      val c = ci * g + cj
       sums(c) += v
       counts(c) += 1
       s += v
@@ -183,10 +204,37 @@ object Multimodal {
         k += 1
       }
     }
+    (sums, counts, s, n, decoded)
+  }
+
+  def aHashWords(bytes: Array[Byte]): MediaHash = {
+    val (sums, counts, s, n, decoded) = gridAccumulate(bytes, 8)
     val words = new Array[Long](4)
     var c = 0
     while (c < 64) {
-      if (sums(c) * n > s * counts(c)) words(c / 16) |= 1L << (c % 16)
+      if (prodGreater(sums(c), n, s, counts(c))) words(c / 16) |= 1L << (c % 16)
+      c += 1
+    }
+    MediaHash(-1L, words(0), words(1), words(2), words(3), decoded)
+  }
+
+  /** 256-bit WIDE average hash: 16×16 block means against the global
+    * mean (same exact cross-multiplied threshold as [[aHashWords]]),
+    * packed as FOUR 64-bit words — bit c of the fingerprint is bit
+    * c%64 of word c/64. The wide fingerprint is the non-saturating
+    * banding substrate for media near-dup at corpus scale: band keys
+    * are full 64-bit words (2⁶⁴ key space), where the narrow tier's
+    * 16-bit words saturate above ~2¹⁴ rows — the `graft_simhash_wide`
+    * precedent applied to the perceptual hash (r16 verdict item 1). A
+    * finer grid also RESOLVES more: each cell covers 1/256th of the
+    * source, so a localized edit flips at most a few bits while the
+    * narrow hash may not see it at all. */
+  def aHashWideWords(bytes: Array[Byte]): MediaHash = {
+    val (sums, counts, s, n, decoded) = gridAccumulate(bytes, 16)
+    val words = new Array[Long](4)
+    var c = 0
+    while (c < 256) {
+      if (prodGreater(sums(c), n, s, counts(c))) words(c / 64) |= 1L << (c % 64)
       c += 1
     }
     MediaHash(-1L, words(0), words(1), words(2), words(3), decoded)
@@ -201,6 +249,30 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions(_.map(r => aHashWords(r.media_bytes).copy(media_id = r.media_id)))
   }
+
+  /** Wide (256-bit) aHash over a binary media column — same scan-local
+    * shape as [[aHashColumn]]; downstream banding shuffles four 8-byte
+    * words per row, never the media. */
+  def aHashWideColumn(df: DataFrame, idCol: String, binCol: String): Dataset[MediaHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(binCol).as("media_bytes"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(r => aHashWideWords(r.media_bytes).copy(media_id = r.media_id)))
+  }
+
+  /** Narrow-tier ceiling for the declared perceptual near-dup key:
+    * above this many media rows the 4×16-bit band-key space (2¹⁶ keys
+    * per word) saturates — occupancy drives candidate counts toward
+    * n²/2¹⁶ — so [[graft.queries.MultimodalQueries.multimodalPhashPairs]]
+    * switches to the 256-bit wide fingerprint whose 64-bit band keys
+    * never saturate. 2¹⁴ keeps every gate-SF corpus on the
+    * bit-identical narrow anchor the oracle has pinned. */
+  private[graft] val PhashNarrowMax: Long = 1L << 14
+
+  /** Tier selector, split out so a spec pins the crossover without a
+    * 16k-row media fixture. */
+  private[graft] def phashUseWide(nMedia: Long): Boolean = nMedia > PhashNarrowMax
 
   final case class MediaDigest(media_id: Long, content_md5: String, decoded: Boolean)
 

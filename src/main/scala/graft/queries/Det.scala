@@ -63,4 +63,11 @@ object Det {
     * summation order (and hence every bit) matches across engines. */
   def sqlFoldChain(term: Int => String, n: Int): String =
     (1 to n).map(term).foldLeft("0.0")((acc, t) => s"($acc + $t)")
+
+  /** Double literal for oracle SQL, routed through a string cast:
+    * DuckDB parses a bare `0.35` as DECIMAL and its decimal→double
+    * arithmetic is not always correctly rounded (measured r16, the
+    * sim_topk_projected pitfall) — `CAST('0.35' AS DOUBLE)` is the
+    * same IEEE value `0.35` is in Scala. */
+  def dlit(d: Double): String = s"CAST('$d' AS DOUBLE)"
 }

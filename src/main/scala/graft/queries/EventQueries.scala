@@ -433,8 +433,44 @@ object EventQueries {
       .orderBy("canon_url")
   }
 
+  // --- stream_minhash_pairs: dedup-on-ingest as a DECLARED key --------
+  // The flagship streaming use case for a training-data pipeline
+  // (r16 verdict item 7): MinHash-LSH near-dup detection AT INGEST —
+  // a document learns its near-duplicates the moment it lands, via
+  // keyed per-bucket state (flatMapGroupsWithState), without ever
+  // re-scanning the corpus. Same AvailableNow + exactly-once parquet
+  // file-sink harness as stream_url_frontier (file sink, not memory
+  // sink — survivors land distributed; checkpoint keyed by corpus
+  // fingerprint so a re-run resumes and reprocesses nothing). The
+  // at-least-once per-band candidate emission collapses under the
+  // read-back DISTINCT (the est is bit-identical in every colliding
+  // band). Rows-only (engine-hash signatures, like the batch
+  // dedup_minhash_docs tier it twins); anchored by StreamingSpec's
+  // stream==batch parity pin (incl. the over-cap freeze fixture) and
+  // the batch tier's own accuracy anchors.
+  def streamMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.Catalog.dirFingerprint(dir, "documents")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + fp).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = s"target/stream_sinks/minhash_pairs_$key"
+    val q = graft.streaming.EventStreams.streamNearDupPairs(s, dir)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .select(col("ida"), col("idb"), col("est_jaccard"))
+      .distinct()
+      .orderBy("ida", "idb")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_url_frontier" -> (streamUrlFrontier _),
+    "stream_minhash_pairs" -> (streamMinhashPairs _),
     "funnel_stages" -> (funnelStages _),
     "retention_cohorts" -> (retentionCohorts _),
     "scd2_intervals" -> (scd2Intervals _),

@@ -118,26 +118,53 @@ object MultimodalQueries {
     * assembly, banding, bit_count hamming — that the DuckDB twin
     * replays bitwise; the real-image path (one-pixel edit, PNG-vs-BMP
     * re-encode) is MultimodalSpec-proven. Scale: hashing is scan-local
-    * mapPartitions; banding shuffles four 2-byte words per row, never
-    * media. The 16-bit word keys saturate like narrow simhash above
-    * ~2^14 rows — media TABLES sit orders below their document tables,
-    * and the wide-fingerprint tier (`simhashPairsWide`'s shape) is the
-    * documented upgrade path if one ever doesn't. */
-  def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    * mapPartitions; banding shuffles four small words per row, never
+    * media. AUTO-TIERED by the parquet-footer media row count (r16
+    * verdict item 1 — the `dedup_simhash_docs` rule): at or below
+    * [[Multimodal.PhashNarrowMax]] rows, the 64-bit 8×8 aHash with
+    * 4×16-bit word banding (the gate-SF anchor, bit-unchanged from
+    * r16); above it, the 256-bit 16×16 aHash with 4×64-bit word
+    * banding whose 2⁶⁴ band-key space never saturates (see
+    * [[multimodalPhashWide]], which stays declared as the explicit
+    * wide tier). Uniquely among the auto-tiered keys, the ORACLE
+    * tiers too — the SQL twin replays the same count(*) decision, so
+    * the key stays hash-checked on BOTH sides of the crossover. */
+  /** The media relation BOTH phash tiers hash: documents' utf8 bytes
+    * plus planted one-byte-edit near-dups (id +2e6). The edited tail
+    * is the WHOLE remainder of the text (substr from 7 — ADVICE r16:
+    * a hard 1e6-char bound could diverge from the oracle's unbounded
+    * `substr(text, 7)` on ultra-long docs). */
+  private def phashMedia(s: SparkSession, dir: String): DataFrame = {
     val d = Catalog.table(s, dir, "documents").select("doc_id", "text")
     val planted = d.filter(col("doc_id") % 30 === 0)
       .select((col("doc_id") + lit(2000000L)).as("doc_id"),
         concat(substring(col("text"), 1, 5), substring(col("text"), 7, 1),
-          substring(col("text"), 7, 1000000)).as("text"))
-    val bin = d.union(planted)
+          col("text").substr(lit(7), length(col("text")))).as("text"))
+    d.union(planted)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("media_bytes"))
-    val h = Multimodal.aHashColumn(bin, "doc_id", "media_bytes").toDF()
-      .localCheckpoint(false)
+  }
+
+  /** Shared banding + exact-hamming verify over a 4-word hash relation
+    * (media_id, w0..w3): pigeonhole candidates on word equality
+    * (covers hamming <= 3 for 4 words regardless of word WIDTH), then
+    * exact bit_count(xor) hamming over the full fingerprint.
+    * `maxBucket` (wide tier only) caps each (word-index, word-value)
+    * bucket at its lowest media_ids — deterministic, so the SQL twin
+    * replays it with one QUALIFY row_number(); applied uniformly it
+    * equals the capHotKeys hot-only rewrite as a set. */
+  private[graft] def phashBandedPairs(h0: DataFrame, maxBucket: Option[Int]): DataFrame = {
+    val h = h0.localCheckpoint(false)
     val words = (0 to 3).map(i =>
         h.select(col("media_id"), lit(i).as("wi"), col(s"w$i").as("wv")))
       .reduce(_ union _)
-    val cand = words.as("a")
-      .join(words.as("b"),
+    val banded = maxBucket.fold(words) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("wi"), col("wv")).orderBy(col("media_id"))
+      words.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= cap).drop("__r")
+    }
+    val cand = banded.as("a")
+      .join(banded.as("b"),
         col("a.wi") === col("b.wi") && col("a.wv") === col("b.wv") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
@@ -157,57 +184,129 @@ object MultimodalQueries {
       .orderBy("ida", "idb")
   }
 
-  /** DuckDB twin of the FALLBACK-path aHash + banding + verify — every
-    * step integer-exact: per-char codepoints (== bytes on the pinned
-    * ASCII corpus), the same grid/cell division, the cross-multiplied
-    * threshold, 16-bit word assembly by bit shifts, word-equality
-    * candidates, bit_count(xor) hamming. */
-  val multimodalPhashPairsSql: String =
-    """WITH d0 AS (
+  private def docCount(s: SparkSession, dir: String): Long =
+    graft.sources.Sources.footerRowCount(s, s"$dir/documents.parquet")
+
+  def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val bin = phashMedia(s, dir)
+    if (Multimodal.phashUseWide(docCount(s, dir)))
+      phashBandedPairs(Multimodal.aHashWideColumn(bin, "doc_id", "media_bytes").toDF(),
+        maxBucket = Some(1000))
+    else
+      phashBandedPairs(Multimodal.aHashColumn(bin, "doc_id", "media_bytes").toDF(),
+        maxBucket = None)
+  }
+
+  /** The non-saturating media near-dup tier as its OWN declared key
+    * (the `dedup_simhash_wide` rule — the wide tier keeps a rung-cost
+    * row at every SF): 256-bit 16×16-block aHash, banded per 64-bit
+    * word (2⁶⁴ band-key space — occupancy never saturates the way the
+    * narrow tier's 16-bit words do above ~2¹⁴ rows), 1000-row bucket
+    * cap, exact hamming ≤ 3 verify. Unlike the simhash precedent this
+    * tier is FULLY oracle-checked: the fallback-path wide hash is the
+    * same integer arithmetic at a finer grid, and the bucket cap is a
+    * deterministic lowest-id QUALIFY the SQL twin replays. */
+  def multimodalPhashWide(s: SparkSession, dir: String): DataFrame =
+    phashBandedPairs(
+      Multimodal.aHashWideColumn(phashMedia(s, dir), "doc_id", "media_bytes").toDF(),
+      maxBucket = Some(1000))
+
+  /** Shared planted-near-dup media relation for the phash oracles. */
+  private val phashD0Sql: String =
+    """d0 AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 2000000,
       |    substr(text, 1, 5) || substr(text, 7, 1) || substr(text, 7)
-      |  FROM documents WHERE doc_id % 30 = 0),
-      |dims AS (SELECT doc_id, text, length(text) AS n,
-      |    GREATEST(1, CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)) AS width
-      |  FROM d0),
-      |dims2 AS (SELECT *, GREATEST(1, n // width) AS height FROM dims),
-      |by1 AS (SELECT doc_id, width, height, i - 1 AS k,
-      |    unicode(substr(text, CAST(i AS INTEGER), 1)) AS v
-      |  FROM dims2, unnest(generate_series(1, n)) AS t(i)),
-      |cells AS (SELECT doc_id,
-      |    LEAST(7, ((k // width) * 8) // height) * 8
-      |      + LEAST(7, ((k % width) * 8) // width) AS c,
-      |    v
-      |  FROM by1),
-      |agg AS (SELECT doc_id, c, CAST(sum(v) AS BIGINT) AS sc, count(*) AS nc,
-      |    CAST(sum(sum(v)) OVER (PARTITION BY doc_id) AS BIGINT) AS s,
-      |    CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS nn
-      |  FROM cells GROUP BY doc_id, c),
-      |bits AS (SELECT doc_id, c FROM agg WHERE sc * nn > s * nc),
-      |words AS (SELECT d.doc_id, w.wi,
-      |    COALESCE(CAST(sum(CAST(1 AS BIGINT) << CAST(b.c % 16 AS INTEGER)) AS BIGINT), 0) AS wv
-      |  FROM (SELECT doc_id FROM d0) d
-      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS wi) w
-      |  LEFT JOIN bits b ON b.doc_id = d.doc_id AND b.c // 16 = w.wi
-      |  GROUP BY d.doc_id, w.wi),
-      |hw AS (SELECT doc_id,
-      |    max(CASE WHEN wi = 0 THEN wv END) AS w0,
-      |    max(CASE WHEN wi = 1 THEN wv END) AS w1,
-      |    max(CASE WHEN wi = 2 THEN wv END) AS w2,
-      |    max(CASE WHEN wi = 3 THEN wv END) AS w3
-      |  FROM words GROUP BY doc_id),
-      |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-      |  FROM words a JOIN words b
-      |    ON a.wi = b.wi AND a.wv = b.wv AND a.doc_id < b.doc_id),
-      |scored AS (SELECT ida, idb,
-      |    CAST(bit_count(xor(ha.w0, hb.w0)) + bit_count(xor(ha.w1, hb.w1))
-      |       + bit_count(xor(ha.w2, hb.w2)) + bit_count(xor(ha.w3, hb.w3))
-      |      AS BIGINT) AS hamming
-      |  FROM cand JOIN hw ha ON ha.doc_id = ida JOIN hw hb ON hb.doc_id = idb)
-      |SELECT ida, idb, hamming FROM scored WHERE hamming <= 3
-      |ORDER BY ida, idb""".stripMargin
+      |  FROM documents WHERE doc_id % 30 = 0)""".stripMargin
+
+  /** DuckDB twin of one FALLBACK-path aHash tier — every step
+    * integer-exact: per-char codepoints (== bytes on the pinned ASCII
+    * corpus), grid/cell integer division at `grid`×`grid`, the
+    * cross-multiplied mean threshold, word assembly by bit shifts
+    * (bit 63 of a 64-bit word contributes the signed Long.MinValue so
+    * the signed sum never overflows), word-equality candidates (with
+    * the optional deterministic lowest-id bucket cap as one QUALIFY),
+    * bit_count(xor) hamming. Emitted as a CTE chain prefixed `p` with
+    * the final relation `<p>res(ida, idb, hamming)` — both phash keys'
+    * oracles are generated from THIS template, so the Spark and SQL
+    * tiers cannot drift apart structurally. */
+  private def phashPipeSql(p: String, grid: Int, wordBits: Int,
+                           cap: Option[Int]): String = {
+    val g = grid
+    val bitExpr =
+      if (wordBits == 64)
+        "CASE WHEN b.c % 64 = 63 THEN (-9223372036854775807 - 1) " +
+          "ELSE CAST(1 AS BIGINT) << CAST(b.c % 64 AS INTEGER) END"
+      else s"CAST(1 AS BIGINT) << CAST(b.c % $wordBits AS INTEGER)"
+    val capQ = cap.map(c =>
+      s"\n  QUALIFY row_number() OVER (PARTITION BY wi, wv ORDER BY doc_id) <= $c")
+      .getOrElse("")
+    s"""${p}dims AS (SELECT doc_id, text, length(text) AS n,
+       |    GREATEST(1, CAST(floor(sqrt(CAST(length(text) AS DOUBLE))) AS BIGINT)) AS width
+       |  FROM d0),
+       |${p}dims2 AS (SELECT *, GREATEST(1, n // width) AS height FROM ${p}dims),
+       |${p}by1 AS (SELECT doc_id, width, height, i - 1 AS k,
+       |    unicode(substr(text, CAST(i AS INTEGER), 1)) AS v
+       |  FROM ${p}dims2, unnest(generate_series(1, n)) AS t(i)),
+       |${p}cells AS (SELECT doc_id,
+       |    LEAST(${g - 1}, ((k // width) * $g) // height) * $g
+       |      + LEAST(${g - 1}, ((k % width) * $g) // width) AS c,
+       |    v
+       |  FROM ${p}by1),
+       |${p}agg AS (SELECT doc_id, c, CAST(sum(v) AS BIGINT) AS sc, count(*) AS nc,
+       |    CAST(sum(sum(v)) OVER (PARTITION BY doc_id) AS BIGINT) AS s,
+       |    CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS nn
+       |  FROM ${p}cells GROUP BY doc_id, c),
+       |${p}bits AS (SELECT doc_id, c FROM ${p}agg WHERE sc * nn > s * nc),
+       |${p}words AS (SELECT d.doc_id, w.wi,
+       |    COALESCE(CAST(sum($bitExpr) AS BIGINT), 0) AS wv
+       |  FROM (SELECT doc_id FROM d0) d
+       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS wi) w
+       |  LEFT JOIN ${p}bits b ON b.doc_id = d.doc_id AND b.c // $wordBits = w.wi
+       |  GROUP BY d.doc_id, w.wi),
+       |${p}banded AS (SELECT doc_id, wi, wv FROM ${p}words$capQ),
+       |${p}hw AS (SELECT doc_id,
+       |    max(CASE WHEN wi = 0 THEN wv END) AS w0,
+       |    max(CASE WHEN wi = 1 THEN wv END) AS w1,
+       |    max(CASE WHEN wi = 2 THEN wv END) AS w2,
+       |    max(CASE WHEN wi = 3 THEN wv END) AS w3
+       |  FROM ${p}words GROUP BY doc_id),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM ${p}banded a JOIN ${p}banded b
+       |    ON a.wi = b.wi AND a.wv = b.wv AND a.doc_id < b.doc_id),
+       |${p}scored AS (SELECT ida, idb,
+       |    CAST(bit_count(xor(ha.w0, hb.w0)) + bit_count(xor(ha.w1, hb.w1))
+       |       + bit_count(xor(ha.w2, hb.w2)) + bit_count(xor(ha.w3, hb.w3))
+       |      AS BIGINT) AS hamming
+       |  FROM ${p}cand JOIN ${p}hw ha ON ha.doc_id = ida JOIN ${p}hw hb ON hb.doc_id = idb),
+       |${p}res AS (SELECT ida, idb, hamming FROM ${p}scored WHERE hamming <= 3)""".stripMargin
+  }
+
+  /** TIERED oracle for the declared key: DuckDB replays the SAME
+    * footer-count tier decision the Spark plan makes (count(*) over
+    * documents == the parquet footer count), so the oracle stays exact
+    * at EVERY SF — narrow 8×8/16-bit below [[Multimodal.PhashNarrowMax]]
+    * rows, wide 16×16/64-bit + bucket cap above it. DuckDB executes
+    * both guarded branches (no false-branch pruning — probed), which
+    * doubles oracle cost but never its answer. */
+  val multimodalPhashPairsSql: String =
+    s"""WITH $phashD0Sql,
+       |${phashPipeSql("n_", 8, 16, None)},
+       |${phashPipeSql("w_", 16, 64, Some(1000))}
+       |SELECT ida, idb, hamming FROM n_res
+       |WHERE (SELECT count(*) FROM documents) <= ${Multimodal.PhashNarrowMax}
+       |UNION ALL
+       |SELECT ida, idb, hamming FROM w_res
+       |WHERE (SELECT count(*) FROM documents) > ${Multimodal.PhashNarrowMax}
+       |ORDER BY ida, idb""".stripMargin
+
+  /** Standalone wide-tier oracle (always 16×16/64-bit + cap). */
+  val multimodalPhashWideSql: String =
+    s"""WITH $phashD0Sql,
+       |${phashPipeSql("w_", 16, 64, Some(1000))}
+       |SELECT ida, idb, hamming FROM w_res
+       |ORDER BY ida, idb""".stripMargin
 
   /** DuckDB twin of [[Multimodal.fallbackFeatures]] over utf8 bytes:
     * byte length via octet_length(encode(..)), byte sum via per-char
@@ -318,6 +417,7 @@ object MultimodalQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
+    "multimodal_phash_wide" -> (multimodalPhashWide _),
     "multimodal_audio" -> (multimodalAudio _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -332,6 +432,7 @@ object MultimodalQueries {
   def oracle: Map[String, String] = Map(
     "multimodal_dedup" -> multimodalDedupSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,
+    "multimodal_phash_wide" -> multimodalPhashWideSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_thumbs" -> multimodalThumbsSql,

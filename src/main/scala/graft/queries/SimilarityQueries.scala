@@ -1340,13 +1340,17 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
-  /** Mirror of the engine plan, literal for literal: per table t the
-    * bucket is the sign fold over planes t·8+j (the exact
+  /** Shared CTE chain of the portable (literal-plane) LSH top-k
+    * pipeline, mirror of the engine plan literal for literal: per
+    * table t the bucket is the sign fold over planes t·8+j (the exact
     * [[SimilarityFunctions.planeComponent]] doubles — Double.toString
     * round-trips, so DuckDB parses the identical IEEE value); probes
     * XOR the C(8, ≤2) flip masks; exact cosine is the same sequential
-    * fold; the top-k window the same (score DESC, cid) tiebreak. */
-  val annLshTopkPortableSql: String = {
+    * fold. Emits CTEs ending in `s(qid, cid, score)`; callers append
+    * their own guard + top-k window (the same (score DESC, cid)
+    * tiebreak). `vSql` parameterizes the candidate corpus so the
+    * hard-negative twin can plant exact-dup vectors. */
+  private def annPortableCtes(vSql: String, anchorWhere: String): String = {
     def planeDot(j: Int): String =
       Det.sqlFoldChain(i => s"(e[$i] * ${SimilarityFunctions.planeComponent(j, i - 1)})", 64)
     def bucketExpr(t: Int): String =
@@ -1362,22 +1366,82 @@ object SimilarityQueries {
     val dot = Det.sqlFoldChain(i => s"(vq.e[$i] * vc.e[$i])", 64)
     val nq = Det.sqlFoldChain(i => s"(vq.e[$i] * vq.e[$i])", 64)
     val nc = Det.sqlFoldChain(i => s"(vc.e[$i] * vc.e[$i])", 64)
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""v AS ($vSql),
        |k AS (
        |  $tableSelects),
        |p AS (SELECT k.vec_id AS qid, k.tbl, xor(k.bucket, mm.m) AS bucket
        |      FROM k CROSS JOIN (SELECT unnest([${masks.mkString(", ")}]) AS m) mm
-       |      WHERE k.vec_id % 100 = 0),
+       |      WHERE $anchorWhere),
        |cand AS (SELECT DISTINCT p.qid, c.vec_id AS cid
        |         FROM p JOIN k c ON c.tbl = p.tbl AND c.bucket = p.bucket
        |                        AND c.vec_id <> p.qid),
        |s AS (SELECT qid, cid, $dot / (sqrt($nq) * sqrt($nc)) AS score
-       |      FROM cand JOIN v vq ON vq.vec_id = qid JOIN v vc ON vc.vec_id = cid)
+       |      FROM cand JOIN v vq ON vq.vec_id = qid JOIN v vc ON vc.vec_id = cid)""".stripMargin
+  }
+
+  val annLshTopkPortableSql: String =
+    s"""WITH ${annPortableCtes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
+        "k.vec_id % 100 = 0")}
        |SELECT qid, cid, score, CAST(rn AS INTEGER) AS rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
        |  FROM s)
        |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
+
+  // --- sample_negative_hard: HARD-negative mining (r16 item 4) --------
+  // sample_negative_pairs draws RANDOM negatives; contrastive training
+  // at scale mines HARD ones — candidates near the anchor that are not
+  // positives. Composition of two already-portable pieces: the
+  // literal-plane multiprobe candidate generator (ann_lsh_topk_portable
+  // — every plane a double literal, every probe mask an int literal)
+  // and the false-negative guards of sample_negative_pairs (self-pairs
+  // can't form by construction; near-identical vectors — cosine >=
+  // HardNegMaxCos — are probable POSITIVES/dups and are dropped BEFORE
+  // ranking, so the k slots fill with true negatives). Planted: every
+  // 40th vector re-enters as an exact copy (id +5e6) — the guard must
+  // eat all of them (cosine 1.0); anchors stay on base ids. Each
+  // surviving negative is banded by cosine for the trainer's curriculum
+  // (hard/medium/easy at 0.35 / 0.2 — the dedup_cosine_pairs τ and the
+  // corpus's ~10th-neighbor cosine). Fully oracle-checked end to end.
+  // Scale shape: identical to the portable ANN tier — scan-local bucket
+  // folds, broadcast probe relation, one hash join on (tbl, bucket),
+  // id-only candidate dedup, vectors attach by id at the end.
+  private val HardNegMaxCos = 0.95
+  private val HardNegK = 5
+
+  def sampleNegativeHard(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val planted = e.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"), col("label"))
+    val anchors = e.filter(col("vec_id") % 100 === 0)
+    SimilarityFunctions.annLshTopKPortable(anchors, e.union(planted), HardNegK,
+        nTables = AnnPortTables, planesPerTable = AnnPortPlanes,
+        probeHamming = AnnPortProbe, maxCos = Some(HardNegMaxCos))
+      .withColumn("band",
+        when(col("score") >= 0.35, lit("hard"))
+          .when(col("score") >= 0.2, lit("medium"))
+          .otherwise(lit("easy")))
+      .select(col("qid").as("anchor_id"), col("cid").as("negative_id"),
+        col("score"), col("rnk"), col("band"))
+      .orderBy("anchor_id", "rnk")
   }
+
+  val sampleNegativeHardSql: String =
+    s"""WITH ${annPortableCtes(
+        """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          |     UNION ALL
+          |     SELECT vec_id + 5000000, CAST(embedding AS DOUBLE[])
+          |     FROM embeddings WHERE vec_id % 40 = 0""".stripMargin,
+        "k.vec_id % 100 = 0 AND k.vec_id < 5000000")}
+       |SELECT qid AS anchor_id, cid AS negative_id, score,
+       |  CAST(rn AS INTEGER) AS rnk,
+       |  CASE WHEN score >= ${Det.dlit(0.35)} THEN 'hard'
+       |       WHEN score >= ${Det.dlit(0.2)} THEN 'medium'
+       |       ELSE 'easy' END AS band
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM s WHERE score < ${Det.dlit(HardNegMaxCos)})
+       |WHERE rn <= $HardNegK ORDER BY anchor_id, rnk""".stripMargin
 
   /** Same recall artifact for the IVF tier: wide probing (nprobe=12 of
     * k=16 cells) generates id-only candidates, 256-bit sign
@@ -1854,6 +1918,7 @@ object SimilarityQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "cluster_kmeans" -> (clusterKmeans _),
     "sample_negative_pairs" -> (sampleNegativePairs _),
+    "sample_negative_hard" -> (sampleNegativeHard _),
     "sim_topk_projected" -> (simTopkProjected _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "text_paragraph_clean" -> (paragraphClean _),
@@ -1893,6 +1958,7 @@ object SimilarityQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "cluster_kmeans" -> clusterKmeansSql,
     "sample_negative_pairs" -> sampleNegativePairsSql,
+    "sample_negative_hard" -> sampleNegativeHardSql,
     "sim_topk_projected" -> simTopkProjectedSql,
     "dedup_paragraphs" -> dedupParagraphsSql,
     "text_paragraph_clean" -> paragraphCleanSql,

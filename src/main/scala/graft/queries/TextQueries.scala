@@ -262,7 +262,17 @@ object TextQueries {
   def spanClean(s: SparkSession, dir: String): DataFrame =
     spanCleanOver(docs(s, dir), SpanW)
 
-  private[graft] def spanCleanOver(d: DataFrame, w: Int): DataFrame = {
+  private[graft] def spanCleanOver(d: DataFrame, w: Int): DataFrame =
+    spanCleanTextOver(d, w)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** The span-clean kernel with the REASSEMBLED text exposed (not just
+    * its digest) — [[spanCleanOver]] wraps it for the declared key;
+    * [[pretrainMix]] keeps cleaning downstream. Passes d's other
+    * columns (lang, …) through unchanged. */
+  private[graft] def spanCleanTextOver(d: DataFrame, w: Int): DataFrame = {
     val toks = col("toks")
     val posSpans = when(size(toks) < w, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
@@ -285,12 +295,11 @@ object TextQueries {
     val kept = filter(sequence(lit(1), size(t2)),
       p => !exists(starts0, i => i <= p && p <= i + (w - 1)))
     d.join(flagged, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        size(t2).cast("long").as("n_tokens"),
-        (size(t2) - size(kept)).cast("long").as("n_removed"),
-        md5(concat_ws(" ",
-          transform(kept, p => element_at(t2, p))).cast("binary")).as("clean_md5"))
-      .orderBy("doc_id")
+      .withColumn("n_tokens", size(t2).cast("long"))
+      .withColumn("n_removed", (size(t2) - size(kept)).cast("long"))
+      .withColumn("clean_text",
+        concat_ws(" ", transform(kept, p => element_at(t2, p))))
+      .drop("starts")
   }
 
   val spanCleanSql: String =
@@ -739,6 +748,219 @@ object TextQueries {
         |ORDER BY p.doc_id""".stripMargin
   }
 
+  // --- pipeline_pretrain_mix: the FULL pretraining data-prep chain ----
+  // pipeline_corpus_clean2 insures the CLEANUP composition; this key
+  // extends the insurance to the whole chain the north_star describes,
+  // as ONE declarative plan: (1) plant + canonicalize (scan-local),
+  // (2) quality gates (token floor / uniq ratio / langid — scan-local),
+  // (3) bigram-LM perplexity gate (broadcast literal model —
+  // scan-local), (4) normalized exact dedup (min-doc_id keeper per
+  // canonical digest — the FIRST shuffle in the plan; gates ride the
+  // scan below it, plan-guarded), (5) near-dup keeper (exact trigram
+  // Jaccard >= NearDupTau pairs, auto-tiered index/PPJoin-prefix like
+  // dedup_ngram_jaccard; the LATER partner of every qualifying pair
+  // drops — the greedy min-id keeper), (6) span clean over the keepers
+  // (the Lee-et-al substring scrub, text_span_clean's kernel, texts
+  // reassembled), (7) fixed-weight mix sampling (text_mix_sample's
+  // weights + content-fingerprint gate on the CLEANED text, rates from
+  // broadcast per-lang aggregates), (8) sequence packing
+  // (text_pack_bins's per-lang greedy window). Every stage reuses the
+  // SHARED expression/CTE generators of its standalone key, so the
+  // pipeline and the pieces cannot drift apart — and the whole chain
+  // is hash-checked end to end against one DuckDB replay.
+  //
+  // Ordering rationale (differs from the cleanup key, deliberately):
+  // the per-doc gates run BEFORE the dedup shuffle — every member of a
+  // canonical-digest group carries the same canonical text, so
+  // gate∘dedup == dedup∘gate row-for-row, and at 100 TB you filter
+  // before you shuffle. Near-dup runs before span clean: pair-level
+  // dedup first shrinks the span relation; span clean then scrubs the
+  // sub-pair-threshold residue.
+  //
+  // Shuffle ledger at scale: one digest window (exact dedup), the
+  // shingle candidate join (prefix-tier Σ df_short×df_p above 2^13
+  // docs), the span MIN agg + doc reassembly, one 5-row broadcast rate
+  // join, one per-lang pack window. Gates and both model scorings ride
+  // the scan.
+  private[graft] val NearDupTau = 0.4
+
+  /** Stages 1–4 (plant+canonicalize → gates → LM gate → normalized
+    * exact dedup) WITHOUT the checkpoint — split out so the plan guard
+    * can see below the checkpoint boundary (PlanQualitySpec asserts
+    * the gate chain rides the scan under the dedup window's shuffle,
+    * which `localCheckpoint` would otherwise truncate from the final
+    * plan). */
+  private[graft] def pretrainGatedDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val canon = d.union(SimilarityQueries.messyVariants(d))
+      .select(col("doc_id"), col("lang"),
+        SimilarityQueries.canonicalText.as("text"))
+    val (nPairs, nll) = perplexityCols(s, dir)
+    val gated = cleanKept(canon)
+      .withColumn("n_pairs", nPairs)
+      .withColumn("nll_q6", nll)
+      .filter(col("nll_q6") <= lit(PplGateQ6) * col("n_pairs"))
+      .select("doc_id", "lang", "text")
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm_md5")).orderBy(col("doc_id"))
+    gated.withColumn("norm_md5", md5(col("text")))
+      .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
+      .select("doc_id", "lang", "text")
+  }
+
+  def pretrainMix(s: SparkSession, dir: String): DataFrame = {
+    // one checkpoint, three readers (pair generation + anti-join +
+    // span clean) — the dedup_incremental rule
+    val exact = pretrainGatedDedup(s, dir)
+      .localCheckpoint(false)
+    val nDocs = graft.sources.Sources.footerRowCount(s, s"$dir/documents.parquet")
+    val pairs =
+      if (graft.functions.SimilarityFunctions.ngramUsePrefix(nDocs))
+        graft.functions.SimilarityFunctions
+          .jaccardPairsNgramPrefix(exact.select("doc_id", "text"), 3, NearDupTau)
+      else graft.functions.SimilarityFunctions
+        .jaccardPairsNgram(exact.select("doc_id", "text"), 3, NearDupTau)
+    val keepers = exact.join(
+      pairs.select(col("idb").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val cleaned = spanCleanTextOver(keepers, SpanW)
+    val base = cleaned.select(col("doc_id"), col("lang"),
+        (col("n_tokens") - col("n_removed")).as("n_tokens"),
+        col("n_removed"),
+        TextFunctions.fingerprint(col("clean_text")).as("fp"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .localCheckpoint(false) // feeds avail/tot aggs AND the rate gate
+    val avail = base.groupBy("lang").agg(sum(col("n_tokens")).as("avail_tokens"))
+    val tot = base.agg(sum(col("n_tokens")).as("tot_tokens"))
+    val rates = avail.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (mixWeightCol * (col("tot_tokens").cast("double") * 0.5)) /
+          col("avail_tokens").cast("double")))
+      .select("lang", "rate")
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.join(broadcast(rates), "lang")
+      .filter(pmod(col("fp"), lit(1000000L)).cast("double") < col("rate") * 1000000.0)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(wP), lit(0L)))
+      .withColumn("bin_id", expr(s"CAST(cum_before div $PackBudget AS INT)"))
+      .select("doc_id", "lang", "n_tokens", "n_removed", "bin_id", "clean_md5")
+      .orderBy("doc_id")
+  }
+
+  /** One DuckDB replay of the whole chain, spliced from the standalone
+    * keys' own CTE generators (canonical/messy text, the gate
+    * expressions, the shared LM train/score CTEs, the trigram-Jaccard
+    * relation, the span-clean kernel, the mix-weight CASE, the pack
+    * window). */
+  // lazy: references MixWeights/lm CTEs defined further down the
+  // object (the LmVocabCap init-order rule)
+  lazy val pretrainMixSql: String = {
+    val t = "string_split(text, ' ')"
+    val scoreExprs = LangOrder.map { l =>
+      val words = TextFunctions.langStopwords(l).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter($t, w -> w IN ($words))) AS INTEGER) AS s_$l"
+    }.mkString(",\n  ")
+    val m = LangOrder.map(l => s"s_$l").mkString("GREATEST(", ", ", ")")
+    val caseChain = LangOrder.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    val fpClean =
+      """list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(clean_text, ' '),
+        |        w -> CAST(length(w) * 131 + ascii(substr(w, 1, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, lang, ${SimilarityQueries.messyTextSql}
+       |  FROM documents WHERE doc_id % 9 = 0
+       |), canon AS (
+       |  SELECT doc_id, lang, ${SimilarityQueries.canonicalTextSql} AS text
+       |  FROM all_docs
+       |), feat AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len($t) AS INTEGER) AS n_tokens,
+       |    CAST(len(list_distinct($t)) AS DOUBLE) / CAST(len($t) AS DOUBLE) AS uniq_ratio,
+       |  $scoreExprs
+       |  FROM canon
+       |), withm AS (SELECT *, $m AS m FROM feat),
+       |kept AS (
+       |  SELECT doc_id, lang, text FROM withm
+       |  WHERE n_tokens >= $CleanMinTokens AND uniq_ratio >= $CleanMinUniq
+       |    AND (CASE $caseChain ELSE 'und' END) = lang
+       |),
+       |""".stripMargin +
+      lmTrainCtes + ",\n" +
+      """kl AS (SELECT doc_id, string_split(text, ' ') AS l FROM kept),
+        |pairs AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b, l[i] AS w1
+        |          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+        |                FROM kl WHERE len(l) >= 2)),""".stripMargin + "\n" +
+      lmScoreCtes + ",\n" +
+      s"""ppl AS (
+         |  SELECT k.doc_id, k.lang, k.text
+         |  FROM kept k JOIN agg a ON k.doc_id = a.doc_id
+         |  WHERE a.nll_q6 <= $PplGateQ6 * a.n_pairs
+         |), dd AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM ppl
+         |), sv AS (SELECT doc_id, lang, text FROM dd WHERE rn = 1),
+         |svl AS (SELECT doc_id, string_split(text, ' ') AS l FROM sv),
+         |ntok AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+         |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
+         |  FROM svl WHERE len(l) >= 3)),
+         |nsizes AS (SELECT doc_id, count(*) AS n FROM ntok GROUP BY doc_id),
+         |ninter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS c
+         |           FROM ntok a JOIN ntok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |ndrop AS (SELECT DISTINCT idb AS doc_id
+         |          FROM ninter
+         |          JOIN nsizes sa ON ida = sa.doc_id
+         |          JOIN nsizes sb ON idb = sb.doc_id
+         |          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= $NearDupTau),
+         |kd AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM sv
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)),
+         |sp AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+         |         list_aggregate(l[i:i+${SpanW - 1}], 'string_agg', ' ') AS span
+         |       FROM kd, unnest(range(1, len(l) - ${SpanW - 2})) AS t(i)
+         |       WHERE len(l) >= $SpanW),
+         |own AS (SELECT span, min(doc_id) AS first_doc FROM sp GROUP BY span),
+         |fl AS (SELECT s.doc_id, list_sort(list(DISTINCT s.i)) AS starts
+         |       FROM sp s JOIN own o USING (span)
+         |       WHERE s.doc_id > o.first_doc
+         |       GROUP BY s.doc_id),
+         |ck AS (SELECT kd.doc_id, kd.lang, kd.l,
+         |         CAST(len(kd.l) AS BIGINT) AS n_tokens0,
+         |         list_filter(range(1, len(kd.l) + 1),
+         |           p -> len(list_filter(COALESCE(fl.starts, []),
+         |                  i -> i <= p AND p <= i + ${SpanW - 1})) = 0) AS keptp
+         |       FROM kd LEFT JOIN fl USING (doc_id)),
+         |ct AS (SELECT doc_id, lang,
+         |         n_tokens0 - CAST(len(keptp) AS BIGINT) AS n_removed,
+         |         CAST(len(keptp) AS BIGINT) AS n_tokens,
+         |         COALESCE(array_to_string(list_transform(keptp, p -> l[p]), ' '), '')
+         |           AS clean_text
+         |       FROM ck),
+         |base AS (SELECT doc_id, lang, n_tokens, n_removed,
+         |           $fpClean AS fp,
+         |           md5(clean_text) AS clean_md5
+         |         FROM ct),
+         |avail AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+         |          FROM base GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM base),
+         |rates AS (SELECT lang,
+         |            LEAST(1.0, (($mixWeightSql) * (CAST(tot_tokens AS DOUBLE) * 0.5))
+         |              / CAST(avail_tokens AS DOUBLE)) AS rate
+         |          FROM avail CROSS JOIN tot),
+         |keep AS (SELECT b.* FROM base b JOIN rates r ON b.lang = r.lang
+         |         WHERE CAST(b.fp % 1000000 AS DOUBLE) < r.rate * 1000000.0),
+         |packed AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS cum_before
+         |           FROM keep)
+         |SELECT doc_id, lang, n_tokens, n_removed,
+         |  CAST(cum_before // $PackBudget AS INTEGER) AS bin_id, clean_md5
+         |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   // --- text_repetition: Gopher-style repetition quality signal --------
   // Per-doc token totals, distinct count, and the hottest token's count
   // (max run over the SORTED token array) — all via codegen'd HOFs on
@@ -1003,11 +1225,21 @@ object TextQueries {
   private val MixWeights: Seq[(String, Double)] = Seq(
     "en" -> 0.25, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.35)
 
-  def mixSample(s: SparkSession, dir: String): DataFrame = {
-    val w = MixWeights.tail.foldLeft(
+  /** Per-row mixture weight by language — shared by [[mixSample]] and
+    * [[pretrainMix]] so the two samplers cannot fork the weights. */
+  private def mixWeightCol: Column =
+    MixWeights.tail.foldLeft(
         when(col("lang") === MixWeights.head._1, lit(MixWeights.head._2))) {
       case (acc, (l, wt)) => acc.when(col("lang") === l, lit(wt))
     }.otherwise(lit(0.0))
+
+  /** The `CASE lang` mirror of [[mixWeightCol]] for the oracles. */
+  private def mixWeightSql: String =
+    MixWeights.map { case (l, wt) => s"WHEN lang = '$l' THEN $wt" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+
+  def mixSample(s: SparkSession, dir: String): DataFrame = {
+    val w = mixWeightCol
     val base = docs(s, dir).select(col("doc_id"), col("lang"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
       TextFunctions.fingerprint(col("text")).as("fp"))
@@ -1031,8 +1263,7 @@ object TextQueries {
   }
 
   val mixSampleSql: String = {
-    val caseW = MixWeights.map { case (l, wt) => s"WHEN lang = '$l' THEN $wt" }
-      .mkString("CASE ", " ", " ELSE 0.0 END")
+    val caseW = mixWeightSql
     s"""WITH base AS (
        |  SELECT doc_id, lang,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1647,6 +1878,7 @@ object TextQueries {
     "text_repetition" -> (repetition _),
     "pipeline_corpus_clean" -> (corpusClean _),
     "pipeline_corpus_clean2" -> (corpusClean2 _),
+    "pipeline_pretrain_mix" -> (pretrainMix _),
     "text_bm25_topk" -> (bm25Topk _),
     "text_chunks" -> (chunks _),
     "text_pack_bins" -> (packBins _),
@@ -1675,6 +1907,7 @@ object TextQueries {
     "text_repetition" -> repetitionSql,
     "pipeline_corpus_clean" -> corpusCleanSql,
     "pipeline_corpus_clean2" -> corpusClean2Sql,
+    "pipeline_pretrain_mix" -> pretrainMixSql,
     "text_bm25_topk" -> bm25TopkSql,
     "text_chunks" -> chunksSql,
     "text_pack_bins" -> packBinsSql,

@@ -73,6 +73,23 @@ class GraphSpec extends SparkSpecBase {
     assert(left != right, s"weak bridge must not merge the communities: $got")
   }
 
+  test("LPA convergence probe: fixpoint stops the loop early, output == full-K unroll") {
+    // the two-triangle graph converges in 2 rounds; a 10-round budget
+    // must stop at the probe (round 3 observes zero changes) and the
+    // early-stopped labels must equal the fully-unrolled ones — the
+    // property that lets the DECLARED key keep its K-round oracle while
+    // the operator stops early on real graphs
+    val trans = Seq.fill(3)(Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"))).flatten :+ ("c", "x")
+    val df = spark.createDataFrame(trans).toDF("src", "dst")
+    val (probed, rounds) = GraphQueries.labelPropEdgesProbed(df, maxIters = 10)
+    assert(rounds < 10, s"probe never fired: ran all $rounds rounds")
+    val full = GraphQueries.labelPropEdges(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val early = probed.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(early == full, "early stop changed the labels")
+  }
+
   test("graph_label_propagation fixture: blocks recovered, hub keeps the graph connected") {
     val out = GraphQueries.labelPropagation(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getString(0) -> r.getString(1))

@@ -217,6 +217,108 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got(2L).codec == "raw-pcm16" && got(2L).sample_rate == 0)
   }
 
+  test("wide aHash (256-bit): one-pixel edit within banding reach, re-encode hamming 0, unrelated far") {
+    def raster(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 37 + y * 101) % 256
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    def hamming(a: Multimodal.MediaHash, b: Multimodal.MediaHash): Int =
+      java.lang.Long.bitCount(a.w0 ^ b.w0) + java.lang.Long.bitCount(a.w1 ^ b.w1) +
+        java.lang.Long.bitCount(a.w2 ^ b.w2) + java.lang.Long.bitCount(a.w3 ^ b.w3)
+    // realistic raster size: a 16x16 cell grid needs cells much larger
+    // than one pixel for a one-pixel edit to stay in banding reach (on
+    // a 32x24 toy raster a single pixel is half its 2x1.5-px cell and
+    // the edit measured hamming 4)
+    val base = raster(128, 96)
+    val edited = raster(128, 96)
+    edited.setRGB(5, 5, 0xffffff)
+    val hPng = Multimodal.aHashWideWords(enc(base, "png"))
+    val hBmp = Multimodal.aHashWideWords(enc(base, "bmp"))
+    val hEdit = Multimodal.aHashWideWords(enc(edited, "png"))
+    val hOther = Multimodal.aHashWideWords(enc(raster(96, 128), "png"))
+    assert(hPng.decoded && hBmp.decoded && hEdit.decoded && hOther.decoded)
+    assert(hamming(hPng, hBmp) == 0)
+    assert(hamming(hPng, hEdit) <= 3, s"got ${hamming(hPng, hEdit)}")
+    assert(hamming(hPng, hOther) > 3)
+  }
+
+  test("wide-tier banding == all-pairs at hamming <= 3 (pigeonhole completeness on the 4x64-bit words)") {
+    // deterministic blob corpus with planted 1-2 byte edits — the
+    // banded candidate join must recover EXACTLY the brute-force
+    // hamming <= 3 relation over the wide fingerprints
+    val rnd = new scala.util.Random(1742)
+    val blobs = (0 until 240).map { i =>
+      val b = new Array[Byte](200 + rnd.nextInt(600))
+      rnd.nextBytes(b)
+      (i.toLong, b)
+    }
+    val edits = blobs.filter(_._1 % 5 == 0).map { case (id, b) =>
+      val c = b.clone()
+      c(3) = (c(3) + 1).toByte
+      if (id % 10 == 0) c(c.length / 2) = (c(c.length / 2) ^ 0x11).toByte
+      (id + 10000L, c)
+    }
+    val all = (blobs ++ edits).map { case (id, b) =>
+      Multimodal.aHashWideWords(b).copy(media_id = id)
+    }
+    def ham(a: Multimodal.MediaHash, b: Multimodal.MediaHash): Int =
+      java.lang.Long.bitCount(a.w0 ^ b.w0) + java.lang.Long.bitCount(a.w1 ^ b.w1) +
+        java.lang.Long.bitCount(a.w2 ^ b.w2) + java.lang.Long.bitCount(a.w3 ^ b.w3)
+    val brute = (for {
+      a <- all; b <- all
+      if a.media_id < b.media_id && ham(a, b) <= 3
+    } yield (a.media_id, b.media_id, ham(a, b).toLong)).toSet
+    assert(brute.nonEmpty, "fixture must plant wide near-dups")
+    val h = all.toDF()
+    val banded = graft.queries.MultimodalQueries.phashBandedPairs(h, Some(1000))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banded candidates missed ${(brute -- banded).size} / added ${(banded -- brute).size}")
+  }
+
+  test("phash tier crossover: gate SFs stay on the bit-unchanged narrow anchor; selector flips at PhashNarrowMax") {
+    assert(!Multimodal.phashUseWide(Multimodal.PhashNarrowMax))
+    assert(Multimodal.phashUseWide(Multimodal.PhashNarrowMax + 1))
+    // every oracle-gated SF dir sits below the crossover, so the
+    // declared key's gate output is bit-identical to the r16 narrow
+    // plan AND the tiered oracle takes its narrow branch there
+    for (dir <- Catalog.testdataSfDirs) {
+      val n = graft.sources.Sources.footerRowCount(spark, s"$dir/documents.parquet")
+      assert(!Multimodal.phashUseWide(n),
+        s"$dir has $n docs — gate SF crossed the phash narrow ceiling")
+    }
+  }
+
+  test("prodGreater: exact 128-bit cross-multiply compare (no Long-overflow bit flips)") {
+    def ref(a: Long, b: Long, c: Long, d: Long): Boolean =
+      BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
+    // the ADVICE r16 case: ~1.5 GB blob makes 255*len^2/64 cross 2^63
+    val len = 1600000000L
+    val cases = Seq(
+      (255L * len / 64 + 1, len, 255L * len / 64, len),
+      (255L * len / 64, len, 255L * len / 64, len),
+      (Long.MaxValue / 3, 7L, Long.MaxValue / 7, 3L))
+    val rnd = new scala.util.Random(99)
+    val rand = (0 until 2000).map { _ =>
+      val m = 1L << (rnd.nextInt(32) + 31)
+      (math.abs(rnd.nextLong()) % m, math.abs(rnd.nextLong()) % m,
+        math.abs(rnd.nextLong()) % m, math.abs(rnd.nextLong()) % m)
+    }
+    for ((a, b, c, d) <- cases ++ rand)
+      assert(Multimodal.prodGreater(a, b, c, d) == ref(a, b, c, d),
+        s"($a,$b,$c,$d)")
+  }
+
   test("frameSample: strided fixed-size frames") {
     val df = Seq((7L, "x" * 300)).toDF("id", "txt")
       .select($"id", encode($"txt", "UTF-8").as("bin"))

@@ -362,6 +362,47 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!pPh.contains("BroadcastNestedLoop") && !pPh.contains("CartesianProduct"))
   }
 
+  test("pipeline_pretrain_mix: gates ride the scan BELOW the dedup shuffle; 1-row attach is the only BNLJ") {
+    val df = graft.queries.TextQueries.pretrainMix(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the 1-row corpus-total rate attach may nested-loop")
+    // the r16-verdict guard: the gate chain (quality + LM, the
+    // PplGateQ6 literal) must sit in the scan-side subtree of the
+    // normalized-dedup window's shuffle — filter BEFORE the first
+    // shuffle. Asserted on the un-checkpointed stage-1..4 subplan (the
+    // checkpoint truncates it from the final plan). In the printed
+    // tree children follow parents, so the gate Filter line must come
+    // after the norm_md5 exchange with no other exchange between them.
+    val sub = graft.queries.TextQueries.pretrainGatedDedup(spark, dir)
+    sub.collect()
+    val lines = plan(sub).split("== Initial Plan ==").head.linesIterator.toVector
+    val ex = lines.indexWhere(_.contains("Exchange hashpartitioning(norm_md5"))
+    assert(ex >= 0, "expected the norm_md5 dedup-window shuffle")
+    val flt = lines.indexWhere(
+      l => l.contains("Filter") && l.contains("3700000"), ex)
+    assert(flt > ex,
+      s"LM/quality gate filter must sit BELOW the dedup shuffle:\n${p.take(2000)}")
+    assert(!lines.slice(ex + 1, flt).exists(_.contains("Exchange")),
+      "no shuffle between the dedup window and the scan-side gates")
+  }
+
+  test("sample_negative_hard: portable-LSH candidates stay hash-join shaped, id-only dedup") {
+    val df = SimilarityQueries.sampleNegativeHard(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // candidate dedup groups on id-width keys, never embedding vectors
+    // (the ann_lsh_topk guard applied to the hard-negative tier)
+    val dedupAggs = p.linesIterator
+      .filter(_.contains("HashAggregate(keys=[qid")).toSeq
+    assert(dedupAggs.nonEmpty, "expected an id-keyed candidate-dedup aggregate")
+    assert(dedupAggs.forall(l => !l.contains("qe") && !l.contains("ce")),
+      "candidate dedup must not carry embedding vectors")
+  }
+
   test("cluster_kmeans: the E-step is a scan-local projection — no joins, no hash shuffle") {
     // centroids are driver-held literals (the IVF-store rule), so the
     // assignment pass must compile to scan -> project -> sort: any
