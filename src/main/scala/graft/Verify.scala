@@ -39,6 +39,12 @@ object Verify {
       .filter(_.nonEmpty).map(_.toInt)
     val semMod = sys.env.get("GRAFT_ORACLE_SEM_MOD")
       .filter(_.nonEmpty).map(_.toInt)
+    // sim_topk_projected rung knob (r16 verdict item 3): DuckDB cannot
+    // evaluate the 16×64-literal projection over a rung corpus —
+    // PROJ_MOD thins the embeddings identically on both ends so the
+    // rung sweep keeps a true hash gate on the slice
+    val projMod = sys.env.get("GRAFT_ORACLE_PROJ_MOD")
+      .filter(_.nonEmpty).map(_.toInt)
     val queries = SparkEntry.queries ++
       componentsMod.map(m =>
         "dedup_components" -> ((s: SparkSession, d: String) =>
@@ -49,7 +55,10 @@ object Verify {
       semMod.map(m =>
         "dedup_semantic" -> ((s: SparkSession, d: String) =>
           graft.queries.SimilarityQueries.dedupSemanticMod(m,
-            semPlanes.getOrElse(graft.queries.SimilarityQueries.SemPlanes))(s, d))).toMap
+            semPlanes.getOrElse(graft.queries.SimilarityQueries.SemPlanes))(s, d))).toMap ++
+      projMod.map(m =>
+        "sim_topk_projected" -> ((s: SparkSession, d: String) =>
+          graft.queries.SimilarityQueries.simTopkProjectedMod(m)(s, d))).toMap
     queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -92,7 +101,9 @@ object Verify {
         Map("dedup_semantic" -> graft.queries.SimilarityQueries.dedupSemanticSqlFor(
           semPlanes.getOrElse(graft.queries.SimilarityQueries.SemPlanes),
           semMod.getOrElse(1)))
-      else Map.empty[String, String])
+      else Map.empty[String, String]) ++
+      projMod.map(m =>
+        "sim_topk_projected" -> graft.queries.SimilarityQueries.simTopkProjectedSqlFor(m)).toMap
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -1269,13 +1269,27 @@ object SimilarityFunctions {
   def annLshTopKPortable(queries: DataFrame, candidates: DataFrame, k: Int,
                          nTables: Int, planesPerTable: Int,
                          probeHamming: Int,
-                         maxCos: Option[Double] = None): DataFrame = {
+                         maxCos: Option[Double] = None,
+                         maxBucket: Option[Int] = None): DataFrame = {
     val cv = cosinePrep(candidates)
     val qv = cosinePrep(queries)
     def keyed(v: DataFrame, id: String): DataFrame = v
       .withColumn("bks", call_function("graft_lsh_buckets",
         col("e"), lit(0), lit(planesPerTable), lit(nTables)))
       .select(col("vec_id").as(id), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    // candidate-side occupancy cap (hard-negative tier): each
+    // (table, bucket) enrolls only its `maxBucket` lowest vec_ids —
+    // deterministic, so a SQL twin replays it with one QUALIFY
+    // row_number(); bounds the candidate relation at tables × probes ×
+    // cap per query REGARDLESS of corpus occupancy (the cap-free
+    // distinct measured OOM at the sf10 rung: ~350k candidate rows per
+    // query at 780/bucket occupancy). The portable top-k anchor stays
+    // cap-free — its recall contract is completeness at the gate SFs.
+    def capped(kdf: DataFrame, id: String): DataFrame = maxBucket.fold(kdf) { cap =>
+      val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(id))
+      kdf.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= cap).drop("__r")
+    }
     // C(planes, 0..h) flip masks — the annLshTopK multiprobe, mirrored
     // literally in the oracle SQL (each mask is an integer literal)
     val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
@@ -1283,7 +1297,7 @@ object SimilarityFunctions {
         .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
     val probes = keyed(qv, "qid").select(col("qid"), col("tbl"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val cand = keyed(cv, "cid").join(broadcast(probes), Seq("tbl", "bucket"))
+    val cand = capped(keyed(cv, "cid"), "cid").join(broadcast(probes), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid")
       .distinct()

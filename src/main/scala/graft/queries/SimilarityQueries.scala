@@ -622,8 +622,19 @@ object SimilarityQueries {
   private val ProjDims = 16
   private val ProjPlaneOffset = 4096 // disjoint from every LSH table's planes
 
-  def simTopkProjected(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  def simTopkProjected(s: SparkSession, dir: String): DataFrame =
+    simTopkProjectedMod(1)(s, dir)
+
+  /** Mod-thinned twin for the rung sweeps (the GRAFT_ORACLE_SEM_MOD
+    * precedent): DuckDB cannot evaluate the 16×64-literal projection
+    * over a rung-sized corpus (allocation failure at 20k vectors), so
+    * the sweep thins the corpus identically on BOTH ends and keeps a
+    * true rows+schema+hash gate on the slice. mod=1 IS the declared
+    * key. */
+  private[graft] def simTopkProjectedMod(m: Int)(s: SparkSession, dir: String): DataFrame = {
+    val e =
+      if (m <= 1) emb(s, dir)
+      else emb(s, dir).filter(col("vec_id") % m === 0)
     val de = SimilarityFunctions.toDoubleArr(col("embedding"))
     val proj = array((0 until ProjDims).map { j =>
       val plane = array((0 until 64).map(i =>
@@ -647,7 +658,10 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
-  val simTopkProjectedSql: String = {
+  val simTopkProjectedSql: String = simTopkProjectedSqlFor(1)
+
+  private[graft] def simTopkProjectedSqlFor(m: Int): String = {
+    val slice = if (m <= 1) "" else s" WHERE vec_id % $m = 0"
     // plane literals ride as CAST('<repr>' AS DOUBLE), NOT bare numeric
     // literals: DuckDB types a bare decimal literal DECIMAL and its
     // double x decimal multiply is not correctly rounded (measured
@@ -660,7 +674,7 @@ object SimilarityQueries {
       (0 until ProjDims).map(j => projTerm(j, arr)).mkString("[", ", ", "]")
     val dot = Det.sqlFoldChain(i => s"(a.pe[$i] * b.pe[$i])", ProjDims)
     val nrm = Det.sqlFoldChain(i => s"(pe[$i] * pe[$i])", ProjDims)
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings$slice),
        |p AS (SELECT vec_id, ${projList("e")} AS pe FROM v),
        |n AS (SELECT vec_id, pe, sqrt($nrm) AS nrm FROM p),
        |f AS (SELECT * FROM n WHERE nrm > 0.0),
@@ -1350,7 +1364,8 @@ object SimilarityQueries {
     * their own guard + top-k window (the same (score DESC, cid)
     * tiebreak). `vSql` parameterizes the candidate corpus so the
     * hard-negative twin can plant exact-dup vectors. */
-  private def annPortableCtes(vSql: String, anchorWhere: String): String = {
+  private def annPortableCtes(vSql: String, anchorWhere: String,
+                              candCap: Option[Int] = None): String = {
     def planeDot(j: Int): String =
       Det.sqlFoldChain(i => s"(e[$i] * ${SimilarityFunctions.planeComponent(j, i - 1)})", 64)
     def bucketExpr(t: Int): String =
@@ -1366,15 +1381,19 @@ object SimilarityQueries {
     val dot = Det.sqlFoldChain(i => s"(vq.e[$i] * vc.e[$i])", 64)
     val nq = Det.sqlFoldChain(i => s"(vq.e[$i] * vq.e[$i])", 64)
     val nc = Det.sqlFoldChain(i => s"(vc.e[$i] * vc.e[$i])", 64)
+    val capQ = candCap.map(c =>
+      s"\n  QUALIFY row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) <= $c")
+      .getOrElse("")
     s"""v AS ($vSql),
        |k AS (
        |  $tableSelects),
+       |kc AS (SELECT vec_id, tbl, bucket FROM k$capQ),
        |p AS (SELECT k.vec_id AS qid, k.tbl, xor(k.bucket, mm.m) AS bucket
        |      FROM k CROSS JOIN (SELECT unnest([${masks.mkString(", ")}]) AS m) mm
        |      WHERE $anchorWhere),
        |cand AS (SELECT DISTINCT p.qid, c.vec_id AS cid
-       |         FROM p JOIN k c ON c.tbl = p.tbl AND c.bucket = p.bucket
-       |                        AND c.vec_id <> p.qid),
+       |         FROM p JOIN kc c ON c.tbl = p.tbl AND c.bucket = p.bucket
+       |                         AND c.vec_id <> p.qid),
        |s AS (SELECT qid, cid, $dot / (sqrt($nq) * sqrt($nc)) AS score
        |      FROM cand JOIN v vq ON vq.vec_id = qid JOIN v vc ON vc.vec_id = cid)""".stripMargin
   }
@@ -1408,6 +1427,17 @@ object SimilarityQueries {
   // id-only candidate dedup, vectors attach by id at the end.
   private val HardNegMaxCos = 0.95
   private val HardNegK = 5
+  // per-(table,bucket) candidate-enrollment cap: bounds candidates at
+  // tables × probes × cap per anchor REGARDLESS of bucket occupancy —
+  // the cap-free distinct measured SparkOutOfMemory at the sf10 rung
+  // (200k vectors, ~780/bucket → ~350k candidate rows/anchor).
+  // Deterministic lowest-id keep, replayed in the oracle as one
+  // QUALIFY — so unlike a recall-tuned cap this one keeps the key
+  // hash-checked at EVERY SF. For hard-NEGATIVE mining a bucket
+  // subsample is semantically fine: any near candidate is a useful
+  // hard negative; the exact top-k contract lives on the cap-free
+  // portable anchor.
+  private val HardNegBucketCap = 64
 
   def sampleNegativeHard(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -1416,7 +1446,8 @@ object SimilarityQueries {
     val anchors = e.filter(col("vec_id") % 100 === 0)
     SimilarityFunctions.annLshTopKPortable(anchors, e.union(planted), HardNegK,
         nTables = AnnPortTables, planesPerTable = AnnPortPlanes,
-        probeHamming = AnnPortProbe, maxCos = Some(HardNegMaxCos))
+        probeHamming = AnnPortProbe, maxCos = Some(HardNegMaxCos),
+        maxBucket = Some(HardNegBucketCap))
       .withColumn("band",
         when(col("score") >= 0.35, lit("hard"))
           .when(col("score") >= 0.2, lit("medium"))
@@ -1432,7 +1463,8 @@ object SimilarityQueries {
           |     UNION ALL
           |     SELECT vec_id + 5000000, CAST(embedding AS DOUBLE[])
           |     FROM embeddings WHERE vec_id % 40 = 0""".stripMargin,
-        "k.vec_id % 100 = 0 AND k.vec_id < 5000000")}
+        "k.vec_id % 100 = 0 AND k.vec_id < 5000000",
+        candCap = Some(HardNegBucketCap))}
        |SELECT qid AS anchor_id, cid AS negative_id, score,
        |  CAST(rn AS INTEGER) AS rnk,
        |  CASE WHEN score >= ${Det.dlit(0.35)} THEN 'hard'
