@@ -349,8 +349,8 @@ object SimilarityFunctions {
     * broadcast; the big cold relation never shuffles. A single
     * degenerate bucket ranks in one window partition, bounded by that
     * bucket's size, not the corpus. */
-  private def capHotKeys(rel: DataFrame, keyCols: Seq[String],
-                         cap: Int): DataFrame = {
+  private[graft] def capHotKeys(rel: DataFrame, keyCols: Seq[String],
+                                cap: Int): DataFrame = {
     val keys = keyCols.map(col)
     val hot = rel.groupBy(keys: _*)
       .agg(count(lit(1)).as("__n"))

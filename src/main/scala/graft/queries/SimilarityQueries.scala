@@ -262,6 +262,125 @@ object SimilarityQueries {
       .orderBy("ida", "idb")
   }
 
+  // --- dedup_minhash_portable: the ORACLE-GATE MinHash-LSH tier -------
+  // dedup_minhash_docs is rows-only because its signatures are the
+  // engine's xxhash64 (COVERAGE.md exemption ledger) — but nothing in
+  // the minhash ALGORITHM needs an engine hash. This key runs the same
+  // pipeline shape (shingle → per-permutation min → band → bucket join
+  // → hot-bucket cap → candidate pairs → verify) over md5, which both
+  // engines evaluate bitwise-identically, so for the first time the
+  // BANDING itself is DuckDB-hash-checked end to end: signature minima
+  // are pinned through est_jaccard (sum of per-permutation matches /
+  // nH — exact in IEEE: integer sum, power-of-two divisor), candidate
+  // membership through which pairs reach the verified output, and the
+  // keep-lowest hot-bucket cap replays as one QUALIFY row_number —
+  // the exact precedent of ann_lsh_topk_portable for the ANN family
+  // and sample_negative_hard's bucket cap. The engine tier remains the
+  // declared scale path (one fused native-kernel pass per doc); this
+  // tier is its end-to-end semantic anchor and is honest about the
+  // cost trade. The 16 permutations come from 4 seeded md5 digests,
+  // 4 non-overlapping 8-hex-char (32-bit) windows each — disjoint
+  // windows of one digest are independent uniform bits, so this is
+  // the standard split-a-wide-digest construction at a quarter of the
+  // md5 cost of 16 full digests per shingle.
+  private val MhPortHashes = 16
+  private val MhPortBands = 4 // 4 rows per band
+  private val MhPortCap = 64 // keep-lowest bucket cap (QUALIFY-replayable)
+  private val MhPortMinJ = 0.4
+
+  def dedupMinhashPortable(s: SparkSession, dir: String): DataFrame = {
+    val nH = MhPortHashes
+    val rows = nH / MhPortBands
+    val tok = docs(s, dir).select(col("doc_id"),
+      explode(SimilarityFunctions.shingles(col("text"), 3)).as("tok"))
+    // One groupBy(doc_id) computes ALL permutation minima: the md5
+    // windows are scan-local projections and the minima partial-
+    // aggregate map-side, so the only corpus shuffle here ships
+    // doc_id + 16 short hex minima.
+    def mhExpr(i: Int) =
+      substring(md5(concat(lit(s"${i / 4}|"), col("tok"))), 1 + 8 * (i % 4), 8)
+    val sig = tok.groupBy("doc_id")
+      .agg(min(mhExpr(0)).as("mh0"),
+        (1 until nH).map(i => min(mhExpr(i)).as(s"mh$i")): _*)
+      .localCheckpoint(false) // feeds banding + both est sides
+    val bandStructs = (0 until MhPortBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("band_key"))
+    }
+    val bnd = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val bc = SimilarityFunctions.capHotKeys(bnd, Seq("band", "band_key"), MhPortCap)
+    val cand = bc.as("a")
+      .join(bc.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until nH).map(i => col(s"mh$i")): _*).as("arr"))
+    val est = cand
+      .join(sigArr.select(col("doc_id").as("ida"), col("arr").as("aa")), "ida")
+      .join(sigArr.select(col("doc_id").as("idb"), col("arr").as("ab")), "idb")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("aa"), col("ab"), (x, y) => x === y), x => x))
+          .cast("double") / lit(nH.toDouble))
+      .select("ida", "idb", "est_jaccard")
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("ida"), col("tok")), "ida")
+      .join(tok.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+    est.join(inter, Seq("ida", "idb"))
+      .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
+      .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= MhPortMinJ)
+      .select("ida", "idb", "est_jaccard", "jaccard")
+      .orderBy("ida", "idb")
+  }
+
+  val dedupMinhashPortableSql: String = {
+    val nH = MhPortHashes
+    val rows = nH / MhPortBands
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
+      |  FROM d WHERE len(l) >= 3)),
+      |sig AS (SELECT doc_id, i,
+      |          min(substr(md5(CAST(i // 4 AS VARCHAR) || '|' || tok),
+      |                     1 + 8 * (i % 4), 8)) AS mh
+      |        FROM tok CROSS JOIN range($nH) r(i) GROUP BY doc_id, i),
+      |bnd AS (SELECT doc_id, CAST(i // $rows AS INTEGER) AS band,
+      |          md5(string_agg(mh, ',' ORDER BY i)) AS band_key
+      |        FROM sig GROUP BY doc_id, i // $rows),
+      |bc AS (SELECT doc_id, band, band_key FROM bnd
+      |       QUALIFY row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) <= $MhPortCap),
+      |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      |         FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key
+      |                            AND a.doc_id < b.doc_id),
+      |est AS (SELECT p.ida, p.idb,
+      |          CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+      |            / ${nH}.0 AS est_jaccard
+      |        FROM cand p JOIN sig sa ON sa.doc_id = p.ida
+      |                    JOIN sig sb ON sb.doc_id = p.idb AND sb.i = sa.i
+      |        GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (SELECT p.ida, p.idb, count(*) AS c
+      |          FROM cand p JOIN tok ta ON ta.doc_id = p.ida
+      |                      JOIN tok tb ON tb.doc_id = p.idb AND tb.tok = ta.tok
+      |          GROUP BY 1, 2)
+      |SELECT e.ida, e.idb, e.est_jaccard,
+      |  CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) AS jaccard
+      |FROM est e JOIN inter i ON i.ida = e.ida AND i.idb = e.idb
+      |JOIN sizes sa ON e.ida = sa.doc_id
+      |JOIN sizes sb ON e.idb = sb.doc_id
+      |WHERE CAST(i.c AS DOUBLE) / CAST(sa.n + sb.n - i.c AS DOUBLE) >= $MhPortMinJ
+      |ORDER BY e.ida, e.idb""".stripMargin
+  }
+
   val dedupNgramJaccardSql: String = dedupNgramJaccardSqlFor(1)
 
   private[graft] def dedupNgramJaccardSqlFor(mod: Int): String = {
@@ -1959,6 +2078,7 @@ object SimilarityQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "dedup_shingle_lsh" -> (dedupShingleLsh _),
+    "dedup_minhash_portable" -> (dedupMinhashPortable _),
     "dedup_editdist_pairs" -> (dedupEditdistPairs _),
     "dedup_editdist_banded" -> (dedupEditdistBanded _),
     "dedup_components" -> (dedupComponents _),
@@ -1999,6 +2119,7 @@ object SimilarityQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_ngram_prefix" -> dedupNgramJaccardSql, // same relation, exact prefix-filtered path
     "dedup_shingle_lsh" -> dedupNgramJaccardSql, // same relation, scale-shaped path
+    "dedup_minhash_portable" -> dedupMinhashPortableSql,
     "dedup_editdist_pairs" -> dedupEditdistPairsSql,
     "dedup_editdist_banded" -> dedupEditdistBandedSql,
     "dedup_components" -> dedupComponentsSql,

@@ -84,6 +84,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("dedupMinhashPortable: verified subset of the exact tier; high-j pairs all recovered") {
+    // the portable (md5-window) minhash tier emits exact-verified pairs,
+    // so its (ida, idb, jaccard) rows must be a SUBSET of the exact
+    // n-gram tier at the same threshold; and every high-j pair (>= 0.8,
+    // where a 4x4 banded miss needs all four bands to break) must be
+    // recovered — both properties deterministic here since md5 is fixed.
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.queries.SimilarityQueries.dedupNgramJaccard(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val port = graft.queries.SimilarityQueries.dedupMinhashPortable(spark, dir)
+      .select("ida", "idb", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(port.nonEmpty, "fixture must contain near-dup pairs")
+    port.foreach { case (a, b, est, j) =>
+      assert(exact.get((a, b)).contains(j), s"pair ($a,$b) not in exact tier or jaccard differs")
+      assert(est >= 0.0 && est <= 1.0)
+    }
+    val portKeys = port.map(p => (p._1, p._2)).toSet
+    val missedHigh = exact.filter { case (_, j) => j >= 0.8 }.keySet.diff(portKeys)
+    assert(missedHigh.isEmpty, s"high-jaccard pairs missed by banding: $missedHigh")
+  }
+
   test("jaccardPairsNgramPrefix: prefix-filtered tier IS the exact tier on the real corpus") {
     // unlike the LSH tier this equality is a THEOREM (prefix-filter
     // completeness), not a fixture property — but pin it on the real
