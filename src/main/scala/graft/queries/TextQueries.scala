@@ -362,6 +362,54 @@ object TextQueries {
        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
        |FROM f GROUP BY shard ORDER BY shard""".stripMargin
 
+  // --- text_train_order: deterministic global shuffle for training ----
+  // The step between selection and sharding: a GLOBAL pseudo-random
+  // permutation of the corpus (training loaders must not see docs in
+  // ingest order — adjacency in the source is correlation in the
+  // batch), then contiguous split into shard files. The shuffle key is
+  // a two-round LCG mix of doc_id (a = 1103515245, c = 12345, m = 2^31
+  // — each round a bijection mod 2^31, so distinct doc_ids get
+  // distinct keys and the order IS a permutation): exact BIGINT
+  // arithmetic both engines evaluate identically, where an
+  // md5-as-integer axis would need hex parsing the oracle engine
+  // lacks. Scale shape: the mix is a scan-local projection; the global
+  // position comes from [[graft.operators.PrefixSum.descRank]] (value-
+  // axis range shards + per-shard windows + an nShards-row offset
+  // window — NO single-partition window, NO global sort); the shard
+  // split is scan-local integer math off the footer row count. The
+  // oracle replays position as one plain row_number window — the
+  // selected order is implementation-independent given the total
+  // (mix, doc_id) order, the dsirSample precedent.
+  private val TrainShards = 8
+  private val LcgA = 1103515245L
+  private val LcgC = 12345L
+  private val LcgM = 2147483648L // 2^31
+
+  def trainOrder(s: SparkSession, dir: String): DataFrame = {
+    val n = math.max(1L,
+      graft.sources.Sources.footerRowCount(s, s"$dir/documents.parquet"))
+    val r1 = (col("doc_id") * LcgA + LcgC) % LcgM
+    val r2 = (r1 * LcgA + LcgC) % LcgM
+    val mixed = docs(s, dir).select(col("doc_id"), (r2 * -1L).as("neg_mix"))
+    graft.operators.PrefixSum.descRank(mixed, "neg_mix", "doc_id")
+      .select(col("doc_id"), col("rnk").as("pos"),
+        expr(s"CAST(((rnk - 1) * $TrainShards) div $n AS INT)").as("shard"))
+      .orderBy("pos")
+  }
+
+  val trainOrderSql: String =
+    s"""WITH r AS (SELECT doc_id,
+       |    (((doc_id * $LcgA + $LcgC) % $LcgM) * $LcgA + $LcgC) % $LcgM AS mix
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |p AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY mix, doc_id) AS BIGINT) AS pos
+       |  FROM r)
+       |SELECT p.doc_id, p.pos,
+       |  CAST(((p.pos - 1) * $TrainShards) // n.n AS INTEGER) AS shard
+       |FROM p CROSS JOIN n
+       |ORDER BY p.pos""".stripMargin
+
   // --- text_chunks: overlapping fixed-size token windows --------------
   // The training-data chunking shape: 32-token windows every 24 tokens
   // (8-token overlap), one output row per chunk. Pure scan-local HOF
@@ -1871,6 +1919,7 @@ object TextQueries {
     "text_domain_stats" -> (domainStats _),
     "text_domain_survivors" -> (domainSurvivors _),
     "text_shard_plan" -> (shardPlan _),
+    "text_train_order" -> (trainOrder _),
     "text_perplexity" -> (perplexity _),
     "text_pii_scrub" -> (piiScrub _),
     "text_decontaminate" -> (decontaminate _),
@@ -1900,6 +1949,7 @@ object TextQueries {
     "text_domain_stats" -> domainStatsSql,
     "text_domain_survivors" -> domainSurvivorsSql,
     "text_shard_plan" -> shardPlanSql,
+    "text_train_order" -> trainOrderSql,
     "text_perplexity" -> perplexitySql,
     "text_pii_scrub" -> piiScrubSql,
     "text_decontaminate" -> decontaminateSql,

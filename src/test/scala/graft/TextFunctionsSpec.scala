@@ -55,6 +55,32 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(got.values.forall(n => n > 0 && n < fair * 4), got.toString)
   }
 
+  test("train order: a permutation with balanced contiguous shards, not ingest order") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextQueries.trainOrder(spark, dir)
+      .select("doc_id", "pos", "shard")
+      .as[(Long, Long, Int)].collect()
+    val n = rows.length
+    assert(n > 0)
+    // pos is exactly 1..n (the LCG mix is a bijection mod 2^31, so the
+    // rank is a permutation)
+    assert(rows.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    assert(rows.map(_._1).distinct.length == n)
+    // contiguous split: shard of pos p is ((p-1)*S) div n — sizes differ
+    // by at most 1 and shards are position-contiguous
+    val byShard = rows.groupBy(_._3)
+    assert(byShard.keySet == (0 until 8).toSet)
+    val sizes = byShard.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+    byShard.foreach { case (_, rs) =>
+      val ps = rs.map(_._2).sorted
+      assert(ps.last - ps.head == ps.length - 1, "shard positions must be contiguous")
+    }
+    // it actually shuffles: the order by pos must not be doc_id order
+    val inPosOrder = rows.sortBy(_._2).map(_._1).toSeq
+    assert(inPosOrder != inPosOrder.sorted, "train order must differ from ingest order")
+  }
+
   test("dup spans: planted cross-doc passage is found; coverage merges overlaps") {
     // w=3 windows. Docs 1 and 2 share the passage "p q r s" (two
     // overlapping 3-token windows: "p q r" at i=2/i=1 and "q r s" at
