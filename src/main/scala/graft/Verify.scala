@@ -45,6 +45,10 @@ object Verify {
     // rung sweep keeps a true hash gate on the slice
     val projMod = sys.env.get("GRAFT_ORACLE_PROJ_MOD")
       .filter(_.nonEmpty).map(_.toInt)
+    // dedup_minhash_portable rung knob: the exact trigram verify join
+    // in the oracle outgrows DuckDB at rung corpora — thin BOTH ends
+    val minhashMod = sys.env.get("GRAFT_ORACLE_MINHASH_MOD")
+      .filter(_.nonEmpty).map(_.toInt)
     val queries = SparkEntry.queries ++
       componentsMod.map(m =>
         "dedup_components" -> ((s: SparkSession, d: String) =>
@@ -58,7 +62,10 @@ object Verify {
             semPlanes.getOrElse(graft.queries.SimilarityQueries.SemPlanes))(s, d))).toMap ++
       projMod.map(m =>
         "sim_topk_projected" -> ((s: SparkSession, d: String) =>
-          graft.queries.SimilarityQueries.simTopkProjectedMod(m)(s, d))).toMap
+          graft.queries.SimilarityQueries.simTopkProjectedMod(m)(s, d))).toMap ++
+      minhashMod.map(m =>
+        "dedup_minhash_portable" -> ((s: SparkSession, d: String) =>
+          graft.queries.SimilarityQueries.dedupMinhashPortableMod(m)(s, d))).toMap
     queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -103,7 +110,9 @@ object Verify {
           semMod.getOrElse(1)))
       else Map.empty[String, String]) ++
       projMod.map(m =>
-        "sim_topk_projected" -> graft.queries.SimilarityQueries.simTopkProjectedSqlFor(m)).toMap
+        "sim_topk_projected" -> graft.queries.SimilarityQueries.simTopkProjectedSqlFor(m)).toMap ++
+      minhashMod.map(m =>
+        "dedup_minhash_portable" -> graft.queries.SimilarityQueries.dedupMinhashPortableSqlFor(m)).toMap
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -288,10 +288,20 @@ object SimilarityQueries {
   private val MhPortCap = 64 // keep-lowest bucket cap (QUALIFY-replayable)
   private val MhPortMinJ = 0.4
 
-  def dedupMinhashPortable(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashPortable(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashPortableMod(1)(s, dir)
+
+  /** Slice-parameterized variant (the dedupShingleLshMod pattern): the
+    * declared query runs un-sliced, but the oracle's exact trigram
+    * verify join outgrows DuckDB at rung corpora —
+    * GRAFT_ORACLE_MINHASH_MOD in Verify swaps BOTH ends to the same
+    * modulus so rung sweeps keep a true hash gate on the slice. */
+  private[graft] def dedupMinhashPortableMod(mod: Int)(s: SparkSession, dir: String): DataFrame = {
     val nH = MhPortHashes
     val rows = nH / MhPortBands
-    val tok = docs(s, dir).select(col("doc_id"),
+    val d = if (mod <= 1) docs(s, dir)
+            else docs(s, dir).filter(col("doc_id") % mod === 0)
+    val tok = d.select(col("doc_id"),
       explode(SimilarityFunctions.shingles(col("text"), 3)).as("tok"))
     // One groupBy(doc_id) computes ALL permutation minima: the md5
     // windows are scan-local projections and the minima partial-
@@ -341,10 +351,13 @@ object SimilarityQueries {
       .orderBy("ida", "idb")
   }
 
-  val dedupMinhashPortableSql: String = {
+  val dedupMinhashPortableSql: String = dedupMinhashPortableSqlFor(1)
+
+  private[graft] def dedupMinhashPortableSqlFor(mod: Int): String = {
     val nH = MhPortHashes
     val rows = nH / MhPortBands
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    val slice = if (mod <= 1) "" else s" WHERE doc_id % $mod = 0"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents$slice),
       |tok AS (SELECT DISTINCT doc_id, tok FROM (
       |  SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
