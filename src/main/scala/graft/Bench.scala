@@ -112,7 +112,7 @@ object Bench {
 
     // A throwing query must NOT bench as ~0 s and silently pass: record
     // per-query success and surface it in the JSON line.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -121,6 +121,10 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // one stderr line per query: rung-scale runs die mid-suite on
+      // host storms (heartbeat timeouts) — without this trail the
+      // partial run carries no information about WHERE
+      System.err.println(f"bench: $name%s ${dt}%.2fs ok=$ok%s")
       // Queries are independent: free every checkpoint block the query
       // persisted so it cannot crowd out (and so randomize the timing
       // of) every query that runs after it. The clear sits OUTSIDE the
@@ -220,7 +224,7 @@ object Bench {
         }
       (System.nanoTime() - t0) / 1e9
     }
-    val cold = selected.map { case (name, fn) => name -> once(fn) }
+    val cold = selected.map { case (name, fn) => name -> once(name, fn) }
     // the cold/warmup pass's steal is its own field: steal_passes then
     // maps 1:1 onto the TIMED passes, so a reader can attribute
     // contamination to the exact pass (the cold pass is untimed — its
@@ -236,7 +240,7 @@ object Bench {
         // can't cover both samples of one query)
         val timed = (1 to passes).map { _ =>
           val (r, attempts) = gatedPass(
-            () => selected.map { case (name, fn) => name -> once(fn) },
+            () => selected.map { case (name, fn) => name -> once(name, fn) },
             stealDelta0 _, stealGate, stealRetries,
             (d, attempt) => System.err.println(
               s"bench: pass steal $d > gate $stealGate jiffies — " +

@@ -10,8 +10,12 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_JAVA_OPTS: extra -D flags for rung runs (e.g. a longer
+# spark.network.timeout so a multi-minute host steal storm doesn't get
+# the local executor declared dead mid-suite).
 exec java $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  ${GRAFT_JAVA_OPTS:-} \
   -cp "src/main/resources:target/scala-2.13/classes:/opt/spark/jars/*" \
   "$@"
