@@ -303,16 +303,20 @@ object SimilarityQueries {
             else docs(s, dir).filter(col("doc_id") % mod === 0)
     val tok = d.select(col("doc_id"),
       explode(SimilarityFunctions.shingles(col("text"), 3)).as("tok"))
-    // One groupBy(doc_id) computes ALL permutation minima: the md5
-    // windows are scan-local projections and the minima partial-
+    // One groupBy(doc_id) computes ALL permutation minima AND the
+    // doc's shingle count (the Jaccard denominator — folding it here
+    // saves a whole second scan+explode+aggregate over the corpus,
+    // measured 399 s at the sf10 rung before the fold): the md5
+    // windows are scan-local projections and the minima/count partial-
     // aggregate map-side, so the only corpus shuffle here ships
-    // doc_id + 16 short hex minima.
+    // doc_id + 16 short hex minima + one long.
     def mhExpr(i: Int) =
       substring(md5(concat(lit(s"${i / 4}|"), col("tok"))), 1 + 8 * (i % 4), 8)
     val sig = tok.groupBy("doc_id")
       .agg(min(mhExpr(0)).as("mh0"),
-        (1 until nH).map(i => min(mhExpr(i)).as(s"mh$i")): _*)
-      .localCheckpoint(false) // feeds banding + both est sides
+        ((1 until nH).map(i => min(mhExpr(i)).as(s"mh$i")) :+
+          count(lit(1)).as("n")): _*)
+      .localCheckpoint(false) // feeds banding + both est sides + sizes
     val bandStructs = (0 until MhPortBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
@@ -327,8 +331,11 @@ object SimilarityQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
+      // pair ids feed 4 consumers (est + both semi-join prunes + the
+      // verify join) — materialize once; the relation is pair-scale
+      .localCheckpoint(false)
     val sigArr = sig.select(col("doc_id"),
-      array((0 until nH).map(i => col(s"mh$i")): _*).as("arr"))
+      array((0 until nH).map(i => col(s"mh$i")): _*).as("arr"), col("n"))
     val est = cand
       .join(sigArr.select(col("doc_id").as("ida"), col("arr").as("aa")), "ida")
       .join(sigArr.select(col("doc_id").as("idb"), col("arr").as("ab")), "idb")
@@ -336,11 +343,20 @@ object SimilarityQueries {
         size(filter(zip_with(col("aa"), col("ab"), (x, y) => x === y), x => x))
           .cast("double") / lit(nH.toDouble))
       .select("ida", "idb", "est_jaccard")
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // The exact-Jaccard verify touches only CANDIDATE docs — prune the
+    // corpus-sized shingle relation to them (one broadcast semi-join
+    // per side) BEFORE the pair join, so the pair-verify join shuffles
+    // candidate shingles, not the corpus (the second half of the sf10
+    // 399 s: both verify joins streamed the full 100M-shingle relation)
+    val tokA = tok.join(broadcast(cand.select(col("ida").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi").select(col("doc_id").as("ida"), col("tok"))
+    val tokB = tok.join(broadcast(cand.select(col("idb").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi").select(col("doc_id").as("idb"), col("tok"))
     val inter = cand
-      .join(tok.select(col("doc_id").as("ida"), col("tok")), "ida")
-      .join(tok.select(col("doc_id").as("idb"), col("tok")), Seq("idb", "tok"))
+      .join(tokA, "ida")
+      .join(tokB, Seq("idb", "tok"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+    val sizes = sig.select(col("doc_id"), col("n"))
     est.join(inter, Seq("ida", "idb"))
       .join(sizes.select(col("doc_id").as("ida"), col("n").as("na")), "ida")
       .join(sizes.select(col("doc_id").as("idb"), col("n").as("nb")), "idb")
