@@ -1513,17 +1513,19 @@ object SimilarityQueries {
     * tiebreak). `vSql` parameterizes the candidate corpus so the
     * hard-negative twin can plant exact-dup vectors. */
   private def annPortableCtes(vSql: String, anchorWhere: String,
-                              candCap: Option[Int] = None): String = {
+                              candCap: Option[Int] = None,
+                              tables: Int = AnnPortTables,
+                              probe: Int = AnnPortProbe): String = {
     def planeDot(j: Int): String =
       Det.sqlFoldChain(i => s"(e[$i] * ${SimilarityFunctions.planeComponent(j, i - 1)})", 64)
     def bucketExpr(t: Int): String =
       (0 until AnnPortPlanes).map { j =>
         s"(CASE WHEN ${planeDot(t * AnnPortPlanes + j)} > 0.0 THEN ${1L << j} ELSE 0 END)"
       }.mkString("(", " + ", ")")
-    val tableSelects = (0 until AnnPortTables).map { t =>
+    val tableSelects = (0 until tables).map { t =>
       s"SELECT vec_id, $t AS tbl, ${bucketExpr(t)} AS bucket FROM v"
     }.mkString("\n  UNION ALL ")
-    val masks: Seq[Long] = (0 to AnnPortProbe).flatMap(h =>
+    val masks: Seq[Long] = (0 to probe).flatMap(h =>
       (0 until AnnPortPlanes).combinations(h)
         .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
     val dot = Det.sqlFoldChain(i => s"(vq.e[$i] * vc.e[$i])", 64)
@@ -1586,6 +1588,18 @@ object SimilarityQueries {
   // hard negative; the exact top-k contract lives on the cap-free
   // portable anchor.
   private val HardNegBucketCap = 64
+  // lean candidate budget (r17): mining 5 hard negatives per anchor
+  // does not need the portable TOP-K anchor's recall setup — any near
+  // candidate is a useful hard negative (the cap's own argument), so
+  // 4 tables × hamming-1 probing (9 masks) replaces 12 × 37. Candidate
+  // volume per anchor drops from tables×probes×cap = 12×37×64 ≈ 28k to
+  // 4×9×64 ≈ 2.3k (~12×) while the k=5 slots still rank hundreds of
+  // distinct near candidates each. The exact-recall contract stays on
+  // the cap-free `ann_lsh_topk_portable` anchor; the oracle replays
+  // this budget literally (tables/probe thread through the CTE gen),
+  // so the key stays hash-checked end to end at every SF.
+  private val HardNegTables = 4
+  private val HardNegProbe = 1
 
   def sampleNegativeHard(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -1593,8 +1607,8 @@ object SimilarityQueries {
       .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"), col("label"))
     val anchors = e.filter(col("vec_id") % 100 === 0)
     SimilarityFunctions.annLshTopKPortable(anchors, e.union(planted), HardNegK,
-        nTables = AnnPortTables, planesPerTable = AnnPortPlanes,
-        probeHamming = AnnPortProbe, maxCos = Some(HardNegMaxCos),
+        nTables = HardNegTables, planesPerTable = AnnPortPlanes,
+        probeHamming = HardNegProbe, maxCos = Some(HardNegMaxCos),
         maxBucket = Some(HardNegBucketCap))
       .withColumn("band",
         when(col("score") >= 0.35, lit("hard"))
@@ -1612,7 +1626,8 @@ object SimilarityQueries {
           |     SELECT vec_id + 5000000, CAST(embedding AS DOUBLE[])
           |     FROM embeddings WHERE vec_id % 40 = 0""".stripMargin,
         "k.vec_id % 100 = 0 AND k.vec_id < 5000000",
-        candCap = Some(HardNegBucketCap))}
+        candCap = Some(HardNegBucketCap),
+        tables = HardNegTables, probe = HardNegProbe)}
        |SELECT qid AS anchor_id, cid AS negative_id, score,
        |  CAST(rn AS INTEGER) AS rnk,
        |  CASE WHEN score >= ${Det.dlit(0.35)} THEN 'hard'
