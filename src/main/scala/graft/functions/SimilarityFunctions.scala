@@ -1317,6 +1317,73 @@ object SimilarityFunctions {
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
   }
 
+  /** The PRODUCTION ANN configuration: portable literal-plane LSH
+    * candidate generation (the [[annLshTopKPortable]] bucket/probe/cap
+    * machinery) + int8-quantized exact-integer scoring (the
+    * `sim_topk_quantized` arithmetic) — the two bandwidth levers a
+    * 100 TB similarity pass composes. The verify join re-attaches
+    * 64 ints + one double per side instead of 64 doubles (4× less
+    * shuffle on the scoring join, the same cut the quantized brute
+    * tier measures on the scan), and every step stays
+    * DuckDB-replayable: buckets are sign folds over literal planes,
+    * the bucket cap is one QUALIFY row_number, the global scale
+    * m = max |component| is an exact max-agg, quantized components are
+    * small integers, dots/norms are exact BIGINT sums, and the only
+    * float steps are sqrt/divide of exact values. Zero-norm vectors
+    * (fully quantized away) are excluded on BOTH sides, as in the
+    * quantized brute tier. The scale is computed over `candidates`
+    * (the corpus); pass queries drawn from the same corpus so both
+    * engines quantize under the identical m. */
+  def annLshTopKInt8(queries: DataFrame, candidates: DataFrame, k: Int,
+                     nTables: Int, planesPerTable: Int,
+                     probeHamming: Int,
+                     maxBucket: Option[Int] = None): DataFrame = {
+    graft.plans.GraftExtensions.register(queries.sparkSession)
+    val cvd = candidates.select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    val qvd = queries.select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
+    // one exact map-side max-agg; broadcast as a 1-row scalar attach
+    val scale = cvd.agg(max(aggregate(col("e"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))).as("m"))
+    def quant(v: DataFrame): DataFrame = v.crossJoin(broadcast(scale))
+      .select(col("vec_id"),
+        transform(col("e"), x => round(x / col("m") * 127, 0).cast("int")).as("qv"))
+      .withColumn("nrm", sqrt(aggregate(col("qv"), lit(0L),
+        (acc, x) => acc + (x * x).cast("long")).cast("double")))
+      .filter(col("nrm") > 0.0)
+    def keyed(v: DataFrame, id: String): DataFrame = v
+      .withColumn("bks", call_function("graft_lsh_buckets",
+        col("e"), lit(0), lit(planesPerTable), lit(nTables)))
+      .select(col("vec_id").as(id), posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    def capped(kdf: DataFrame, id: String): DataFrame = maxBucket.fold(kdf) { cap =>
+      val w = Window.partitionBy(col("tbl"), col("bucket")).orderBy(col(id))
+      kdf.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= cap).drop("__r")
+    }
+    val masks: Seq[Long] = (0 to probeHamming).flatMap(h =>
+      (0 until planesPerTable).combinations(h)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))))
+    val probes = keyed(qvd, "qid").select(col("qid"), col("tbl"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cand = capped(keyed(cvd, "cid"), "cid").join(broadcast(probes), Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid")
+      .distinct()
+    val cq = quant(cvd)
+    val qq = quant(qvd)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    cand
+      .join(broadcast(qq.select(col("vec_id").as("qid"),
+        col("qv").as("qe"), col("nrm").as("qn"))), "qid")
+      .join(cq.select(col("vec_id").as("cid"),
+        col("qv").as("ce"), col("nrm").as("cn")), "cid")
+      .withColumn("dot", aggregate(zip_with(col("qe"), col("ce"),
+        (a, b) => (a * b).cast("long")), lit(0L), _ + _))
+      .withColumn("score", col("dot").cast("double") / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("cid"), col("score"), col("rnk"))
+  }
+
   /** [[annLshTopK]] with the per-table plane count wired to the corpus
     * size via [[autoPlanes]] — declared as `ann_lsh_topk_auto` (the
     * scale tier; the literal-8 key stays as the gate-SF anchor, which

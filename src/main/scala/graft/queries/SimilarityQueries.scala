@@ -1515,7 +1515,8 @@ object SimilarityQueries {
   private def annPortableCtes(vSql: String, anchorWhere: String,
                               candCap: Option[Int] = None,
                               tables: Int = AnnPortTables,
-                              probe: Int = AnnPortProbe): String = {
+                              probe: Int = AnnPortProbe,
+                              int8: Boolean = false): String = {
     def planeDot(j: Int): String =
       Det.sqlFoldChain(i => s"(e[$i] * ${SimilarityFunctions.planeComponent(j, i - 1)})", 64)
     def bucketExpr(t: Int): String =
@@ -1534,6 +1535,29 @@ object SimilarityQueries {
     val capQ = candCap.map(c =>
       s"\n  QUALIFY row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) <= $c")
       .getOrElse("")
+    // int8 mode: the sim_topk_quantized scoring arithmetic grafted onto
+    // the portable candidate CTEs — global max-|component| scale,
+    // int8 quantize, exact BIGINT dot / integer norms; zero-norm
+    // vectors excluded on both sides (engine filters them identically)
+    val scoreCtes =
+      if (int8)
+        """mq AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS m FROM v),
+          |qz AS (SELECT vec_id,
+          |         list_transform(e, x -> CAST(round(x / m * 127, 0) AS INTEGER)) AS qv
+          |       FROM v CROSS JOIN mq),
+          |qn AS (SELECT vec_id, qv,
+          |         sqrt(CAST(CAST(list_sum(list_transform(qv,
+          |           x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS DOUBLE)) AS nrm
+          |       FROM qz),
+          |s AS (SELECT qid, cid,
+          |        CAST(CAST(list_sum(list_transform(range(1, 65),
+          |          i -> CAST(a.qv[i] AS BIGINT) * b.qv[i])) AS BIGINT) AS DOUBLE)
+          |          / (a.nrm * b.nrm) AS score
+          |      FROM cand JOIN qn a ON a.vec_id = qid JOIN qn b ON b.vec_id = cid
+          |      WHERE a.nrm > 0.0 AND b.nrm > 0.0)""".stripMargin
+      else
+        s"""s AS (SELECT qid, cid, $dot / (sqrt($nq) * sqrt($nc)) AS score
+           |      FROM cand JOIN v vq ON vq.vec_id = qid JOIN v vc ON vc.vec_id = cid)""".stripMargin
     s"""v AS ($vSql),
        |k AS (
        |  $tableSelects),
@@ -1544,14 +1568,51 @@ object SimilarityQueries {
        |cand AS (SELECT DISTINCT p.qid, c.vec_id AS cid
        |         FROM p JOIN kc c ON c.tbl = p.tbl AND c.bucket = p.bucket
        |                         AND c.vec_id <> p.qid),
-       |s AS (SELECT qid, cid, $dot / (sqrt($nq) * sqrt($nc)) AS score
-       |      FROM cand JOIN v vq ON vq.vec_id = qid JOIN v vc ON vc.vec_id = cid)""".stripMargin
+       |$scoreCtes""".stripMargin
   }
 
   val annLshTopkPortableSql: String =
     s"""WITH ${annPortableCtes(
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
         "k.vec_id % 100 = 0")}
+       |SELECT qid, cid, score, CAST(rn AS INTEGER) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM s)
+       |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin
+
+  // --- ann_lsh_topk_int8: the PRODUCTION ANN configuration ------------
+  // The config a 100 TB similarity pass actually deploys: portable
+  // literal-plane LSH candidates (bucket-capped, QUALIFY-replayable)
+  // + int8-quantized exact-integer scoring — composing the two
+  // bandwidth levers this suite already hash-checks separately
+  // (ann_lsh_topk_portable for candidate generation,
+  // sim_topk_quantized for compressed scoring). The verify join moves
+  // 64 ints instead of 64 doubles per side (4× less shuffle where ANN
+  // cost concentrates), and because both pieces are DuckDB-replayable
+  // the COMPOSITION is hash-checked end to end — candidates, scale,
+  // quantization, integer dots, ranking. Lean budget (8 tables ×
+  // hamming-1 × cap 128): the completeness contract stays on the
+  // cap-free portable anchor; this key's contract is the production
+  // plan shape at full hash fidelity.
+  private val AnnInt8Tables = 8
+  private val AnnInt8Probe = 1
+  private val AnnInt8Cap = 128
+
+  def annLshTopkInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    SimilarityFunctions.annLshTopKInt8(
+        e.filter(col("vec_id") % 100 === 0), e, 10,
+        nTables = AnnInt8Tables, planesPerTable = AnnPortPlanes,
+        probeHamming = AnnInt8Probe, maxBucket = Some(AnnInt8Cap))
+      .orderBy("qid", "rnk")
+  }
+
+  val annLshTopkInt8Sql: String =
+    s"""WITH ${annPortableCtes(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings",
+        "k.vec_id % 100 = 0",
+        candCap = Some(AnnInt8Cap),
+        tables = AnnInt8Tables, probe = AnnInt8Probe, int8 = true)}
        |SELECT qid, cid, score, CAST(rn AS INTEGER) AS rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
        |  FROM s)
@@ -2139,6 +2200,7 @@ object SimilarityQueries {
     "dedup_simhash_wide" -> (dedupSimhashWide _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_lsh_topk_portable" -> (annLshTopkPortable _),
+    "ann_lsh_topk_int8" -> (annLshTopkInt8 _),
     "ann_lsh_recall" -> (annLshRecall _),
     "ann_lsh_topk_auto" -> (annLshTopkAuto _),
     "ann_lsh_recall_auto" -> (annLshRecallAuto _),
@@ -2175,7 +2237,8 @@ object SimilarityQueries {
     "sim_topk_embeddings" -> simTopkEmbeddingsSql,
     "sim_topk_native" -> simTopkEmbeddingsSql, // same oracle: bitwise-equal path
     "sim_topk_quantized" -> simTopkQuantizedSql,
-    "ann_lsh_topk_portable" -> annLshTopkPortableSql)
+    "ann_lsh_topk_portable" -> annLshTopkPortableSql,
+    "ann_lsh_topk_int8" -> annLshTopkInt8Sql)
     // minhash/simhash/remaining ann/hll: engine-specific hashes or
     // sketches -> rows-only here, accuracy asserted in SimilaritySpec
 }

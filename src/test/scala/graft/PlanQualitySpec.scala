@@ -403,6 +403,25 @@ class PlanQualitySpec extends SparkSpecBase {
       "candidate dedup must not carry embedding vectors")
   }
 
+  test("ann_lsh_topk_int8: candidates stay hash-join shaped; scoring joins carry int8 vectors") {
+    val df = SimilarityQueries.annLshTopkInt8(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"))
+    // the 1-row scale attach is the only tolerated BNLJ shape (the
+    // sample_weighted precedent); candidate generation itself must be
+    // a hash join on (tbl, bucket) — i.e. some BroadcastHashJoin or
+    // SortMergeJoin carries the bucket keys
+    assert(p.contains("tbl") && (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")),
+      "expected the (tbl, bucket) candidate hash join")
+    // candidate dedup groups on id-width keys, never quantized vectors
+    val dedupAggs = p.linesIterator
+      .filter(_.contains("HashAggregate(keys=[qid")).toSeq
+    assert(dedupAggs.nonEmpty, "expected an id-keyed candidate-dedup aggregate")
+    assert(dedupAggs.forall(l => !l.contains("qe") && !l.contains("ce")),
+      "candidate dedup must not carry vectors")
+  }
+
   test("cluster_kmeans: the E-step is a scan-local projection — no joins, no hash shuffle") {
     // centroids are driver-held literals (the IVF-store rule), so the
     // assignment pass must compile to scan -> project -> sort: any
