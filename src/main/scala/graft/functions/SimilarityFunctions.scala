@@ -79,12 +79,19 @@ object SimilarityFunctions {
     * 0.8+, against 0.5+ unigram scores for mere topic overlap).
     * Scan-local HOF; docs shorter than n tokens yield an empty set. */
   def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val idxs = sequence(lit(1), size(toks) - (n - 1))
-    array_distinct(
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(idxs, i =>
-          concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
+    // The token array is bound ONCE per row as a lambda variable (the
+    // 1-element-array + transform trick): writing `split(text)` as a
+    // shared Scala val instead INLINES the split into the per-shingle
+    // lambda, where interpreted HOF eval re-splits the whole document
+    // on every element_at — O(words) per access, O(words²) per doc.
+    // Measured on the sf1 documents table (50k docs, 2.6M shingles):
+    // 45 CPU-s for the inlined form, sub-second for this one; output
+    // bit-identical (same strings, same first-occurrence order).
+    val sh = transform(array(split(text, " ")), ts =>
+      when(size(ts) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+          concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))))
+    array_distinct(element_at(sh, 1))
   }
 
   /** Exact pairwise n-gram-shingle Jaccard — same inverted-index

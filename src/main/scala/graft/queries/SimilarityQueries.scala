@@ -310,9 +310,16 @@ object SimilarityQueries {
     // windows are scan-local projections and the minima/count partial-
     // aggregate map-side, so the only corpus shuffle here ships
     // doc_id + 16 short hex minima + one long.
+    // The 4 digests are projected ONCE per shingle (one md5 each) and
+    // the 16 min-agg children read 8-hex windows of those columns —
+    // guaranteed 4 md5 calls per shingle by plan shape, instead of 16
+    // agg-child md5s that only codegen subexpression elimination could
+    // collapse.
+    val dig = tok.select(col("doc_id") +:
+      (0 until nH / 4).map(j => md5(concat(lit(s"$j|"), col("tok"))).as(s"d$j")): _*)
     def mhExpr(i: Int) =
-      substring(md5(concat(lit(s"${i / 4}|"), col("tok"))), 1 + 8 * (i % 4), 8)
-    val sig = tok.groupBy("doc_id")
+      substring(col(s"d${i / 4}"), 1 + 8 * (i % 4), 8)
+    val sig = dig.groupBy("doc_id")
       .agg(min(mhExpr(0)).as("mh0"),
         ((1 until nH).map(i => min(mhExpr(i)).as(s"mh$i")) :+
           count(lit(1)).as("n")): _*)
@@ -344,14 +351,20 @@ object SimilarityQueries {
           .cast("double") / lit(nH.toDouble))
       .select("ida", "idb", "est_jaccard")
     // The exact-Jaccard verify touches only CANDIDATE docs — prune the
-    // corpus-sized shingle relation to them (one broadcast semi-join
-    // per side) BEFORE the pair join, so the pair-verify join shuffles
-    // candidate shingles, not the corpus (the second half of the sf10
-    // 399 s: both verify joins streamed the full 100M-shingle relation)
-    val tokA = tok.join(broadcast(cand.select(col("ida").as("doc_id")).distinct()),
-      Seq("doc_id"), "left_semi").select(col("doc_id").as("ida"), col("tok"))
-    val tokB = tok.join(broadcast(cand.select(col("idb").as("doc_id")).distinct()),
-      Seq("doc_id"), "left_semi").select(col("doc_id").as("idb"), col("tok"))
+    // DOCUMENT relation to them (one broadcast semi-join per side)
+    // BEFORE the shingle explode, so the verify side never tokenizes
+    // the corpus at all: the explode runs only over candidate docs and
+    // the pair-verify join shuffles candidate shingles, not the corpus
+    // (the second half of the sf10 399 s: both verify joins streamed
+    // the full 100M-shingle relation; pruning post-explode still paid
+    // two full corpus explodes)
+    def candTok(side: String) =
+      d.join(broadcast(cand.select(col(side).as("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as(side),
+          explode(SimilarityFunctions.shingles(col("text"), 3)).as("tok"))
+    val tokA = candTok("ida")
+    val tokB = candTok("idb")
     val inter = cand
       .join(tokA, "ida")
       .join(tokB, Seq("idb", "tok"))
