@@ -273,6 +273,8 @@ object TextQueries {
     * [[pretrainMix]] keeps cleaning downstream. Passes d's other
     * columns (lang, …) through unchanged. */
   private[graft] def spanCleanTextOver(d: DataFrame, w: Int): DataFrame = {
+    require(!d.columns.contains("__toks"),
+      "spanCleanTextOver reserves the internal column name __toks; rename it on the input")
     val toks = col("toks")
     val posSpans = when(size(toks) < w, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
@@ -287,7 +289,12 @@ object TextQueries {
       .filter(col("doc_id") > col("first_doc"))
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("i"))).as("starts"))
-    val t2 = split(col("text"), " ")
+    // the token array is PROJECTED once (__toks) and referenced as an
+    // attribute everywhere below — inlining split(text) into the
+    // reassembly lambda would re-split the document per kept position
+    // (the O(words²) interpreted-HOF trap SimilarityFunctions.shingles
+    // documents)
+    val t2 = col("__toks")
     // unified path for flagged and clean docs (starts = [] keeps all
     // positions): both engines REASSEMBLE every document, so the md5
     // compares rejoined text with rejoined text
@@ -295,11 +302,12 @@ object TextQueries {
     val kept = filter(sequence(lit(1), size(t2)),
       p => !exists(starts0, i => i <= p && p <= i + (w - 1)))
     d.join(flagged, Seq("doc_id"), "left")
+      .withColumn("__toks", split(col("text"), " "))
       .withColumn("n_tokens", size(t2).cast("long"))
       .withColumn("n_removed", (size(t2) - size(kept)).cast("long"))
       .withColumn("clean_text",
         concat_ws(" ", transform(kept, p => element_at(t2, p))))
-      .drop("starts")
+      .drop("starts", "__toks")
   }
 
   val spanCleanSql: String =
