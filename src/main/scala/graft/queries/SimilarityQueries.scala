@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Catalog
 import graft.functions.SimilarityFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2180,8 +2180,70 @@ object SimilarityQueries {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  // --- cms_heavy_hitters_portable: the ORACLE-GATE sketch tier -------
+  // The engine CMS key is rows-only because Spark's count_min_sketch
+  // seeds/layout are engine-internal (COVERAGE.md exemption ledger) —
+  // but nothing in the count-min ALGORITHM needs an engine hash. This
+  // tier builds the same depth-4 sketch over md5: row r's bucket key
+  // is the first 3 hex chars of md5("r|" || tok) (16³ = 4096 buckets),
+  // so the bucket key is a STRING both engines render identically and
+  // no hex→int conversion is needed anywhere. Counters are one
+  // (row, bucket) aggregate — map-side combined to ≤ depth·4096 groups
+  // per partition, so the shuffle is CONSTANT-SIZE regardless of corpus
+  // (the property that makes CMS the 100 TB heavy-hitter path); the
+  // probe set is the exact top-20 (same probes as the engine tier) and
+  // each estimate is the min over the 4 row counters — every step
+  // DuckDB-replayable, so for the first time a SKETCH key carries a
+  // full hash gate (the ann_lsh_topk_portable / dedup_minhash_portable
+  // precedent applied to the sketch family). The engine tier remains
+  // the declared mergeable-binary-sketch path; this tier is its
+  // end-to-end semantic anchor.
+  private val CmsPortDepth = 4
+  private val CmsPortPrefix = 3 // 16^3 = 4096 buckets per sketch row
+
+  def cmsHeavyHittersPortable(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(explode(split(col("text"), " ")).as("tok"))
+    def buckets(tok: Column) = array((0 until CmsPortDepth).map(r =>
+      struct(lit(r).as("r"),
+        substring(md5(concat(lit(s"$r|"), tok)), 1, CmsPortPrefix).as("b"))): _*)
+    val counters = toks.select(explode(buckets(col("tok"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exactTop = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val probes = exactTop
+      .select(col("tok"), col("exact_cnt"), explode(buckets(col("tok"))).as("rb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+    probes.join(broadcast(counters), Seq("r", "b"))
+      .groupBy("tok", "exact_cnt").agg(min(col("c")).as("est_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val cmsHeavyHittersPortableSql: String = {
+    val d = CmsPortDepth
+    val p = CmsPortPrefix
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counters AS (
+      |  SELECT r, substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, $p) AS b,
+      |         count(*) AS c
+      |  FROM toks CROSS JOIN range($d) t(r) GROUP BY 1, 2),
+      |exact_top AS (
+      |  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok
+      |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+      |probes AS (
+      |  SELECT tok, exact_cnt, r,
+      |    substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, $p) AS b
+      |  FROM exact_top CROSS JOIN range($d) t(r))
+      |SELECT p.tok, p.exact_cnt, min(c.c) AS est_cnt
+      |FROM probes p JOIN counters c ON c.r = p.r AND c.b = p.b
+      |GROUP BY 1, 2
+      |ORDER BY exact_cnt DESC, tok""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
+    "cms_heavy_hitters_portable" -> (cmsHeavyHittersPortable _),
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -2223,6 +2285,7 @@ object SimilarityQueries {
     "hll_distinct_tokens" -> (hllDistinctTokens _))
 
   def oracle: Map[String, String] = Map(
+    "cms_heavy_hitters_portable" -> cmsHeavyHittersPortableSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "dedup_exact_digest" -> dedupExactDigestSql,
     "dedup_exact_normalized" -> dedupExactNormalizedSql,

@@ -286,6 +286,25 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("cms_heavy_hitters_portable: one-sided bound; probe set matches the engine tier") {
+    // the md5-window sketch is a true count-min: every estimate is the
+    // min over 4 bucket counters that each saw the token's full count,
+    // so est >= exact is a HARD guarantee (not probabilistic); the
+    // probe set (exact top-20, same construction) must equal the
+    // engine tier's so both keys answer the same question
+    val port = graft.queries.SimilarityQueries
+      .cmsHeavyHittersPortable(spark, "/root/testdata/sf0.001").collect()
+    assert(port.length == 20)
+    port.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"portable CMS under-estimated ${r.getString(0)}")
+    }
+    val engineToks = graft.queries.SimilarityQueries
+      .cmsHeavyHitters(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getString(0)).toSet
+    assert(port.map(_.getString(0)).toSet == engineToks)
+  }
+
   test("jaccardPairs: hot-token cap drops stopword-grade tokens from the index") {
     // "the" appears in every doc — uncapped it alone creates C(4,2)
     // intersection rows; capped at maxDf=3 it is dropped whole and
