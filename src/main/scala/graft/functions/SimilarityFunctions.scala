@@ -870,6 +870,27 @@ object SimilarityFunctions {
     else df
   }
 
+  /** Text-table variant of [[widenForCheckpoint]] with a far lower
+    * byte floor: per-byte CPU on the documents table (shingle
+    * explodes, per-shingle digests, span kernels) is ~100× a
+    * relational scan's, so a corpus that is tiny in BYTES still
+    * carries multi-second scan-stage work — measured at sf0.1 every
+    * text key ran its dense scan stage on ONE task (0.59 MB file vs
+    * the 2.2 MB calibrated split) while 31 cores idled. The widen
+    * shuffle ships the raw (doc_id, text) rows once (sub-MB at the
+    * gate SFs, ~100 ms) and buys full-width parallelism for
+    * everything scan-local above it. At cluster scale the
+    * [[shouldWiden]] partition-count arm keeps this a no-op: a real
+    * corpus scans wider than the session's shuffle width, so the plan
+    * is unchanged exactly where an extra shuffle would hurt; literal
+    * in-memory fixtures (inputBytes 0) are never widened, keeping
+    * spec plans clean. */
+  private[graft] def widenTextScan(df: DataFrame): DataFrame =
+    widenForCheckpoint(df, TextMinPartBytes)
+
+  private[graft] val TextMinPartBytes: Long =
+    sys.env.getOrElse("GRAFT_TEXT_MIN_PART_BYTES", (8L * 1024).toString).toLong
+
   /** (id, vec, norm) projection, materialized once — it is reused on
     * both sides of the candidate join and both verify joins (and the
     * auto variant's count reads it for free). */

@@ -256,8 +256,12 @@ object SimilarityQueries {
     * swaps BOTH the Spark query and the oracle to the same modulus so
     * the rung sweep verifies the tier instead of documenting a skip. */
   private[graft] def dedupShingleLshMod(mod: Int)(s: SparkSession, dir: String): DataFrame = {
-    val d = if (mod <= 1) docs(s, dir)
-            else docs(s, dir).filter(col("doc_id") % mod === 0)
+    // widened (gated): the shingle-hash explode + signature pass is the
+    // CPU-densest scan in the suite — sub-MB gate-SF corpora otherwise
+    // run it 1-3 tasks wide (measured -1.2 s at sf0.1; no-op at rung
+    // widths and on in-memory fixtures)
+    val wd = SimilarityFunctions.widenTextScan(docs(s, dir))
+    val d = if (mod <= 1) wd else wd.filter(col("doc_id") % mod === 0)
     SimilarityFunctions.jaccardPairsNgramLsh(d, 3, 0.4)
       .orderBy("ida", "idb")
   }
@@ -299,8 +303,11 @@ object SimilarityQueries {
   private[graft] def dedupMinhashPortableMod(mod: Int)(s: SparkSession, dir: String): DataFrame = {
     val nH = MhPortHashes
     val rows = nH / MhPortBands
-    val d = if (mod <= 1) docs(s, dir)
-            else docs(s, dir).filter(col("doc_id") % mod === 0)
+    // widened (gated): the 4-md5-per-shingle signature scan is
+    // multi-second CPU even on sub-MB corpora (the dedup_shingle_lsh
+    // rationale; measured -0.9 s at sf0.1, no-op at rung widths)
+    val wd = SimilarityFunctions.widenTextScan(docs(s, dir))
+    val d = if (mod <= 1) wd else wd.filter(col("doc_id") % mod === 0)
     val tok = d.select(col("doc_id"),
       explode(SimilarityFunctions.shingles(col("text"), 3)).as("tok"))
     // One groupBy(doc_id) computes ALL permutation minima AND the

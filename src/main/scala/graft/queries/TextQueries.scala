@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Catalog
-import graft.functions.TextFunctions
+import graft.functions.{SimilarityFunctions, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
