@@ -2248,9 +2248,60 @@ object SimilarityQueries {
       |ORDER BY exact_cnt DESC, tok""".stripMargin
   }
 
+  // --- distinct_kmv_portable: the ORACLE-GATE distinct-count sketch --
+  // hll_distinct_tokens is rows-only because HLL register layout is
+  // engine-internal — but the K-MINIMUM-VALUES estimator needs only a
+  // uniform hash and an order statistic, both of which md5 gives
+  // identically on both engines: h = first 8 hex of md5(tok) as a
+  // 32-bit integer (Spark `conv(_,16,10)`, DuckDB `('0x'||_)::BIGINT`),
+  // estimate = (k-1)·2³² / h_(k) with h_(k) the k-th smallest distinct
+  // hash. The k-smallest pass is a TakeOrdered (constant-size, no full
+  // sort at scale) over the pre-distincted vocabulary — the same
+  // vocabulary-not-corpus shuffle the HLL tier rides — so for the
+  // first time a DISTINCT-COUNT sketch carries a full hash gate
+  // (double math is one exact product and one division, IEEE-identical
+  // both sides). Spec pins |est−exact|/exact within the 1/√k band;
+  // the engine HLL tier remains the declared mergeable-sketch path.
+  private val KmvK = 256
+
+  def distinctKmvPortable(s: SparkSession, dir: String): DataFrame = {
+    // trigram shingles, not unigrams: the fixture vocabulary is ~31
+    // words (a sketch over it is vacuous) while distinct trigrams run
+    // 16k-27k at the gate SFs — the cardinality regime KMV exists for
+    val vocab = docs(s, dir)
+      .select(explode(SimilarityFunctions.shingles(col("text"), 3)).as("tok"))
+      .distinct()
+    val hashed = vocab.select(col("tok"),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val kth = hashed.orderBy(col("h").asc, col("tok").asc).limit(KmvK)
+      .agg(max(col("h")).as("kth_hash"), count(lit(1)).as("k_actual"))
+    val exact = vocab.agg(count(lit(1)).as("exact_distinct"))
+    exact.crossJoin(broadcast(kth)) // 1-row scalar attach
+      .select(col("exact_distinct"),
+        col("k_actual").cast("int").as("k"),
+        col("kth_hash"),
+        (lit((KmvK - 1).toDouble) * lit(4294967296.0) /
+          col("kth_hash").cast("double")).as("kmv_estimate"))
+  }
+
+  val distinctKmvPortableSql: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
+      |vocab AS (SELECT DISTINCT tok FROM (
+      |  SELECT unnest(list_transform(range(1, len(l) - 1),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS tok
+      |  FROM d WHERE len(l) >= 3)),
+      |hashed AS (SELECT tok, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM vocab),
+      |kth AS (SELECT max(h) AS kth_hash, count(*) AS k_actual FROM
+      |        (SELECT h, tok FROM hashed ORDER BY h ASC, tok ASC LIMIT $KmvK)),
+      |exact AS (SELECT count(*) AS exact_distinct FROM vocab)
+      |SELECT exact_distinct, CAST(k_actual AS INTEGER) AS k, kth_hash,
+      |  ${KmvK - 1}.0 * 4294967296.0 / CAST(kth_hash AS DOUBLE) AS kmv_estimate
+      |FROM exact CROSS JOIN kth""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "cms_heavy_hitters_portable" -> (cmsHeavyHittersPortable _),
+    "distinct_kmv_portable" -> (distinctKmvPortable _),
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -2293,6 +2344,7 @@ object SimilarityQueries {
 
   def oracle: Map[String, String] = Map(
     "cms_heavy_hitters_portable" -> cmsHeavyHittersPortableSql,
+    "distinct_kmv_portable" -> distinctKmvPortableSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "dedup_exact_digest" -> dedupExactDigestSql,
     "dedup_exact_normalized" -> dedupExactNormalizedSql,

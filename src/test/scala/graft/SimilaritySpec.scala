@@ -305,6 +305,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(port.map(_.getString(0)).toSet == engineToks)
   }
 
+  test("distinct_kmv_portable: estimate lands in the 1/sqrt(k) band of exact") {
+    // k=256 -> expected relative error ~6%; 20% is a >3-sigma pin.
+    // k_actual must equal k (the fixture's trigram space is 16k+, so a
+    // short read here means the shingle basis broke)
+    val r = graft.queries.SimilarityQueries
+      .distinctKmvPortable(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == 1)
+    val (exact, k, est) = (r(0).getLong(0), r(0).getInt(1), r(0).getDouble(3))
+    assert(k == 256)
+    assert(math.abs(est - exact) / exact <= 0.2,
+      s"KMV estimate off: est=$est exact=$exact")
+  }
+
   test("jaccardPairs: hot-token cap drops stopword-grade tokens from the index") {
     // "the" appears in every doc — uncapped it alone creates C(4,2)
     // intersection rows; capped at maxDf=3 it is dropped whole and
