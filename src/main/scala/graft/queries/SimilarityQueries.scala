@@ -1187,7 +1187,12 @@ object SimilarityQueries {
     * the rung sweep carries this oracle UN-thinned at any rung SF
     * (unlike the dense key, whose CTE is ~n² and needs the mod
     * knob). */
-  def dedupComponentsSparse(s: SparkSession, dir: String): DataFrame = {
+  def dedupComponentsSparse(s: SparkSession, dir: String): DataFrame =
+    sparseComponents(s, dir).orderBy("doc_id")
+
+  /** The sparse-basis (doc_id, component) relation, shared by the
+    * declared key above and [[splitLeakageSafe]]. */
+  private def sparseComponents(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val salted = d.select(col("doc_id"),
       array_join(transform(split(col("text"), " "),
@@ -1199,7 +1204,49 @@ object SimilarityQueries {
     val nodes = d.select(col("doc_id").as("id"))
     graft.operators.ConnectedComponents.components(nodes, pairs)
       .select(col("id").as("doc_id"), col("component"))
+  }
+
+  // --- split_leakage_safe: near-dup-aware train/val/test assignment ---
+  // A hash-mod split keyed on doc_id leaks: near-duplicate documents
+  // land in different splits and the eval set scores memorization.
+  // The leakage-safe split keys the hash on the dedup COMPONENT
+  // canonical id instead, so every member of a near-dup group lands in
+  // the same split by construction. Basis: the corpus-linear sparse
+  // component relation (within-shard near-dup graph — the shape real
+  // crawl pipelines dedup in); assignment: first 8 md5 hex chars of
+  // "s|<component>" as a 32-bit int mod 100 → train <90 / validation
+  // <95 / test, the md5-window construction every portable tier uses,
+  // so the WHOLE pipeline (pairs, components, bucket, split) is
+  // DuckDB-hash-checked. One extra scan-local projection over the
+  // component relation — the split costs nothing beyond the dedup the
+  // pipeline already runs.
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame =
+    sparseComponents(s, dir)
+      .withColumn("bucket",
+        (conv(substring(md5(concat(lit("s|"), col("component").cast("string"))),
+          1, 8), 16, 10).cast("long") % 100).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("validation"))
+          .otherwise(lit("test")))
       .orderBy("doc_id")
+
+  // lazy: splices dedupComponentsSparseSql, which is declared below
+  lazy val splitLeakageSafeSql: String = {
+    val base = dedupComponentsSparseSql
+      .replace("SELECT id AS doc_id, min(lab) AS component\nFROM reach GROUP BY id ORDER BY doc_id",
+        ", comp AS (SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id)")
+    require(base.contains("comp AS"),
+      "dedupComponentsSparseSql tail drifted; update the splice target")
+    s"""$base
+      |SELECT doc_id, component, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, component,
+      |        CAST(CAST(('0x' || substr(md5('s|' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS INTEGER) AS bucket
+      |      FROM comp)
+      |ORDER BY doc_id""".stripMargin
   }
 
   val dedupComponentsSparseSql: String =
@@ -2302,6 +2349,7 @@ object SimilarityQueries {
     "cms_heavy_hitters" -> (cmsHeavyHitters _),
     "cms_heavy_hitters_portable" -> (cmsHeavyHittersPortable _),
     "distinct_kmv_portable" -> (distinctKmvPortable _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_exact_docs" -> (dedupExactDocs _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -2345,6 +2393,7 @@ object SimilarityQueries {
   def oracle: Map[String, String] = Map(
     "cms_heavy_hitters_portable" -> cmsHeavyHittersPortableSql,
     "distinct_kmv_portable" -> distinctKmvPortableSql,
+    "split_leakage_safe" -> splitLeakageSafeSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "dedup_exact_digest" -> dedupExactDigestSql,
     "dedup_exact_normalized" -> dedupExactNormalizedSql,

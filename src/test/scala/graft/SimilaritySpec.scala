@@ -318,6 +318,22 @@ class SimilaritySpec extends SparkSpecBase {
       s"KMV estimate off: est=$est exact=$exact")
   }
 
+  test("split_leakage_safe: one split per component; bucket drives the label") {
+    val rows = graft.queries.SimilarityQueries
+      .splitLeakageSafe(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    // leakage-safety is structural: every member of a near-dup
+    // component carries the same split label
+    val perComp = rows.groupBy(_.getLong(1)).values
+    assert(perComp.forall(_.map(_.getString(3)).toSet.size == 1))
+    rows.foreach { r =>
+      val (b, sp) = (r.getInt(2), r.getString(3))
+      assert(b >= 0 && b < 100)
+      val expect = if (b < 90) "train" else if (b < 95) "validation" else "test"
+      assert(sp == expect, s"bucket $b mislabeled $sp")
+    }
+  }
+
   test("jaccardPairs: hot-token cap drops stopword-grade tokens from the index") {
     // "the" appears in every doc — uncapped it alone creates C(4,2)
     // intersection rows; capped at maxDf=3 it is dropped whole and
