@@ -1,0 +1,33 @@
+package graft
+
+// Throwaway dev probe (not part of the library, never committed):
+// runs SparkEntry queries by name with a stage/task-metrics listener.
+// Usage: tools/run_graft.sh graft.DevProbe <sfDir> <key> [key ...]
+object DevProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val keys = args.tail.toSeq
+    val s = GraftSession.local("dev-probe")
+    graft.sources.Sources.calibrateScanSplit(s, dir)
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null && m.executorRunTime > 500)
+          println(f"TASK stage=${e.stageId}%4d run=${m.executorRunTime}%6d ms cpu=${m.executorCpuTime / 1000000}%6d ms gc=${m.jvmGCTime}%5d ms")
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val secs = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        if (secs > 0.5)
+          println(f"STAGE ${si.stageId}%4d ${secs}%7.2f s  tasks=${si.numTasks}%4d")
+      }
+    })
+    keys.foreach { k =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(k)(s, dir).count()
+      println(f"QUERY $k ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    s.stop()
+  }
+}
