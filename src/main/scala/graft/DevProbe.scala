@@ -25,8 +25,13 @@ object DevProbe {
     })
     keys.foreach { k =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(k)(s, dir).count()
+      val df = SparkEntry.queries(k)(s, dir)
+      val n = df.count()
       println(f"QUERY $k ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      // GRAFT_PROBE_PLAN=1: the EXECUTED plan (post-AQE — shows
+      // ReusedExchange/AQEShuffleRead decisions explain() can't)
+      if (sys.env.getOrElse("GRAFT_PROBE_PLAN", "0") == "1")
+        println(df.queryExecution.executedPlan.toString)
     }
     s.stop()
   }

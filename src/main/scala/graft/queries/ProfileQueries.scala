@@ -16,12 +16,13 @@ import org.apache.spark.sql.functions._
   * so the DuckDB oracle reproduces every byte), and mean string length
   * for text columns (exact BIGINT length sum → one IEEE division).
   *
-  * 100 TB shape: ONE full scan per table. count/min/max/sum are
-  * map-side-combinable aggregates; the multi-column exact
-  * `count(DISTINCT …)` rides Catalyst's standard Expand rewrite (k+1
-  * row-projections of the same scan, partially aggregated before the
-  * single shuffle) — exact-by-role here, matching the oracle; at
-  * corpus scale the sketch tier (`hll_distinct_tokens`,
+  * 100 TB shape: two parallel scan-bound aggregates per table, ZERO
+  * sorts (see profileOne's scaladoc for why they must not fuse).
+  * count/min/max/sum are map-side-combinable aggregates; the
+  * multi-column exact `count(DISTINCT …)` rides Catalyst's standard
+  * Expand rewrite (k row-projections of the digests, hash-aggregated
+  * before the single shuffle) — exact-by-role here, matching the
+  * oracle; at corpus scale the sketch tier (`hll_distinct_tokens`,
   * approx_count_distinct) is the declared approximate path. String
   * distincts hash to 32-hex md5 digests BEFORE the Expand, so the
   * distinct shuffle ships 32 bytes per text, never whole documents
@@ -49,15 +50,47 @@ object ProfileQueries {
     case _       => col(c.name)
   }
 
-  /** Profile one table in a single scan: every metric for every column
-    * comes out of ONE `agg`, then the 1-row result explodes into the
-    * per-column rows. Package-visible for ProfileSpec's null-handling
-    * fixture. */
+  /** Profile one table in two parallel aggregates over the same scan,
+    * then attach the 1-row results and explode into per-column rows.
+    * Package-visible for ProfileSpec's null-handling fixture.
+    *
+    * Why two aggregates (r17 optimization): a single `agg` mixing
+    * min/max(string) with multi-column `count(DISTINCT …)` forces the
+    * WHOLE Expand rewrite into SortAggregate — min/max carry var-length
+    * string buffers, which HashAggregate's mutable-buffer row cannot
+    * hold — so the plan sorted the k+1-times-Expanded corpus THREE
+    * times (partial, post-exchange merge, second distinct level), with
+    * the gid=0 arm dragging the full `text` payload through every
+    * sort (measured at sf0.1: the orders arm ran 4.2 s over 2 tasks;
+    * plans/r17/profile_tables_before.txt has the Sort+SortAggregate
+    * chains). Split, each arm gets its cheap shape:
+    *  - stats arm: ONE global aggregate, no grouping keys — a global
+    *    SortAggregate needs NO Sort (empty ordering), so min/max/count/
+    *    sum stay map-side-combined scan work;
+    *  - distinct arm: count-only functions — long (exact) or HLL
+    *    register (approx) buffers — so the Expand rewrite runs as
+    *    HashAggregate over (digest, gid) with NO sorts, and the Expand
+    *    projections carry only the k digest columns, never `text`.
+    * The two 1-row results re-attach by broadcast cross join (scalar
+    * attach, the profile_histogram precedent). Values are bit-identical
+    * to the fused form — same aggregate functions over the same rows —
+    * so the DuckDB oracle is unchanged. At corpus scale this removes
+    * the only sorts in the profiler; the cost is a second scan of the
+    * profiled columns, strictly cheaper than sorting the (k+1)×
+    * expanded corpus. */
   private[graft] def profileOne(df: DataFrame, tbl: String,
                                 cols: Seq[(String, String)],
                                 approxDistinct: Boolean = false): DataFrame = {
     val specs = cols.map { case (n, k) => ColSpec(n, k) }
-    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: specs.flatMap { c =>
+    val statAggs: Seq[Column] = count(lit(1)).as("__rows") +: specs.flatMap { c =>
+      val v = detView(c)
+      Seq(count(v).as(s"${c.name}__nn"),
+        min(v).cast("string").as(s"${c.name}__min"),
+        max(v).cast("string").as(s"${c.name}__max")) ++
+        (if (c.kind == "str") Seq(sum(length(col(c.name))).as(s"${c.name}__len"))
+         else Nil)
+    }
+    val ndAggs: Seq[Column] = specs.map { c =>
       val v = detView(c)
       // string distincts run over the 32-hex md5 DIGEST, not the value:
       // the Expand copy and the distinct shuffle carry 32 bytes per
@@ -68,14 +101,17 @@ object ProfileQueries {
       // exact distinct — the per-column shuffle payload becomes a
       // CONSTANT-size sketch, so the whole profile is scan-bound
       val nd = if (approxDistinct) approx_count_distinct(dv) else countDistinct(dv)
-      Seq(count(v).as(s"${c.name}__nn"),
-        nd.as(s"${c.name}__nd"),
-        min(v).cast("string").as(s"${c.name}__min"),
-        max(v).cast("string").as(s"${c.name}__max")) ++
-        (if (c.kind == "str") Seq(sum(length(col(c.name))).as(s"${c.name}__len"))
-         else Nil)
+      nd.as(s"${c.name}__nd")
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // The sketch tier FUSES both arms back into one global aggregate:
+    // approx_count_distinct is not a DISTINCT rewrite, so there is no
+    // Expand and no grouping keys — a single global SortAggregate with
+    // string + HLL-register buffers needs no Sort and reads the table
+    // ONCE, which beats the exact tier's two scans.
+    val one =
+      if (approxDistinct) df.agg((statAggs ++ ndAggs).head, (statAggs ++ ndAggs).tail: _*)
+      else df.agg(statAggs.head, statAggs.tail: _*)
+        .crossJoin(broadcast(df.agg(ndAggs.head, ndAggs.tail: _*)))
     val rows = specs.map { c =>
       struct(
         lit(tbl).as("tbl"), lit(c.name).as("col_name"),
