@@ -261,7 +261,24 @@ object SimilarityFunctions {
     // order loses nothing and each unordered pair matches in exactly
     // one orientation. Candidate volume drops from sum df_p² to
     // sum df_short x df_p (~0.71x at t=0.4; measured below).
-    val prefix = postings.join(df, "tok")
+    // r17 optimization, two parts (plans/r17/dedup_ngram_prefix_*.txt):
+    // (1) the ranked-prefix relation feeds BOTH sides of the candidate
+    // self-join, and AQE does not reuse the stage — explode + df join +
+    // window all executed twice (task-metrics-verified). localCheckpoint
+    // materializes it once (the `base` precedent above).
+    // (2) at gate SFs AQE coalesces the window's doc_id exchange to ONE
+    // task (tiny bytes, dense CPU — 2.6 s single-task stage measured at
+    // sf0.1, and the broadcast self-join inherits that width). A gated
+    // repartition(width, doc_id) satisfies the window's required
+    // distribution — same exchange count, user-specified so AQE keeps
+    // it wide; [[shouldWiden]] on the docs scan makes it a no-op at
+    // cluster widths and on in-memory fixtures.
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val widen = shouldWiden(docs.rdd.getNumPartitions, width,
+      inputBytes(docs), TextMinPartBytes)
+    val joined0 = postings.join(df, "tok")
+    val joined = if (widen) joined0.repartition(width, col("doc_id")) else joined0
+    val prefix = joined
       .withColumn("r", row_number().over(perDoc))
       .filter(col("r") <=
         col("sz") - ceil(lit(minJaccard) * col("sz") - lit(EPS)) + 1)
@@ -269,6 +286,7 @@ object SimilarityFunctions {
         col("sz") - ceil(lit(2 * minJaccard / (1 + minJaccard)) * col("sz")
           - lit(EPS)) + 1)
       .select(col("doc_id"), col("sz"), col("tok"), col("r"), col("short"))
+      .localCheckpoint(false)
     // PPJoin positional filter (Xiao et al.): J(A,B) >= t forces
     // |A∩B| >= ceil(t(|A|+|B|)/(1+t)), and for the globally-MINIMAL
     // shared token x (which both prefixes contain — the pigeonhole
