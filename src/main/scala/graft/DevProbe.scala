@@ -20,12 +20,14 @@ object DevProbe {
         val si = e.stageInfo
         val secs = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
         if (secs > 0.5)
-          println(f"STAGE ${si.stageId}%4d ${secs}%7.2f s  tasks=${si.numTasks}%4d")
+          println(f"STAGE ${si.stageId}%4d ${secs}%7.2f s  tasks=${si.numTasks}%4d  ${si.name.take(90)}%s")
       }
     })
     keys.foreach { k =>
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(k)(s, dir)
+      val df =
+        if (k == "sub:pretrain_gated") graft.queries.TextQueries.pretrainGatedDedup(s, dir)
+        else SparkEntry.queries(k)(s, dir)
       val n = df.count()
       println(f"QUERY $k ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       // GRAFT_PROBE_PLAN=1: the EXECUTED plan (post-AQE — shows

@@ -847,7 +847,32 @@ object TextQueries {
     * which `localCheckpoint` would otherwise truncate from the final
     * plan). */
   private[graft] def pretrainGatedDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+    // widened (gated, r17): the gate chain (canonicalize + quality +
+    // bigram-LM scoring) is the CPU-densest per-row work in the pipeline
+    // family, and it is all FILTER predicates — so a plain widen
+    // repartition is useless: filter pushdown slides the whole gate
+    // conjunction below the exchange back onto the narrow scan (measured
+    // at sf1: two 3-task scan stages, 10-15 s per task, 70%+ CPU, while
+    // the post-widen stage ran 0.7 s over 64 tasks). When the widen
+    // engages, a non-deterministic marker projection is interposed as a
+    // pushdown barrier — PushPredicateThroughNonJoin cannot cross a
+    // Project with a non-deterministic field — and the marker is
+    // consumed by a tautological filter so column pruning cannot erase
+    // it, then dropped (values untouched; rand(42) never reaches any
+    // output). At cluster scan widths (shouldWiden false) no barrier
+    // exists and the gates ride the scan exactly as the plan-guard spec
+    // asserts; at gate SFs the shuffle ships the raw sub-10 MB corpus
+    // once and the gates run full-width.
+    val d0 = docs(s, dir)
+    val sWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val wideScan = graft.functions.SimilarityFunctions.shouldWiden(
+      d0.rdd.getNumPartitions, sWidth,
+      graft.functions.SimilarityFunctions.inputBytes(d0),
+      graft.functions.SimilarityFunctions.TextMinPartBytes)
+    val d = if (wideScan)
+        d0.repartition(sWidth).withColumn("__w", rand(42))
+          .filter(col("__w") >= lit(-1d)).drop("__w")
+      else d0
     val canon = d.union(SimilarityQueries.messyVariants(d))
       .select(col("doc_id"), col("lang"),
         SimilarityQueries.canonicalText.as("text"))
@@ -859,7 +884,17 @@ object TextQueries {
       .select("doc_id", "lang", "text")
     val wD = org.apache.spark.sql.expressions.Window
       .partitionBy(col("norm_md5")).orderBy(col("doc_id"))
-    gated.withColumn("norm_md5", md5(col("text")))
+    val keyed = gated.withColumn("norm_md5", md5(col("text")))
+    // r17: at gate SFs AQE coalesces the dedup window's norm_md5
+    // exchange to a handful of tasks (byte-sized coalescing, CPU-dense
+    // rows), and pretrainMix's checkpoint then FREEZES that width for
+    // every downstream corpus pass (the 14.9 s six-task stage of the
+    // sf1 probe). A gated repartition(width, norm_md5) is the same
+    // exchange, user-pinned wide; the gate reads only the docs SCAN's
+    // partition count/bytes (safe — no job), so it is a no-op at
+    // cluster scan widths and on in-memory fixtures.
+    val keyedW = if (wideScan) keyed.repartition(sWidth, col("norm_md5")) else keyed
+    keyedW
       .withColumn("rn", row_number().over(wD)).filter(col("rn") === 1)
       .select("doc_id", "lang", "text")
   }

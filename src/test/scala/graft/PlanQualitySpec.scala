@@ -735,16 +735,29 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!qp.contains("CartesianProduct"))
   }
 
-  test("profile_tables: one scan per table, multi-distinct rides Expand, no joins or windows") {
+  test("profile_tables: two sort-free scans per table, distincts hash-aggregate, 1-row attach only") {
+    // r17 shape: the stats arm (global agg, string min/max buffers) and
+    // the distinct arm (count-only buffers) must NOT fuse — a fused agg
+    // forces the whole Expand rewrite into SortAggregate with full sorts
+    // of the expanded corpus. Split, the only permissible join is the
+    // 1-row-x-1-row broadcast cross attach of the two arms.
     val df = graft.queries.ProfileQueries.profileTables(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(p.contains("Expand"), "exact multi-column distinct must use the Expand rewrite")
-    assert(!p.contains("Join"), "profiling never joins")
+    assert(p.contains("HashAggregate"), "distinct arm must hash-aggregate (no string buffers)")
     assert(!p.contains("Window "), "profiling never windows")
+    // the ONLY Sort is the final output ORDER BY; the aggregates are
+    // sort-free (global SortAggregate has no Sort child)
+    val sorts = p.linesIterator.count(_.trim.startsWith("+- Sort "))
+    assert(sorts <= 1, s"aggregation must be sort-free, got $sorts Sort operators")
+    val joins = p.linesIterator.count(_.contains("Join"))
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin BuildRight, Cross"))
+    assert(joins == bnlj && bnlj <= 2,
+      s"only the two 1-row arm attaches may join, got $joins joins / $bnlj attaches")
     val scans = p.linesIterator.count(l =>
       l.contains("FileScan parquet") || l.contains("Scan parquet"))
-    assert(scans == 2, s"exactly one scan per profiled table, got $scans")
+    assert(scans == 4, s"exactly two sort-free scans per profiled table, got $scans")
   }
 
   test("graph_pagerank/triangles: iterations run over frozen relations, no corpus rescans") {
