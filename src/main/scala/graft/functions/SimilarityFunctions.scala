@@ -21,9 +21,40 @@ object SimilarityFunctions {
   def toDoubleArr(a: Column): Column = transform(a, _.cast("double"))
 
   /** Sequential left-fold dot product — bitwise equal to the oracle's
-    * explicit +-chain (queries.Det.sqlFoldChain). */
+    * explicit +-chain (queries.Det.sqlFoldChain). Interpreted (HOFs do
+    * not codegen); prefer [[dotN]] wherever the width is a schema
+    * constant — every pair-scale scoring site is (r17). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Codegen'd dot product — the native [[graft.plans.DotProduct]]
+    * kernel (one fused loop, whole-stage codegen), bitwise [[dot]]
+    * (same 0.0 seed, same left association, same IEEE ops per element;
+    * common-prefix on unequal lengths). Every PAIR-scale scoring site
+    * uses this instead of the interpreted HOF evaluator (optimization
+    * guide §4: no non-codegen expressions in the hot path — Spark HOFs
+    * are CodegenFallback). Constructed through the graftshim bridge, so
+    * no registry round-trip is needed. */
+  def dotN(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.GraftColumn.of(graft.plans.DotProduct(
+      org.apache.spark.sql.graftshim.GraftColumn.expr(a),
+      org.apache.spark.sql.graftshim.GraftColumn.expr(b)))
+
+  /** [[dotN]] for int-quantized vectors: int multiply, long widen, long
+    * adds — bitwise the aggregate(zip_with((x,y) => (x*y).cast(long)),
+    * 0L, _+_) HOF. graft_dot_int8(v, v) is the quantized squared norm. */
+  def dotLongN(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.GraftColumn.of(graft.plans.DotProductInt8(
+      org.apache.spark.sql.graftshim.GraftColumn.expr(a),
+      org.apache.spark.sql.graftshim.GraftColumn.expr(b)))
+
+  /** Codegen'd positional equality count — bitwise
+    * size(filter(zip_with(a, b, _ === _), identity)) for equal-length
+    * inputs (the MinHash signature estimator). */
+  def matchCountN(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.GraftColumn.of(graft.plans.MatchCount(
+      org.apache.spark.sql.graftshim.GraftColumn.expr(a),
+      org.apache.spark.sql.graftshim.GraftColumn.expr(b)))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -37,12 +68,12 @@ object SimilarityFunctions {
     // pair join, not once per PAIR inside it — same doubles (identical
     // fold), |Q|+|C| norm folds instead of 2*|Q|*|C|.
     val q = queries.select(col("vec_id").as("qid"), toDoubleArr(col("embedding")).as("qe"))
-      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      .withColumn("qn", sqrt(dotN(col("qe"), col("qe"))))
     val c = candidates.select(col("vec_id").as("cid"), toDoubleArr(col("embedding")).as("ce"))
-      .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+      .withColumn("cn", sqrt(dotN(col("ce"), col("ce"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
-      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("score", dotN(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
@@ -916,7 +947,7 @@ object SimilarityFunctions {
     graft.plans.GraftExtensions.register(emb.sparkSession)
     widenForCheckpoint(emb
       .select(col("vec_id"), toDoubleArr(col("embedding")).as("e"))
-      .withColumn("n", sqrt(dot(col("e"), col("e")))))
+      .withColumn("n", sqrt(dotN(col("e"), col("e")))))
       .localCheckpoint(false)
   }
 
@@ -939,7 +970,7 @@ object SimilarityFunctions {
     cand
       .join(v.select(col("vec_id").as("ida"), col("e").as("ea"), col("n").as("an")), "ida")
       .join(v.select(col("vec_id").as("idb"), col("e").as("eb"), col("n").as("bn")), "idb")
-      .withColumn("score", dot(col("ea"), col("eb")) / (col("an") * col("bn")))
+      .withColumn("score", dotN(col("ea"), col("eb")) / (col("an") * col("bn")))
       .filter(col("score") >= minCos)
       .select("ida", "idb", "score")
   }
@@ -1251,10 +1282,10 @@ object SimilarityFunctions {
     // vectors + norms + fingerprints are computed once per side and
     // re-attached by id; each relation feeds 2-3 plan branches.
     val qv = withKeys(queries, "qid", "qe")
-      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      .withColumn("qn", sqrt(dotN(col("qe"), col("qe"))))
       .localCheckpoint(false)
     val cv = withKeys(candidates, "cid", "ce")
-      .withColumn("cn", sqrt(dot(col("ce"), col("ce"))))
+      .withColumn("cn", sqrt(dotN(col("ce"), col("ce"))))
       .localCheckpoint(false)
     def tableBuckets(vec: Column): Column =
       call_function("graft_lsh_buckets", vec, lit(0), lit(nPlanes), lit(nTables))
@@ -1289,7 +1320,7 @@ object SimilarityFunctions {
     cand
       .join(broadcast(qv.select("qid", "qe", "qn")), "qid")
       .join(cv.select("cid", "ce", "cn"), "cid")
-      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("score", dotN(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
@@ -1353,7 +1384,7 @@ object SimilarityFunctions {
         col("e").as("qe"), col("n").as("qn"))), "qid")
       .join(cv.select(col("vec_id").as("cid"),
         col("e").as("ce"), col("n").as("cn")), "cid")
-      .withColumn("score", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("score", dotN(col("qe"), col("ce")) / (col("qn") * col("cn")))
       // hard-negative mode: drop probable POSITIVES (near-identical
       // vectors — an exact/near dup is not a negative) BEFORE ranking,
       // so the k slots fill with the closest surviving negatives
@@ -1393,8 +1424,7 @@ object SimilarityFunctions {
     def quant(v: DataFrame): DataFrame = v.crossJoin(broadcast(scale))
       .select(col("vec_id"),
         transform(col("e"), x => round(x / col("m") * 127, 0).cast("int")).as("qv"))
-      .withColumn("nrm", sqrt(aggregate(col("qv"), lit(0L),
-        (acc, x) => acc + (x * x).cast("long")).cast("double")))
+      .withColumn("nrm", sqrt(dotLongN(col("qv"), col("qv")).cast("double")))
       .filter(col("nrm") > 0.0)
     def keyed(v: DataFrame, id: String): DataFrame = v
       .withColumn("bks", call_function("graft_lsh_buckets",
@@ -1422,8 +1452,7 @@ object SimilarityFunctions {
         col("qv").as("qe"), col("nrm").as("qn"))), "qid")
       .join(cq.select(col("vec_id").as("cid"),
         col("qv").as("ce"), col("nrm").as("cn")), "cid")
-      .withColumn("dot", aggregate(zip_with(col("qe"), col("ce"),
-        (a, b) => (a * b).cast("long")), lit(0L), _ + _))
+      .withColumn("dot", dotLongN(col("qe"), col("ce")))
       .withColumn("score", col("dot").cast("double") / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -1582,7 +1611,7 @@ object SimilarityFunctions {
       col("e").as("eb"), col("n").as("bn"))
     a.join(b, "cluster")
       .filter(col("ida") < col("idb"))
-      .filter(dot(col("ea"), col("eb")) / (col("an") * col("bn")) >= tau)
+      .filter(dotN(col("ea"), col("eb")) / (col("an") * col("bn")) >= tau)
       .select(col("ida").as("src"), col("idb").as("dst"))
   }
 

@@ -70,6 +70,120 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_dot(a array<double>, b array<double>) -> double` — the
+  * sequential left-fold dot product alone (the [[CosineSimilarity]]
+  * loop minus the norms): bitwise the HOF
+  * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` over equal-length
+  * inputs (0.0 seed, identical association), defined over the common
+  * prefix when lengths differ, NULL in NULL out. The pair-scale scoring
+  * kernel (r17): every brute/ANN/near-dup verify join evaluates one dot
+  * per PAIR, and the HOF form pays the interpreted lambda evaluator per
+  * element there — this is one codegen'd loop. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_dot_int8(a array<int>, b array<int>) -> bigint` — quantized
+  * dot: int multiply then the long widen per element, long adds —
+  * bitwise the HOF `aggregate(zip_with(a, b, (x,y) => (x*y).cast(long)),
+  * 0L, _ + _)` (quantized components are <= 127, so the int product
+  * never overflows); common-prefix / NULL rules as [[DotProduct]]. Also
+  * serves as the quantized squared norm via graft_dot_int8(v, v). */
+case class DotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
+    ArrayType(org.apache.spark.sql.types.IntegerType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_dot_int8"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L; var i = 0
+    while (i < n) { s += (x.getInt(i) * y.getInt(i)).toLong; i += 1 }
+    s
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) ($a.getInt($i) * $b.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_match_count(a array<string>, b array<string>) -> int` —
+  * positional equality count over the common prefix: bitwise
+  * `size(filter(zip_with(a, b, _ === _), identity))` for equal-length
+  * non-null inputs (the MinHash signature estimator's shape). */
+case class MatchCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.StringType),
+    ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_match_count"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0; var i = 0
+    while (i < n) {
+      if (x.getUTF8String(i).equals(y.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getUTF8String($i).equals($b.getUTF8String($i))) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels for the one-vector-vs-k-centroids expressions. The
   * per-centroid loop is the EXACT [[CosineSimilarity]] fold (same
   * accumulation order over the common prefix), so `graft_cosine_many`
@@ -208,6 +322,15 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineArgmax].getName, "graft_cosine_argmax"),
       (children: Seq[Expression]) => CosineArgmax(children(0), children(1),
         intLit(children(2), "dim")): Expression),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)): Expression),
+    (FunctionIdentifier("graft_dot_int8"),
+      new ExpressionInfo(classOf[DotProductInt8].getName, "graft_dot_int8"),
+      (children: Seq[Expression]) => DotProductInt8(children(0), children(1)): Expression),
+    (FunctionIdentifier("graft_match_count"),
+      new ExpressionInfo(classOf[MatchCount].getName, "graft_match_count"),
+      (children: Seq[Expression]) => MatchCount(children(0), children(1)): Expression),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSignature(children(0),

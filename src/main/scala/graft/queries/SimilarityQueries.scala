@@ -354,7 +354,7 @@ object SimilarityQueries {
       .join(sigArr.select(col("doc_id").as("ida"), col("arr").as("aa")), "ida")
       .join(sigArr.select(col("doc_id").as("idb"), col("arr").as("ab")), "idb")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("aa"), col("ab"), (x, y) => x === y), x => x))
+        SimilarityFunctions.matchCountN(col("aa"), col("ab"))
           .cast("double") / lit(nH.toDouble))
       .select("ida", "idb", "est_jaccard")
     // The exact-Jaccard verify touches only CANDIDATE docs — prune the
@@ -627,7 +627,7 @@ object SimilarityQueries {
     val scale = e.agg(max(aggregate(de, lit(0.0),
       (acc, x) => greatest(acc, abs(x)))).as("m"))
     val sqNorm = (v: org.apache.spark.sql.Column) =>
-      sqrt(aggregate(v, lit(0L), (acc, x) => acc + (x * x).cast("long")).cast("double"))
+      sqrt(SimilarityFunctions.dotLongN(v, v).cast("double"))
     val q = e.crossJoin(broadcast(scale))
       .select(col("vec_id"),
         transform(de, x => round(x / col("m") * QuantScaleBits, 0).cast("int")).as("qv"))
@@ -638,8 +638,7 @@ object SimilarityQueries {
     val c = q.select(col("vec_id").as("cid"), col("qv").as("ce"), col("nrm").as("cn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     c.join(broadcast(qq), col("qid") =!= col("cid"))
-      .withColumn("dot", aggregate(zip_with(col("qe"), col("ce"),
-        (a, b) => (a * b).cast("long")), lit(0L), _ + _))
+      .withColumn("dot", SimilarityFunctions.dotLongN(col("qe"), col("ce")))
       .withColumn("score", col("dot").cast("double") / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
@@ -803,14 +802,18 @@ object SimilarityQueries {
     val e =
       if (m <= 1) emb(s, dir)
       else emb(s, dir).filter(col("vec_id") % m === 0)
-    val de = SimilarityFunctions.toDoubleArr(col("embedding"))
+    // r17: the projection is 16 native graft_dot kernels over a
+    // once-projected double array (the HOF form re-evaluated the
+    // toDoubleArr transform per component and paid the interpreted
+    // evaluator per element per row); identical left-fold arithmetic.
     val proj = array((0 until ProjDims).map { j =>
-      val plane = array((0 until 64).map(i =>
-        lit(SimilarityFunctions.planeComponent(ProjPlaneOffset + j, i))): _*)
-      SimilarityFunctions.dot(de, plane)
+      SimilarityFunctions.dotN(col("de"), array((0 until 64).map(i =>
+        lit(SimilarityFunctions.planeComponent(ProjPlaneOffset + j, i))): _*))
     }: _*)
-    val base = e.select(col("vec_id"), proj.as("pe"))
-      .withColumn("nrm", sqrt(SimilarityFunctions.dot(col("pe"), col("pe"))))
+    val base = e
+      .select(col("vec_id"), SimilarityFunctions.toDoubleArr(col("embedding")).as("de"))
+      .select(col("vec_id"), proj.as("pe"))
+      .withColumn("nrm", sqrt(SimilarityFunctions.dotN(col("pe"), col("pe"))))
       .filter(col("nrm") > 0.0)
     val q = base.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("pe").as("qe"), col("nrm").as("qn"))
@@ -819,7 +822,7 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("score",
-        SimilarityFunctions.dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        SimilarityFunctions.dotN(col("qe"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 10)
       .select(col("qid"), col("cid"), col("score"), col("rnk"))
