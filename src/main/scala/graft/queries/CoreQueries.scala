@@ -542,6 +542,14 @@ object CoreQueries {
       s.read.parquet(s"$root/${sfDirName(dir)}/dest/$t")
     def delta(s: SparkSession, dir: String, t: String): DataFrame =
       s.read.parquet(s"$root/${sfDirName(dir)}/delta/$t")
+    // footer-exact row counts of the dumped halves — a driver metadata
+    // read (r17: the audits' per-table count() aggregates were ~40 tiny
+    // stages of pure scheduling overhead; the parquet footer carries the
+    // same exact number, the way the row-count operator already counts)
+    def destRows(s: SparkSession, dir: String, t: String): Long =
+      graft.sources.Sources.footerRowCount(s, s"$root/${sfDirName(dir)}/dest/$t")
+    def deltaRows(s: SparkSession, dir: String, t: String): Long =
+      graft.sources.Sources.footerRowCount(s, s"$root/${sfDirName(dir)}/delta/$t")
     def destGlob(t: String): String = s"$root/$oracleSf/dest/$t/*.parquet"
     def deltaGlob(t: String): String = s"$root/$oracleSf/delta/$t/*.parquet"
   }
@@ -579,21 +587,23 @@ object CoreQueries {
     * trimmed). DuckDB recomputes every column from the dumps + base. */
   def subsetDeltaCounts(s: SparkSession, dir: String): DataFrame = {
     DeltaDump.ensure(s, dir)
+    // r17: dest/delta row counts come from the dump footers (driver
+    // metadata, exact — the values DuckDB recomputes from the same
+    // files), so the only per-table JOB is the PK-overlap semi-join;
+    // the plan drops from three agg subtrees per table to one.
     Catalog.tableNames.sorted.map { t =>
       val n = graft.sources.Sources.footerRowCount(s, s"$dir/$t.parquet")
       val target = Subsetter.targetSize(n, DeltaDump.fraction)
       val pk = FkGraph.default.pks(t)
-      val dest = DeltaDump.dest(s, dir, t)
-      val delta = DeltaDump.delta(s, dir, t)
-      dest.agg(count(lit(1)).as("dest_rows"))
-        .crossJoin(delta.agg(count(lit(1)).as("delta_rows")))
-        .crossJoin(delta.join(dest, pk, "left_semi")
-          .agg(count(lit(1)).as("overlap_rows")))
-        .select(lit(t).as("table_name"), col("dest_rows"), col("delta_rows"),
-          col("overlap_rows"),
-          (col("dest_rows") + col("delta_rows")).as("total_rows"),
+      val destN = DeltaDump.destRows(s, dir, t)
+      val deltaN = DeltaDump.deltaRows(s, dir, t)
+      DeltaDump.delta(s, dir, t).join(DeltaDump.dest(s, dir, t), pk, "left_semi")
+        .agg(count(lit(1)).as("overlap_rows"))
+        .select(lit(t).as("table_name"), lit(destN).as("dest_rows"),
+          lit(deltaN).as("delta_rows"), col("overlap_rows"),
+          lit(destN + deltaN).as("total_rows"),
           lit(target).as("target"),
-          (col("dest_rows") + col("delta_rows") >= lit(target)).as("meets_target"))
+          lit(destN + deltaN >= target).as("meets_target"))
     }.reduce(_ union _).orderBy("table_name")
   }
 
@@ -637,15 +647,23 @@ object CoreQueries {
     val merged = dest.map { case (t, df) => t -> df.unionByName(delta(t)) }
     val orphanCount = Subsetter.validateRI(merged, FkGraph.default)
       .agg(sum(col("orphans")).as("orphans"))
-    dest.toSeq.sortBy(_._1).map { case (tn, d) =>
-      d.agg(count(lit(1)).as("dest_rows"))
-        .crossJoin(delta(tn).agg(count(lit(1)).as("delta_rows")))
-        .crossJoin(delta(tn).join(d, FkGraph.default.pks(tn), "left_semi")
-          .agg(count(lit(1)).as("overlap_rows")))
-        .crossJoin(orphanCount)
-        .select(lit(tn).as("table_name"), col("dest_rows"),
-          col("delta_rows"), col("overlap_rows"), col("orphans"))
-    }.reduce(_ union _).orderBy("table_name")
+    // r17: dest/delta counts from the dump footers (subsetDeltaCounts
+    // rationale), and the 12-edge RI subtree crossJoins ONCE above the
+    // union — the old per-branch crossJoin re-executed the whole
+    // validateRI plan for every one of the ten tables (120 joins; this
+    // was the most expensive query of the sf0.1 suite at 4.2 s).
+    val perTable = dest.toSeq.sortBy(_._1).map { case (tn, d) =>
+      delta(tn).join(d, FkGraph.default.pks(tn), "left_semi")
+        .agg(count(lit(1)).as("overlap_rows"))
+        .select(lit(tn).as("table_name"),
+          lit(DeltaDump.destRows(s, dir, tn)).as("dest_rows"),
+          lit(DeltaDump.deltaRows(s, dir, tn)).as("delta_rows"),
+          col("overlap_rows"))
+    }.reduce(_ union _)
+    perTable.crossJoin(broadcast(orphanCount))
+      .select(col("table_name"), col("dest_rows"), col("delta_rows"),
+        col("overlap_rows"), col("orphans"))
+      .orderBy("table_name")
   }
 
   // --- spec-only capabilities surfaced as DECLARED keys (r15 item 4) --
