@@ -27,6 +27,14 @@ object DevProbe {
       val t0 = System.nanoTime()
       val df =
         if (k == "sub:pretrain_gated") graft.queries.TextQueries.pretrainGatedDedup(s, dir)
+        else if (k == "sub:cc_path") {
+          import org.apache.spark.sql.functions._
+          val n = 4096
+          val nodes = s.range(1, n + 1).select(col("id"))
+          val edges = s.range(1, n.toLong).select(col("id").as("src"),
+            (col("id") + 1).as("dst"))
+          graft.operators.ConnectedComponents.components(nodes, edges)
+        }
         else SparkEntry.queries(k)(s, dir)
       val n = df.count()
       println(f"QUERY $k ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")

