@@ -339,6 +339,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children(0),
         intLit(children(1), "n")): Expression),
+    (FunctionIdentifier("graft_span_strings"),
+      new ExpressionInfo(classOf[SpanStrings].getName, "graft_span_strings"),
+      (children: Seq[Expression]) => SpanStrings(children(0),
+        intLit(children(1), "w")): Expression),
+    (FunctionIdentifier("graft_span_hashes"),
+      new ExpressionInfo(classOf[SpanHashes].getName, "graft_span_hashes"),
+      (children: Seq[Expression]) => SpanHashes(children(0),
+        intLit(children(1), "w")): Expression),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children(0)): Expression),

@@ -99,6 +99,50 @@ object GraftHashes {
     new GenericArrayData(out)
   }
 
+  /** POSITIONAL `w`-token span strings of `toks` (space-joined, one per
+    * start position, duplicates kept) — the span-dedup tiers' window
+    * basis. Byte-identical to the
+    * `transform(sequence(1, n-w+1), i -> array_join(slice(toks,i,w), " "))`
+    * HOF formulation it supersedes, which evaluated an interpreted
+    * lambda (slice + array_join) per POSITION (r17, guide §4 — same
+    * fix as [[shingleHashes]] but keeping position order and repeats,
+    * which the coverage/lag arithmetic of the consumers needs). */
+  def spanStrings(toks: ArrayData, w: Int): ArrayData = {
+    val nTok = toks.numElements()
+    val nSp = nTok - w + 1
+    if (nSp <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nSp)
+    var i = 0
+    while (i < nSp) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < w) {
+        s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(i + j))
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** POSITIONAL span HASHES: `xxhash64` (seed 42) of each
+    * [[spanStrings]] element — bit-identical to
+    * `xxhash64(array_join(slice(toks,i,w), " "))` per position, so the
+    * hashed span tier keeps its string-tier oracle unchanged. */
+  def spanHashes(toks: ArrayData, w: Int): ArrayData = {
+    val nTok = toks.numElements()
+    val nSp = nTok - w + 1
+    if (nSp <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](nSp)
+    var i = 0
+    while (i < nSp) {
+      out(i) = shingleHash64(toks, i, w)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over the DISTINCT tokens of `toks`: per-bit ±1
     * votes over token hashes, bit set where votes are positive. One
     * pass, no shuffle (vs the explode + groupBy formulation). */
@@ -207,6 +251,44 @@ case class ShingleHashes(child: Expression, n: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.GraftHashes.shingleHashes($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_span_strings(tokens array<string>, w) -> array<string>` */
+case class SpanStrings(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_span_strings"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHashes.spanStrings(a.asInstanceOf[ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.GraftHashes.spanStrings($a, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_span_hashes(tokens array<string>, w) -> array<long>` */
+case class SpanHashes(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_span_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHashes.spanHashes(a.asInstanceOf[ArrayData], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.GraftHashes.spanHashes($a, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

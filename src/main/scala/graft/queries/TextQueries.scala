@@ -175,7 +175,7 @@ object TextQueries {
     dupSpansHashedOver(docs(s, dir), SpanW)
 
   private[graft] def dupSpansOver(d: DataFrame, w: Int): DataFrame =
-    dupSpansKeyed(d, w, identity)
+    dupSpansKeyed(d, w, ts => call_function("graft_span_strings", ts, lit(w)))
 
   /** The 100 TB variant: span keys are 8-byte xxhash64 values instead
     * of the span strings, so the df shuffle and semi join carry longs
@@ -184,27 +184,27 @@ object TextQueries {
     * in TextFunctionsSpec; the oracle tier keeps strings so DuckDB
     * reproduces the keys bitwise. */
   private[graft] def dupSpansHashedOver(d: DataFrame, w: Int): DataFrame =
-    dupSpansKeyed(d, w, xxhash64(_))
+    dupSpansKeyed(d, w, ts => call_function("graft_span_hashes", ts, lit(w)))
 
   private def dupSpansKeyed(d: DataFrame, w: Int,
-                            keyFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
-    // tokenize ONCE per row into a column first: an expression inside a
-    // HOF lambda is interpreted and re-evaluated per element, so the
-    // naive w-way element_at(split(...)) formulation re-split the text
-    // w times per POSITION (measured 31 s at sf0.1 vs ~2 s for this
-    // slice+array_join shape); the explode is also checkpointed below
-    // because two consumers (span-df agg + semi join) would otherwise
-    // re-run it
+                            spanFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    // r17 (guide §4): the span basis is a native kernel —
+    // graft_span_strings / graft_span_hashes build every positional
+    // w-token span (and, for the hashed tier, its xxhash64) in ONE
+    // codegen'd pass per row. The earlier transform(sequence, i ->
+    // array_join(slice(toks,i,w))) HOF evaluated an interpreted lambda
+    // per POSITION; output bit-identical (same bytes, same seed-42
+    // hash), TextFunctionsSpec pins kernel == HOF on the real corpus.
+    // The explode is checkpointed below because two consumers (span-df
+    // agg + semi join) would otherwise re-run it.
+    graft.plans.GraftExtensions.register(d.sparkSession)
     val toks = col("toks")
-    val posSpans = when(size(toks) < w, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
-        i => array_join(slice(toks, i, lit(w)), " ")))
     val sp = d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
-        posexplode(posSpans).as(Seq("p", "span0")))
+        posexplode(spanFn(toks)).as(Seq("p", "span")))
       .select(col("doc_id"), col("n_tokens"), (col("p") + 1).as("i"),
-        keyFn(col("span0")).as("span"))
+        col("span"))
       .localCheckpoint(false)
     val dup = sp.groupBy("span")
       .agg(count_distinct(col("doc_id")).as("ndocs"))
@@ -275,13 +275,14 @@ object TextQueries {
   private[graft] def spanCleanTextOver(d: DataFrame, w: Int): DataFrame = {
     require(!d.columns.contains("__toks"),
       "spanCleanTextOver reserves the internal column name __toks; rename it on the input")
+    graft.plans.GraftExtensions.register(d.sparkSession)
     val toks = col("toks")
-    val posSpans = when(size(toks) < w, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
-        i => array_join(slice(toks, i, lit(w)), " ")))
+    // r17 (guide §4): native positional-span kernel, see dupSpansKeyed
     val sp = d
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), posexplode(posSpans).as(Seq("p", "span")))
+      .select(col("doc_id"),
+        posexplode(call_function("graft_span_strings", toks, lit(w)))
+          .as(Seq("p", "span")))
       .select(col("doc_id"), (col("p") + 1).as("i"), col("span"))
       .localCheckpoint(false) // feeds the keeper agg AND the flag join
     val firstDoc = sp.groupBy("span").agg(min(col("doc_id")).as("first_doc"))

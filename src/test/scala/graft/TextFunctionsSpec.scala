@@ -159,6 +159,29 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(str.nonEmpty && hashed == str)
   }
 
+  test("span kernels: graft_span_strings/_hashes == the HOF formulation, bit for bit") {
+    // r17: the span tiers build their positional window basis with a
+    // native codegen kernel; pin it against the superseded
+    // transform(sequence, i -> array_join(slice(toks,i,w))) HOF (and
+    // xxhash64 of it) on the real corpus, including the empty
+    // (size < w) edge.
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    val w = 8
+    val d = graft.Catalog.table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = col("toks")
+    val hof = when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => array_join(slice(toks, i, lit(w)), " ")))
+    val bad = d.select(
+        when(call_function("graft_span_strings", toks, lit(w)) === hof
+          && call_function("graft_span_hashes", toks, lit(w)) ===
+            transform(hof, s => xxhash64(s)), 0).otherwise(1).as("bad"))
+      .agg(sum(col("bad"))).as[Long].collect().head
+    assert(bad == 0, s"$bad docs diverge from the HOF span basis")
+  }
+
   test("bigram LM: driver-held maps bounded by the vocab cap; tiny cap is exact top-K") {
     import graft.queries.TextQueries
     val dir = "/root/testdata/sf0.01"
