@@ -109,21 +109,18 @@ object SimilarityFunctions {
     * near 1 (measured on this corpus: noise floor 0.03 vs near-dup
     * 0.8+, against 0.5+ unigram scores for mere topic overlap).
     * Scan-local HOF; docs shorter than n tokens yield an empty set. */
-  def shingles(text: Column, n: Int): Column = {
-    // The token array is bound ONCE per row as a lambda variable (the
-    // 1-element-array + transform trick): writing `split(text)` as a
-    // shared Scala val instead INLINES the split into the per-shingle
-    // lambda, where interpreted HOF eval re-splits the whole document
-    // on every element_at — O(words) per access, O(words²) per doc.
-    // Measured on the sf1 documents table (50k docs, 2.6M shingles):
-    // 45 CPU-s for the inlined form, sub-second for this one; output
-    // bit-identical (same strings, same first-occurrence order).
-    val sh = transform(array(split(text, " ")), ts =>
-      when(size(ts) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
-          concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))))
-    array_distinct(element_at(sh, 1))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // r17 (guide §4): native distinct-shingle-string kernel — ONE
+    // codegen'd pass per row replaces the interpreted transform HOF
+    // (one lambda eval per position; and before r15's array-binding
+    // trick, O(words²) re-splits — see git history for the measured
+    // ladder: 45 CPU-s → sub-second → this, which removes the
+    // remaining per-position interpreted dispatch). Output
+    // bit-identical: same strings, same first-seen order as
+    // array_distinct (UTF8String equality is byte equality);
+    // SimilaritySpec pins kernel == HOF on the real corpus.
+    org.apache.spark.sql.graftshim.GraftColumn.of(graft.plans.ShingleStrings(
+      org.apache.spark.sql.graftshim.GraftColumn.expr(split(text, " ")), n))
 
   /** Exact pairwise n-gram-shingle Jaccard — same inverted-index
     * machinery as [[jaccardPairs]] on the [[shingles]] basis. Shingling

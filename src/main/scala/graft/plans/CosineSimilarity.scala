@@ -339,6 +339,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children(0),
         intLit(children(1), "n")): Expression),
+    (FunctionIdentifier("graft_shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "graft_shingle_strings"),
+      (children: Seq[Expression]) => ShingleStrings(children(0),
+        intLit(children(1), "n")): Expression),
     (FunctionIdentifier("graft_span_strings"),
       new ExpressionInfo(classOf[SpanStrings].getName, "graft_span_strings"),
       (children: Seq[Expression]) => SpanStrings(children(0),

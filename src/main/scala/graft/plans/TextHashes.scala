@@ -126,6 +126,36 @@ object GraftHashes {
     new GenericArrayData(out)
   }
 
+  /** DISTINCT `n`-token shingle STRINGS of `toks`, first-seen order —
+    * [[shingleHashes]]'s string twin, for the tiers whose oracle
+    * replays md5(shingle_string) and therefore cannot key on hashes
+    * (dedup_minhash_portable, distinct_kmv_portable). Byte-identical
+    * to `array_distinct(transform(sequence, i -> concat_ws(...)))` —
+    * UTF8String equality is byte equality, and first-seen order
+    * matches array_distinct's. */
+  def shingleStrings(toks: ArrayData, n: Int): ArrayData = {
+    val nTok = toks.numElements()
+    val nSh = nTok - n + 1
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < nSh) {
+      var s = toks.getUTF8String(i)
+      var j = 1
+      while (j < n) {
+        s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(i + j))
+        j += 1
+      }
+      seen.add(s)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** POSITIONAL span HASHES: `xxhash64` (seed 42) of each
     * [[spanStrings]] element — bit-identical to
     * `xxhash64(array_join(slice(toks,i,w), " "))` per position, so the
@@ -251,6 +281,25 @@ case class ShingleHashes(child: Expression, n: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.GraftHashes.shingleHashes($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_strings(tokens array<string>, n) -> array<string>` */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_strings"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHashes.shingleStrings(a.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.GraftHashes.shingleStrings($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

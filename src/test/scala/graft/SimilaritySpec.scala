@@ -70,6 +70,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got(4L) == Set("x x x"))
   }
 
+  test("shingles kernel == HOF formulation, bit for bit, real corpus") {
+    // r17: shingles() is a native kernel (graft_shingle_strings); pin
+    // it against the superseded array_distinct(transform(...)) HOF —
+    // same strings, same first-seen ORDER (not just set equality).
+    import org.apache.spark.sql.functions._
+    val d = graft.Catalog.table(spark, "/root/testdata/sf0.01", "documents")
+    val ts = col("toks")
+    val hof = array_distinct(
+      when(size(ts) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ts) - 2), i =>
+          concat_ws(" ", element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))))
+    val bad = d.select(col("doc_id"), split(col("text"), " ").as("toks"), col("text"))
+      .select(when(shingles(col("text"), 3) === hof, 0).otherwise(1).as("bad"))
+      .agg(sum(col("bad"))).collect()(0).getLong(0)
+    assert(bad == 0, s"$bad docs diverge from the HOF shingle basis")
+  }
+
   test("jaccardPairsNgramLsh: banded+exact-verify tier reproduces the exact tier") {
     // the real corpus: identical (ida, idb, jaccard) rows — the scale
     // tier's scores are exact per pair, and every qualifying pair
