@@ -182,9 +182,20 @@ object SimilarityQueries {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // --- exact token-set Jaccard near-dup (oracle tier) ------------------
+  // r17: candidates come from the PPJoin prefix tier at the UNIGRAM
+  // basis (n=1 shingles == distinct tokens, hashed) instead of the full
+  // inverted-index self-join — the dedup_components move of r14, now
+  // applied to the declared pair key. Output identical by the
+  // prefix-filter completeness theorem AND spec-pinned on the real
+  // corpus (SimilaritySpec "jaccardPairsNgramPrefix(n=1) == unigram
+  // jaccardPairs"), so the string-token inverted-index oracle CTE
+  // stays valid. On this corpus's stopword-heavy unigram basis the
+  // index tier's candidate space is Σ df² ≈ all sample pairs; the
+  // df-ascending prefix + positional filter prune it before the
+  // distinct.
   def dedupJaccardDocs(s: SparkSession, dir: String): DataFrame =
-    SimilarityFunctions.jaccardPairs(
-        docs(s, dir).filter(col("doc_id") % 25 === 0), 0.5)
+    SimilarityFunctions.jaccardPairsNgramPrefix(
+        docs(s, dir).filter(col("doc_id") % 25 === 0), 1, 0.5)
       .orderBy("ida", "idb")
 
   val dedupJaccardDocsSql: String =
