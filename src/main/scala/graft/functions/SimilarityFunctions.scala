@@ -193,7 +193,11 @@ object SimilarityFunctions {
     pairs
       .join(base.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
       .join(base.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      // r18 (guide §4): graft_intersect_count == size(array_intersect)
+      // (PlansSpec pin) without materializing the intersection array
+      // per candidate pair
+      .withColumn("c", call_function("graft_intersect_count",
+        col("sha"), col("shb")))
       .withColumn("jaccard", col("c").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("c")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
@@ -348,7 +352,10 @@ object SimilarityFunctions {
     cand
       .join(base.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
       .join(base.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      // r18 (guide §4): same fused intersect-count kernel as the LSH
+      // tier's verify — see there
+      .withColumn("c", call_function("graft_intersect_count",
+        col("sha"), col("shb")))
       .withColumn("jaccard", col("c").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("c")).cast("double"))
       .filter(col("jaccard") >= minJaccard)

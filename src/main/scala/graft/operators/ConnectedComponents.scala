@@ -58,7 +58,20 @@ object ConnectedComponents {
         .select(bidir("dst").as("id"), col("component"))
       val prop0 = comp.union(viaEdges)
         .groupBy("id").agg(min("component").as("component"))
-      // r17 — hash-to-min parent update (Rastogi et al.): each node also
+      // r18 — the parent update is skipped in ROUND 1, where it is a
+      // provable no-op: comp is still the identity labeling
+      // (component = id), so toParent = (c.id, p.component) — exactly
+      // prop0's own rows — and the union + second groupBy fold exact
+      // duplicates. Skipping it removes one join + union + groupBy from
+      // the round with the LARGEST label relation, with round counts
+      // unchanged by construction (round-2+ behavior identical; an r18
+      // iter>2 gate of the whole deep machinery was also measured —
+      // wall-time parity at sf0.1 but +1 round on the sparse/leakage
+      // graphs — and rejected; this variant has the win without the
+      // round risk). Fixpoint-neutral as ever: both update rules only
+      // replace labels with smaller same-component ids.
+      val deep = iter > 1
+      // hash-to-min parent update (Rastogi et al.): each node also
       // tells its PREVIOUS label about the smaller label it just
       // learned. Plain min-propagation + self-jump degrades toward O(d)
       // rounds on graphs whose ids are uncorrelated with topology —
@@ -71,31 +84,33 @@ object ConnectedComponents {
       // stay ids of same-component nodes (both halves of the suggestion
       // are reachable), so the fixpoint — min id per component — and
       // the output are unchanged.
-      val toParent = comp.as("c")
-        .join(prop0.as("p"), col("c.id") === col("p.id"))
-        .select(col("c.component").as("id"), col("p.component").as("component"))
-      val propagated = prop0.union(toParent)
-        .groupBy("id").agg(min("component").as("component"))
+      val propagated = if (!deep) prop0 else {
+        val toParent = comp.as("c")
+          .join(prop0.as("p"), col("c.id") === col("p.id"))
+          .select(col("c.component").as("id"), col("p.component").as("component"))
+        prop0.union(toParent)
+          .groupBy("id").agg(min("component").as("component"))
+      }
       // pointer jump: a label is a node id, so re-labeling through the
       // label's own (smaller-or-equal, still-reachable) label shortcuts
       // the hop distance a minimum covers per round. r17: jump through
       // the GRANDPARENT (label(label(label)) — one extra self-join of
-      // the small (id,label) relation) instead of the parent: depth
-      // shrinks ~3x per round instead of 2x, so round count drops from
-      // log2(d) to ~log3(d) while each round gains only one comp-sized
-      // shuffle. Measured on the sf1 cosine near-dup chain: 20 -> 13
-      // rounds; every round is a fixed scheduling cost at gate SFs, so
-      // CC-heavy keys win ~30%. The fixpoint is unchanged (shortcuts
-      // never alter reachability; the unique fixpoint is min-id per
-      // component), so outputs are bit-identical.
+      // the small (id,label) relation): depth shrinks ~3x per round
+      // instead of 2x, so round count drops from log2(d) to ~log3(d)
+      // while each round gains only one comp-sized shuffle. Measured on
+      // the sf1 cosine near-dup chain (r17): 20 -> 13 rounds from the
+      // grandparent jump alone, 20 -> 6 with the parent update; every
+      // round is a fixed scheduling cost at gate SFs, so CC-heavy keys
+      // win ~30%. The fixpoint is unchanged (shortcuts never alter
+      // reachability), so outputs are bit-identical.
       val parents = propagated
         .select(col("id").as("pid"), col("component").as("pcomp"))
-      val grand = parents.as("x")
+      val jump = parents.as("x")
         .join(parents.select(col("pid").as("gpid"), col("pcomp").as("gcomp")),
           col("x.pcomp") === col("gpid"))
         .select(col("x.pid").as("pid"), col("gcomp").as("pcomp"))
       val prev = comp
-      comp = propagated.join(grand, propagated("component") === col("pid"))
+      comp = propagated.join(jump, propagated("component") === col("pid"))
         .select(propagated("id"), col("pcomp").as("component"))
         .localCheckpoint(false)
       val s = labelSum(comp)

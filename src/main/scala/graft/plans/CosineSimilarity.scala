@@ -331,6 +331,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_match_count"),
       new ExpressionInfo(classOf[MatchCount].getName, "graft_match_count"),
       (children: Seq[Expression]) => MatchCount(children(0), children(1)): Expression),
+    (FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
+      (children: Seq[Expression]) => IntersectCount(children(0), children(1)): Expression),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSignature(children(0),

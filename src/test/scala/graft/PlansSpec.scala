@@ -57,6 +57,34 @@ class PlansSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_intersect_count == size(array_intersect) on random long arrays") {
+    // the near-dup verify kernel: distinct-on-left count, duplicates,
+    // zeros (the set's sentinel value), null elements, empties, and
+    // disjoint/identical extremes — every case must match the built-in
+    val rnd = new scala.util.Random(37)
+    val df = (1 to 400).map { i =>
+      def arr(n: Int) = Array.fill(n)(
+        if (rnd.nextInt(10) == 0) 0L else rnd.nextInt(40).toLong)
+      val a = arr(rnd.nextInt(30))
+      val b = if (i % 7 == 0) a.clone() else arr(rnd.nextInt(30))
+      (a, b)
+    }.toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_intersect_count", $"a", $"b").as("k"),
+      size(array_intersect($"a", $"b")).as("s")).as[(Int, Int)].collect()
+    rows.foreach { case (k, s) => assert(k == s, s"kernel $k != builtin $s") }
+    // null elements: counted once iff present in both (array_intersect rule)
+    val withNulls = Seq(
+      (Array[java.lang.Long](1L, null, 2L, null), Array[java.lang.Long](null, 3L, 1L)),
+      (Array[java.lang.Long](1L, null), Array[java.lang.Long](2L, 3L)),
+      (Array[java.lang.Long](), Array[java.lang.Long](null))
+    ).toDF("a", "b")
+    val nrows = withNulls.select(
+      call_function("graft_intersect_count", $"a", $"b").as("k"),
+      size(array_intersect($"a", $"b")).as("s")).as[(Int, Int)].collect()
+    nrows.foreach { case (k, s) => assert(k == s, s"null-case kernel $k != builtin $s") }
+  }
+
   test("graft_editdist == builtin bounded levenshtein on random mutations") {
     val rnd = new scala.util.Random(37)
     val alphabet = "abcdefg xyz"
