@@ -97,8 +97,12 @@ object SimilarityFunctions {
     * their corpus's max df. */
   def jaccardPairs(docs: DataFrame, minJaccard: Double,
                    maxDf: Int = 100000): DataFrame =
+    // r18: gated widen — the salted-token callers (sparse components /
+    // split_leakage_safe) otherwise run the distinct+explode scan at
+    // the raw scan width (3 tasks at sf1, measured); no-op at cluster
+    // scan widths and on in-memory relations
     jaccardPairsOver(
-      docs.select(col("doc_id"),
+      widenTextScan(docs).select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok")),
       minJaccard, maxDf)
 
@@ -140,8 +144,11 @@ object SimilarityFunctions {
   def jaccardPairsNgram(docs: DataFrame, n: Int, minJaccard: Double,
                         maxDf: Int = 100000): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
+    // r18: gated widen of the shingle-kernel scan (the dedup_shingle_lsh
+    // rationale, applied inside the tier so every consumer gets it) —
+    // no-op at cluster scan widths and on in-memory relations
     jaccardPairsOver(
-      docs.select(col("doc_id"),
+      widenTextScan(docs).select(col("doc_id"),
         explode(call_function("graft_shingle_hashes",
           split(col("text"), " "), lit(n))).as("tok")),
       minJaccard, maxDf)
@@ -173,10 +180,22 @@ object SimilarityFunctions {
     graft.plans.GraftExtensions.register(docs.sparkSession)
     val toks = split(col("text"), " ")
     // one scan computes both per-doc set representations; the
-    // checkpoint is read by the banding pass + both verify joins
-    val base = docs.select(col("doc_id"),
-        call_function("graft_shingle_hashes", toks, lit(n)).as("sh"),
-        call_function("graft_minhash", toks, lit(n), lit(numHashes)).as("sig"))
+    // checkpoint is read by the banding pass + both verify joins.
+    // r18: the shingle + 128-permutation minhash projection is the
+    // CPU-densest scan in the tier and ran at the RAW scan width for
+    // un-widened callers (dedup_keeper_quality at sf1: 14.7 s across
+    // 3-task stages, 29 cores idle — the W3/pretrain trap); the gated
+    // widen ships the sub-10 MB (doc_id, text) rows once and is a
+    // no-op at cluster scan widths and on in-memory relations.
+    // r18: the signature folds over the ALREADY-computed distinct
+    // shingle-hash array instead of re-hashing every position —
+    // min over a multiset == min over its distinct set, so the
+    // signature is bit-identical (PlansSpec pin) and the row pays ONE
+    // shingle concat+hash pass instead of two.
+    val base = widenTextScan(docs).select(col("doc_id"),
+        call_function("graft_shingle_hashes", toks, lit(n)).as("sh"))
+      .withColumn("sig",
+        call_function("graft_minhash_hashes", col("sh"), lit(numHashes)))
       .filter(size(col("sig")) > 0)
       .localCheckpoint(false)
     val banded = capHotKeys(
@@ -254,9 +273,19 @@ object SimilarityFunctions {
   def jaccardPairsNgramPrefix(docs: DataFrame, n: Int, minJaccard: Double,
                               maxDf: Int = 100000): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
+    // r18: widen decision read from the RAW scan (before the base
+    // widen below, which would mask it) — it drives BOTH the base
+    // kernel scan's width and the prefix window's repartition
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val widen = shouldWiden(docs.rdd.getNumPartitions, width,
+      inputBytes(docs), TextMinPartBytes)
     // one scan computes the per-doc distinct shingle-hash set; feeds
-    // the df ranking, the prefix index, and both verify joins
-    val base = docs.select(col("doc_id"),
+    // the df ranking, the prefix index, and both verify joins.
+    // r18: the shingle-kernel scan itself is widened (gated) — for
+    // un-widened callers it ran at the raw scan width (the
+    // jaccardPairsNgramLsh finding, same trap)
+    val base = (if (widen) docs.repartition(width) else docs)
+      .select(col("doc_id"),
         call_function("graft_shingle_hashes",
           split(col("text"), " "), lit(n)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -305,9 +334,6 @@ object SimilarityFunctions {
     // distribution — same exchange count, user-specified so AQE keeps
     // it wide; [[shouldWiden]] on the docs scan makes it a no-op at
     // cluster widths and on in-memory fixtures.
-    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val widen = shouldWiden(docs.rdd.getNumPartitions, width,
-      inputBytes(docs), TextMinPartBytes)
     val joined0 = postings.join(df, "tok")
     val joined = if (widen) joined0.repartition(width, col("doc_id")) else joined0
     val prefix = joined
@@ -426,8 +452,8 @@ object SimilarityFunctions {
     cold.unionByName(cappedHot)
   }
 
-  private def jaccardPairsOver(tok: DataFrame, minJaccard: Double,
-                               maxDf: Int): DataFrame = {
+  private[graft] def jaccardPairsOver(tok: DataFrame, minJaccard: Double,
+                                      maxDf: Int): DataFrame = {
     // Materialize the capped index ONCE: it feeds three consumers (both
     // self-join sides + the doc-size aggregate), and the token relation
     // is an EXPLODE of per-doc shingle arrays — an interpreted HOF pass

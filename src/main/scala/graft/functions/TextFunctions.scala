@@ -33,9 +33,13 @@ object TextFunctions {
       tokenCount(text).cast("double")
 
   /** How many tokens fall in `words` — the building block for stopword
-    * ratios and the language-ID votes. */
+    * ratios and the language-ID votes. r18 (guide §4): native kernel —
+    * the `size(filter(tokens, ...))` HOF form ran the interpreted
+    * lambda evaluator per token, five times per document in the
+    * language-ID vote; bit-identical counts (TextFunctionsSpec pin). */
   def wordSetCount(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => words.map(t === _).reduce(_ || _)))
+    org.apache.spark.sql.graftshim.GraftColumn.of(graft.plans.WordCount(
+      org.apache.spark.sql.graftshim.GraftColumn.expr(tokens(text)), words))
 
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
     wordSetCount(text, stopwords).cast("double") / tokenCount(text).cast("double")
@@ -48,13 +52,13 @@ object TextFunctions {
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * per-token codes, `h = (h*31 + code) mod 1e9+7`. Mirrors the oracle's
-    * list_reduce chain; engine-portable (no xxhash). */
+    * list_reduce chain; engine-portable (no xxhash). r18 (guide §4):
+    * native kernel — the aggregate(transform(...)) HOF chain evaluated
+    * two interpreted lambdas per token; bit-identical fold
+    * (TextFunctionsSpec pin). */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(tokens(text),
-        t => (length(t) * lit(131) + ascii(substring(t, 1, 1))).cast("long")),
-      lit(0L),
-      (h, x) => (h * lit(31L) + x) % lit(1000000007L))
+    org.apache.spark.sql.graftshim.GraftColumn.of(graft.plans.Fingerprint(
+      org.apache.spark.sql.graftshim.GraftColumn.expr(tokens(text))))
 
   /** Tiny per-language stopword tables for the n-gram/stopword-vote
     * language-ID heuristic. */

@@ -342,6 +342,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children(0),
         intLit(children(1), "n")): Expression),
+    (FunctionIdentifier("graft_minhash_hashes"),
+      new ExpressionInfo(classOf[MinHashFromHashes].getName, "graft_minhash_hashes"),
+      (children: Seq[Expression]) => MinHashFromHashes(children(0),
+        intLit(children(1), "numHashes")): Expression),
     (FunctionIdentifier("graft_shingle_strings"),
       new ExpressionInfo(classOf[ShingleStrings].getName, "graft_shingle_strings"),
       (children: Seq[Expression]) => ShingleStrings(children(0),

@@ -21,6 +21,26 @@ object GraftHashes {
 
   final val MersennePrime = 2147483647L // 2^31 - 1
 
+  /** Shared separator — r18 (ADVICE): the span/shingle builders used to
+    * allocate `UTF8String.fromString(" ")` per TOKEN inside the hot
+    * per-row loops. */
+  private val Space = UTF8String.fromString(" ")
+
+  /** The `n` tokens at `start` space-joined in ONE concat — same bytes
+    * as the old pairwise-concat chain (so every downstream hash/string
+    * is unchanged) without its O(n²)-bytes copying. */
+  private def joinTokens(toks: ArrayData, start: Int, n: Int): UTF8String = {
+    if (n == 1) return toks.getUTF8String(start)
+    val parts = new Array[UTF8String](2 * n - 1)
+    var j = 0
+    while (j < n) {
+      parts(2 * j) = toks.getUTF8String(start + j)
+      if (j < n - 1) parts(2 * j + 1) = Space
+      j += 1
+    }
+    UTF8String.concat(parts: _*)
+  }
+
   /** Full-width XXH64 of the `n`-token shingle at `start` — the
     * identity basis for [[shingleHashes]]. NOT Mersenne-reduced: set
     * arithmetic over these hashes stands in for set arithmetic over
@@ -31,13 +51,37 @@ object GraftHashes {
     * [[minhash]] needs the reduction, for its permutation arithmetic. */
   private def shingleHash64(toks: ArrayData, start: Int, n: Int): Long = {
     // n-token shingle joined by ' ' — same bytes as concat_ws(" ", slice)
-    var s = toks.getUTF8String(start)
-    var j = 1
-    while (j < n) {
-      s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(start + j))
-      j += 1
-    }
+    val s = joinTokens(toks, start, n)
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+  }
+
+  /** MinHash signature computed FROM the distinct shingle-hash array
+    * (r18): `minhash(toks, n, k)` folds min over every shingle
+    * POSITION, but a min over a multiset equals the min over its
+    * distinct set, so folding over [[shingleHashes]]' output — the same
+    * 64-bit values, deduped — yields the identical signature while
+    * skipping a second concat+hash pass over every position (the
+    * LSH/keeper tier computes both representations per row; PlansSpec
+    * pins `graft_minhash_hashes(graft_shingle_hashes(t, n), k) ==
+    * graft_minhash(t, n, k)` on the real corpus). */
+  def minhashFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val nSh = hashes.numElements()
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Long])
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < nSh) {
+      val h64 = hashes.getLong(i)
+      val m = h64 % MersennePrime
+      val h = if (m < 0) m + MersennePrime else m
+      var k = 0
+      while (k < numHashes) {
+        val v = (h * (1L + 2L * k) + 7919L * (k + 1)) % MersennePrime
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
   }
 
   /** [[shingleHash64]] reduced mod 2³¹−1 — the minhash-permutation
@@ -114,13 +158,7 @@ object GraftHashes {
     val out = new Array[Any](nSp)
     var i = 0
     while (i < nSp) {
-      var s = toks.getUTF8String(i)
-      var j = 1
-      while (j < w) {
-        s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(i + j))
-        j += 1
-      }
-      out(i) = s
+      out(i) = joinTokens(toks, i, w)
       i += 1
     }
     new GenericArrayData(out)
@@ -140,13 +178,7 @@ object GraftHashes {
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i < nSh) {
-      var s = toks.getUTF8String(i)
-      var j = 1
-      while (j < n) {
-        s = UTF8String.concat(s, UTF8String.fromString(" "), toks.getUTF8String(i + j))
-        j += 1
-      }
-      seen.add(s)
+      seen.add(joinTokens(toks, i, n))
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -262,6 +294,26 @@ case class MinHashSignature(child: Expression, nShingle: Int, numHashes: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.GraftHashes.minhash($a, $nShingle, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_hashes(hashes array<long>, numHashes) -> array<long>`
+  * — see [[GraftHashes.minhashFromHashes]]. */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    GraftHashes.minhashFromHashes(a.asInstanceOf[ArrayData], numHashes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.GraftHashes.minhashFromHashes($a, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -1208,11 +1208,20 @@ object SimilarityQueries {
     * declared key above and [[splitLeakageSafe]]. */
   private def sparseComponents(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val salted = d.select(col("doc_id"),
-      array_join(transform(split(col("text"), " "),
-        t => concat(expr("doc_id div 8").cast("string"), lit(":"), t)),
-        " ").as("text"))
-    val pairs = SimilarityFunctions.jaccardPairs(salted, 0.5,
+    // r18 (guide §4): the salt used to be applied by an interpreted
+    // `transform` HOF producing salted TEXT that jaccardPairs then
+    // re-split — now the distinct-token relation is built directly
+    // (split → array_distinct → explode → concat, all codegen
+    // built-ins) and fed to the shared inverted-index machinery. The
+    // basis is identical: the salt prefix is constant per doc, so
+    // distinct-then-salt == salt-then-distinct, and the widen gate is
+    // the same one every text scan uses.
+    val tok = SimilarityFunctions.widenTextScan(d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("t0"))
+      .select(col("doc_id"),
+        concat(expr("doc_id div 8").cast("string"), lit(":"), col("t0")).as("tok"))
+    val pairs = SimilarityFunctions.jaccardPairsOver(tok, 0.5,
         maxDf = Int.MaxValue)
       .select(col("ida").as("src"), col("idb").as("dst"))
     val nodes = d.select(col("doc_id").as("id"))

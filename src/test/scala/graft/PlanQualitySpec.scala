@@ -208,8 +208,9 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
     // the verify joins must carry candidate ids back to the per-doc
-    // ARRAYS (pair-local array_intersect), not re-join the index
-    assert(p.contains("array_intersect"),
+    // ARRAYS (pair-local intersect-count kernel, r18 — previously
+    // size(array_intersect)), not re-join the index
+    assert(p.contains("graft_intersect_count"),
       "prefix tier must verify pair-locally over the shingle arrays")
   }
 

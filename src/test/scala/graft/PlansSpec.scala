@@ -57,6 +57,22 @@ class PlansSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_minhash_hashes(graft_shingle_hashes(t,n),k) == graft_minhash(t,n,k) on the real corpus") {
+    // r18: the LSH/keeper tier folds the signature over the distinct
+    // shingle-hash array it already computes — min over a multiset ==
+    // min over its distinct set, so the signatures must be bitwise
+    // equal, including docs shorter than n (both empty).
+    val d = graft.Catalog.table(spark, "/root/testdata/sf0.01", "documents")
+      .select(split(col("text"), " ").as("toks"))
+    val bad = d.select(
+        when(call_function("graft_minhash_hashes",
+            call_function("graft_shingle_hashes", $"toks", lit(3)), lit(128))
+          === call_function("graft_minhash", $"toks", lit(3), lit(128)), 0)
+          .otherwise(1).as("bad"))
+      .agg(sum($"bad")).as[Long].collect().head
+    assert(bad == 0, s"$bad docs diverge from the direct minhash signature")
+  }
+
   test("graft_intersect_count == size(array_intersect) on random long arrays") {
     // the near-dup verify kernel: distinct-on-left count, duplicates,
     // zeros (the set's sentinel value), null elements, empties, and

@@ -182,6 +182,31 @@ class TextFunctionsSpec extends SparkSpecBase {
     assert(bad == 0, s"$bad docs diverge from the HOF span basis")
   }
 
+  test("score kernels: graft_word_count / graft_fingerprint == the HOF formulations, bit for bit") {
+    // r18: wordSetCount and fingerprint are native kernels; pin them
+    // against the superseded size(filter(...)) / aggregate(transform)
+    // HOFs on the real corpus (every language table, zh multi-byte
+    // tokens included) plus the empty-token edge.
+    import org.apache.spark.sql.functions._
+    val d = graft.Catalog.table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("text"))
+      .union(Seq("", " ", "x  y").toDF("text")) // empty / empty-token edges
+    val toks = split(col("text"), " ")
+    val hofFp = aggregate(
+      transform(toks, t => (length(t) * lit(131) + ascii(substring(t, 1, 1))).cast("long")),
+      lit(0L), (h, x) => (h * lit(31L) + x) % lit(1000000007L))
+    val wordChecks = langStopwords.toSeq.map { case (l, words) =>
+      val hof = size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+      when(wordSetCount(col("text"), words) === hof, 0).otherwise(1).as(s"bad_$l")
+    }
+    val bad = d.select(
+        (wordChecks :+
+          when(fingerprint(col("text")) === hofFp, 0).otherwise(1).as("bad_fp"))
+          .reduce(_ + _).as("bad"))
+      .agg(sum(col("bad"))).as[Long].collect().head
+    assert(bad == 0, s"$bad rows diverge from the HOF score basis")
+  }
+
   test("bigram LM: driver-held maps bounded by the vocab cap; tiny cap is exact top-K") {
     import graft.queries.TextQueries
     val dir = "/root/testdata/sf0.01"
